@@ -1,0 +1,214 @@
+"""The composed CRS->CRS transform: PROJ's fixed 14-step pipeline,
+compiled at driver time into a fused vectorized function.
+
+Step order and elision conditions replicate ``pj_transform``
+(src/pj_transform.c:87-370) and ``pj_datum_transform``
+(src/pj_transform.c:602-720):
+
+ 1. source axis normalization            (axis != 'enu')
+ 2. vertical units -> meters             (vto_meter != 1)
+ 3. geocentric->geodetic OR inverse-project source
+ 4. + source prime meridian              (from_greenwich != 0)
+ 5. source geoid vertical shift          (+geoidgrids)        [not in v0]
+ 6. datum transform (grid shift -> geocentric -> Helmert -> back)
+ 7. dest geoid vertical shift (inverse)                        [not in v0]
+ 8. - dest prime meridian
+ 9. geodetic->geocentric OR forward-project dest
+10. lon_wrap recentering (latlong dest only)
+11. vertical units back
+12. dest axis denormalization
+
+The compiled callable runs ALL steps inside one ``map_batches`` UDF per
+batch — one Ray stage, microsecond steps fused (SURVEY.md §2.3).
+
+Error semantics: per-lane inf (HUGE_VAL) sentinel, never exceptions;
+bad points flow through as inf and are surfaced as nulls at the sink
+(src/pj_transform.c:70-76 transient errors).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .crs import CRS, PJD_3PARAM, PJD_7PARAM, PJD_GRIDSHIFT, PJD_UNKNOWN
+from .kernels.common import (
+    DEG_TO_RAD,
+    HUGE,
+    PI,
+    RAD_TO_DEG,
+    SRS_WGS84_ESQUARED,
+    SRS_WGS84_SEMIMAJOR,
+    TWOPI,
+)
+from .kernels.geocent import (
+    geocentric_to_geodetic,
+    geodetic_to_geocentric,
+    helmert_from_wgs84,
+    helmert_to_wgs84,
+)
+from .kernels.grid import apply_gridshift, gridlist_from_nadgrids
+from .kernels.projections import generic_fwd, generic_inv
+
+
+def _adjust_axis(axis, denormalize, x, y, z):
+    """src/pj_transform.c:728-825 vectorized."""
+    ins = (x, y, z)
+    outs = [x.copy(), y.copy(), z.copy()]
+    if not denormalize:
+        # positional value i (meaning axis[i]) lands on its canonical slot
+        for i_axis, ch in enumerate(axis):
+            v = ins[i_axis]
+            if ch == "e":
+                outs[0] = v.copy()
+            elif ch == "w":
+                outs[0] = -v
+            elif ch == "n":
+                outs[1] = v.copy()
+            elif ch == "s":
+                outs[1] = -v
+            elif ch == "u":
+                outs[2] = v.copy()
+            elif ch == "d":
+                outs[2] = -v
+    else:
+        # canonical enu values are rearranged into the declared axis order
+        for i_axis, ch in enumerate(axis):
+            if ch == "e":
+                outs[i_axis] = ins[0].copy()
+            elif ch == "w":
+                outs[i_axis] = -ins[0]
+            elif ch == "n":
+                outs[i_axis] = ins[1].copy()
+            elif ch == "s":
+                outs[i_axis] = -ins[1]
+            elif ch == "u":
+                outs[i_axis] = ins[2].copy()
+            elif ch == "d":
+                outs[i_axis] = -ins[2]
+    return outs[0], outs[1], outs[2]
+
+
+class Transform:
+    """Compiled (src, dst) transform. Call with float64 arrays.
+
+    ``degrees=True`` treats latlong-CRS coordinates as degrees on both
+    ends (the cs2cs text boundary, src/cs2cs.c:138-141); internally
+    everything is radians, matching the reference.
+    """
+
+    def __init__(self, src, dst, grid_loader=None):
+        self.src = src if isinstance(src, CRS) else CRS(src)
+        self.dst = dst if isinstance(dst, CRS) else CRS(dst)
+        self._src_grids = None
+        self._dst_grids = None
+        self._grid_loader = grid_loader
+        if self.src.datum_type == PJD_GRIDSHIFT:
+            self._src_grids = gridlist_from_nadgrids(self.src.nadgrids, grid_loader)
+        if self.dst.datum_type == PJD_GRIDSHIFT:
+            self._dst_grids = gridlist_from_nadgrids(self.dst.nadgrids, grid_loader)
+
+    # -- datum step (src/pj_transform.c:602-720) ------------------------
+    def _datum_transform(self, x, y, z):
+        src, dst = self.src, self.dst
+        if src.datum_type == PJD_UNKNOWN or dst.datum_type == PJD_UNKNOWN:
+            return x, y, z
+        if src.same_datum(dst):
+            return x, y, z
+
+        src_a, src_es = src.a_orig, src.es_orig
+        dst_a, dst_es = dst.a_orig, dst.es_orig
+
+        if src.datum_type == PJD_GRIDSHIFT:
+            x, y = apply_gridshift(self._src_grids, False, x, y)
+            src_a = SRS_WGS84_SEMIMAJOR
+            src_es = SRS_WGS84_ESQUARED
+        if dst.datum_type == PJD_GRIDSHIFT:
+            dst_a = SRS_WGS84_SEMIMAJOR
+            dst_es = SRS_WGS84_ESQUARED
+
+        if (src_es != dst_es or src_a != dst_a
+                or src.datum_type in (PJD_3PARAM, PJD_7PARAM)
+                or dst.datum_type in (PJD_3PARAM, PJD_7PARAM)):
+            x, y, z = geodetic_to_geocentric(src_a, src_es, x, y, z)
+            if src.datum_type in (PJD_3PARAM, PJD_7PARAM):
+                x, y, z = helmert_to_wgs84(
+                    src.datum_params, x, y, z, src.datum_type == PJD_7PARAM)
+            if dst.datum_type in (PJD_3PARAM, PJD_7PARAM):
+                x, y, z = helmert_from_wgs84(
+                    dst.datum_params, x, y, z, dst.datum_type == PJD_7PARAM)
+            x, y, z = geocentric_to_geodetic(dst_a, dst_es, x, y, z)
+
+        if dst.datum_type == PJD_GRIDSHIFT:
+            x, y = apply_gridshift(self._dst_grids, True, x, y)
+        return x, y, z
+
+    # -------------------------------------------------------------------
+    def __call__(self, x, y, z=None, degrees=True):
+        src, dst = self.src, self.dst
+        x = np.asarray(x, dtype=np.float64).copy()
+        y = np.asarray(y, dtype=np.float64).copy()
+        z = (np.zeros_like(x) if z is None
+             else np.asarray(z, dtype=np.float64).copy())
+
+        if degrees and src.is_latlong:
+            x *= DEG_TO_RAD
+            y *= DEG_TO_RAD
+
+        # 1. axis normalization
+        if src.axis != "enu":
+            x, y, z = _adjust_axis(src.axis, False, x, y, z)
+        # 2. vertical units
+        if src.vto_meter != 1.0:
+            z = z * src.vto_meter
+        # 3. to geodetic
+        if src.is_geocent:
+            if src.to_meter != 1.0:
+                ok = np.isfinite(x)
+                x = np.where(ok, x * src.to_meter, x)
+                y = np.where(ok, y * src.to_meter, y)
+            x, y, z = geocentric_to_geodetic(src.a_orig, src.es_orig, x, y, z)
+        elif not src.is_latlong:
+            x, y = generic_inv(src, x, y)
+        # 4. + src prime meridian
+        if src.from_greenwich != 0.0:
+            x = np.where(np.isfinite(x), x + src.from_greenwich, x)
+        # 6. datum transform
+        x, y, z = self._datum_transform(x, y, z)
+        # 8. - dst prime meridian
+        if dst.from_greenwich != 0.0:
+            x = np.where(np.isfinite(x), x - dst.from_greenwich, x)
+        # 9. to destination
+        if dst.is_geocent:
+            x, y, z = geodetic_to_geocentric(dst.a_orig, dst.es_orig, x, y, z)
+            if dst.fr_meter != 1.0:
+                ok = np.isfinite(x)
+                x = np.where(ok, x * dst.fr_meter, x)
+                y = np.where(ok, y * dst.fr_meter, y)
+        elif not dst.is_latlong:
+            x, y = generic_fwd(dst, x, y)
+        elif dst.is_long_wrap_set:
+            # 10. lon_wrap recentering (src/pj_transform.c:332-344)
+            ok = np.isfinite(x)
+            c = dst.long_wrap_center
+            xv = x[ok]
+            xv = xv + TWOPI * np.ceil(np.maximum(0.0, (c - PI - xv)) / TWOPI)
+            xv = xv - TWOPI * np.ceil(np.maximum(0.0, (xv - (c + PI))) / TWOPI)
+            x[ok] = xv
+        # 11. vertical units back
+        if dst.vto_meter != 1.0:
+            z = z * dst.vfr_meter
+        # 12. axis denormalization
+        if dst.axis != "enu":
+            x, y, z = _adjust_axis(dst.axis, True, x, y, z)
+
+        if degrees and dst.is_latlong:
+            ok = np.isfinite(x) & np.isfinite(y)
+            x = np.where(ok, x * RAD_TO_DEG, HUGE)
+            y = np.where(ok, y * RAD_TO_DEG, HUGE)
+        return x, y, z
+
+
+def make_transform(src_def: str, dst_def: str, grid_loader=None) -> Transform:
+    """Compile a transform once at driver time; the result is picklable and
+    cheap to broadcast into map_batches workers."""
+    return Transform(src_def, dst_def, grid_loader=grid_loader)

@@ -1,0 +1,232 @@
+"""Unit tests for pure NumPy kernels (no Ray): math helpers, grids,
+tiling, point-in-polygon, geodesics."""
+
+import numpy as np
+
+from proj_ray.kernels import common as C
+from proj_ray.kernels import geodesic as G
+from proj_ray.kernels import pip as P
+from proj_ray.kernels import tiling as T
+from proj_ray.kernels.grid import (
+    ShiftGrid,
+    apply_gridshift,
+    gridlist_from_nadgrids,
+    nad_cvt,
+    read_ctable2,
+    write_ctable2,
+)
+
+
+def test_adjlon():
+    assert C.adjlon(np.array([0.0]))[0] == 0.0
+    np.testing.assert_allclose(C.adjlon(np.array([3 * np.pi]))[0], -np.pi, atol=1e-12)
+    np.testing.assert_allclose(C.adjlon(np.array([-3.5 * np.pi]))[0], 0.5 * np.pi, atol=1e-12)
+    # within the truncated SPI fast path: untouched
+    v = 3.14159265358
+    assert C.adjlon(np.array([v]))[0] == v
+
+
+def test_phi2_inverts_tsfn():
+    e = 0.081819190842622  # WGS84
+    phi = np.linspace(-1.4, 1.4, 101)
+    ts = C.tsfn(phi, np.sin(phi), e)
+    back = C.phi2(ts, e)
+    np.testing.assert_allclose(back, phi, atol=2e-10)
+
+
+def test_mlfn_roundtrip():
+    es = 0.0066943799901413165
+    en = C.enfn(es)
+    phi = np.linspace(-1.5, 1.5, 101)
+    ml = C.mlfn(phi, np.sin(phi), np.cos(phi), en)
+    back = C.inv_mlfn(ml, es, en)
+    np.testing.assert_allclose(back, phi, atol=1e-10)
+
+
+def _synth_grid(grid_id="SYNTH_A", ll=(-80.0, 37.0), delta=0.25, n=(25, 17), amp=1e-5):
+    """FIXTURES.md §3: smooth deterministic shift field, radians."""
+    d2r = np.pi / 180.0
+    nlam, nphi = n
+    jj, ii = np.meshgrid(np.arange(nphi), np.arange(nlam), indexing="ij")
+    cvs = np.empty((nphi, nlam, 2), dtype=np.float32)
+    cvs[..., 0] = amp * np.sin(ii * 0.3) * np.cos(jj * 0.2)
+    cvs[..., 1] = amp * np.cos(ii * 0.25) * np.sin(jj * 0.15)
+    return ShiftGrid(grid_id, (ll[0] * d2r, ll[1] * d2r), (delta * d2r, delta * d2r),
+                     (nlam, nphi), cvs)
+
+
+def test_grid_forward_inverse_roundtrip():
+    g = _synth_grid()
+    d2r = np.pi / 180.0
+    rng = np.random.default_rng(7)
+    lam = rng.uniform(-79.5, -75.0, 500) * d2r
+    phi = rng.uniform(37.5, 40.5, 500) * d2r
+    fl, fp = nad_cvt(lam, phi, g, inverse=False)
+    assert np.isfinite(fl).all()
+    bl, bp = nad_cvt(fl, fp, g, inverse=True)
+    # inverse converges to 1e-12 rad (src/nad_cvt.c:3-4)
+    np.testing.assert_allclose(bl, lam, atol=1e-11)
+    np.testing.assert_allclose(bp, phi, atol=1e-11)
+
+
+def test_grid_first_match_priority_and_optional():
+    d2r = np.pi / 180.0
+    g1 = _synth_grid("A", ll=(-80.0, 37.0), amp=1e-5)
+    g2 = _synth_grid("B", ll=(-80.0, 37.0), amp=5e-5)
+    lam = np.array([-78.0 * d2r])
+    phi = np.array([38.0 * d2r])
+    l12, _ = apply_gridshift([g1, g2], False, lam, phi)
+    l21, _ = apply_gridshift([g2, g1], False, lam, phi)
+    l1, _ = apply_gridshift([g1], False, lam, phi)
+    l2, _ = apply_gridshift([g2], False, lam, phi)
+    assert l12[0] == l1[0] and l21[0] == l2[0] and l1[0] != l2[0]
+    # point outside all grids passes through unshifted
+    lam_out = np.array([100.0 * d2r])
+    lo, _ = apply_gridshift([g1, g2], False, lam_out, np.array([0.0]))
+    assert lo[0] == lam_out[0]
+    # @optional missing grid skipped; missing required raises
+    gl = gridlist_from_nadgrids("@missing,null", loader=lambda name: None)
+    assert len(gl) == 1 and gl[0].id == "null"
+    try:
+        gridlist_from_nadgrids("missing", loader=lambda name: None)
+        assert False, "expected FileNotFoundError"
+    except FileNotFoundError:
+        pass
+
+
+def test_grid_subgrid_descent():
+    d2r = np.pi / 180.0
+    parent = _synth_grid("P", ll=(-80.0, 37.0), delta=0.25, amp=1e-5)
+    child = _synth_grid("C", ll=(-79.0, 38.0), delta=0.05, n=(21, 21), amp=3e-5)
+    parent.children = [child]
+    inside_child = (np.array([-78.7 * d2r]), np.array([38.3 * d2r]))
+    outside_child = (np.array([-76.0 * d2r]), np.array([37.5 * d2r]))
+    lc, _ = apply_gridshift([parent], False, *inside_child)
+    lc_only, _ = apply_gridshift([child], False, *inside_child)
+    assert lc[0] == lc_only[0]
+    lp, _ = apply_gridshift([parent], False, *outside_child)
+    pno = ShiftGrid("P", parent.ll, parent.delta, parent.lim, parent.cvs)
+    lp_only, _ = apply_gridshift([pno], False, *outside_child)
+    assert lp[0] == lp_only[0]
+
+
+def test_ctable2_roundtrip(tmp_path):
+    g = _synth_grid()
+    path = str(tmp_path / "synth.ct2")
+    write_ctable2(path, g)
+    g2 = read_ctable2(path)
+    assert g2.id == g.id and g2.lim == g.lim
+    np.testing.assert_array_equal(g2.cvs, g.cvs)
+
+
+def test_null_grid_noop():
+    g = ShiftGrid.null_grid()
+    lam = np.array([0.5, -2.0])
+    phi = np.array([0.3, 1.0])
+    lo, po = apply_gridshift([g], False, lam, phi)
+    np.testing.assert_array_equal(lo, lam)
+    np.testing.assert_array_equal(po, phi)
+
+
+def test_tiling_basics():
+    # zoom 1: quadrants
+    cid = T.cell_id(np.array([-90.0, 90.0, -90.0, 90.0]),
+                    np.array([45.0, 45.0, -45.0, -45.0]), 1)
+    assert list(cid) == [0, 1, 2, 3]
+    # determinism + parent nesting
+    rng = np.random.default_rng(3)
+    lon = rng.uniform(-180, 180, 1000)
+    lat = rng.uniform(-85, 85, 1000)
+    c10 = T.cell_id(lon, lat, 10)
+    c7 = T.cell_id(lon, lat, 7)
+    np.testing.assert_array_equal(T.parent_cell(c10, 10, 7), c7)
+    # bounds contain their points
+    lon_min, lat_min, lon_max, lat_max = T.cell_bounds(c10, 10)
+    assert ((lon >= lon_min - 1e-9) & (lon <= lon_max + 1e-9)).all()
+    assert ((lat >= lat_min - 1e-6) & (lat <= lat_max + 1e-6)).all()
+    # invalid points
+    assert T.cell_id(np.array([0.0]), np.array([89.0]), 5)[0] == -1
+
+
+def test_neighbor_cells():
+    c = T.cell_id(np.array([0.5]), np.array([0.5]), 5)
+    nb = T.neighbor_cells(c, 5, ring=1)
+    assert nb.shape == (1, 9)
+    assert c[0] in nb[0]
+    assert len(set(nb[0].tolist())) == 9
+
+
+def test_pip_square_and_concave():
+    sq = P.Polygon("sq", [(0, 0), (10, 0), (10, 10), (0, 10)])
+    px = np.array([5.0, 15.0, -1.0, 9.999])
+    py = np.array([5.0, 5.0, 5.0, 9.999])
+    np.testing.assert_array_equal(sq.contains(px, py), [True, False, False, True])
+    # concave (C-shape)
+    cc = P.Polygon("cc", [(0, 0), (10, 0), (10, 10), (0, 10), (0, 7), (7, 7), (7, 3), (0, 3)])
+    assert not cc.contains(np.array([3.0]), np.array([5.0]))[0]  # in the notch
+    assert cc.contains(np.array([8.5]), np.array([5.0]))[0]
+    # first-match join
+    a = P.Polygon("a", [(0, 0), (4, 0), (4, 4), (0, 4)])
+    b = P.Polygon("b", [(2, 2), (8, 2), (8, 8), (2, 8)])
+    idx = P.pip_join([a, b], np.array([3.0, 5.0, 9.0]), np.array([3.0, 5.0, 9.0]))
+    assert list(idx) == [0, 1, -1]
+    pts, pls = P.pip_join_all([a, b], np.array([3.0, 5.0, 9.0]), np.array([3.0, 5.0, 9.0]))
+    assert set(zip(pts.tolist(), pls.tolist())) == {(0, 0), (0, 1), (1, 1)}
+
+
+def test_pip_matches_scalar_oracle():
+    """Engine PIP vs an independent scalar even-odd implementation —
+    the north rule's exact-join-rows check in miniature."""
+    ring = [(0, 0), (6, 1), (10, 5), (5, 9), (1, 6)]
+    poly = P.Polygon("p", ring)
+    rng = np.random.default_rng(11)
+    px = rng.uniform(-2, 12, 2000)
+    py = rng.uniform(-2, 12, 2000)
+
+    def scalar_pnpoly(x, y):
+        inside = False
+        j = len(ring) - 1
+        for i in range(len(ring)):
+            xi, yi = ring[i]
+            xj, yj = ring[j]
+            if (yi > y) != (yj > y):
+                if x < (xj - xi) * (y - yi) / (yj - yi) + xi:
+                    inside = not inside
+            j = i
+        return inside
+
+    expected = np.array([scalar_pnpoly(x, y) for x, y in zip(px, py)])
+    np.testing.assert_array_equal(poly.contains(px, py), expected)
+
+
+def test_geodesic():
+    # along the equator the geodesic is the equator: s = a * dlon
+    s, a1, a2, ok = G.geod_inverse(np.array([0.0]), np.array([0.0]),
+                                   np.array([1.0]), np.array([0.0]))
+    np.testing.assert_allclose(s[0], 6378137.0 * np.pi / 180.0, atol=1e-3)
+    assert ok[0] and abs(a1[0] - 90.0) < 1e-9
+    # coincident
+    s0, _, _, _ = G.geod_inverse(np.array([5.0]), np.array([5.0]),
+                                 np.array([5.0]), np.array([5.0]))
+    assert s0[0] == 0.0
+    # direct o inverse ~ id
+    rng = np.random.default_rng(5)
+    lon1 = rng.uniform(-170, 170, 50)
+    lat1 = rng.uniform(-80, 80, 50)
+    lon2 = lon1 + rng.uniform(-5, 5, 50)
+    lat2 = lat1 + rng.uniform(-5, 5, 50)
+    s, azi1, _, ok = G.geod_inverse(lon1, lat1, lon2, lat2)
+    assert ok.all()
+    lo, la, _ = G.geod_direct(lon1, lat1, azi1, s)
+    np.testing.assert_allclose(lo, lon2, atol=1e-8)
+    np.testing.assert_allclose(la, lat2, atol=1e-8)
+    # haversine sanity: within 0.6% of ellipsoidal for mid-latitudes
+    h = G.haversine(lon1, lat1, lon2, lat2)
+    assert (np.abs(h - s) / np.maximum(s, 1.0) < 0.006).all()
+
+
+def test_geod_line_interpolation():
+    lons, lats = G.interpolate_line(np.array([0.0]), np.array([0.0]),
+                                    np.array([10.0]), np.array([0.0]), 5)
+    np.testing.assert_allclose(lons[0], [0.0, 2.5, 5.0, 7.5, 10.0], atol=1e-6)
+    np.testing.assert_allclose(lats[0], 0.0, atol=1e-9)
