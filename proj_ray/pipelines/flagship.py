@@ -1,0 +1,83 @@
+"""The flagship pipeline: the full north-star DAG.
+
+lineitem keys -> synth Common-Crawl-style pages (url, warc_ts, html,
+text-with-coordinate-mentions, lang) -> geoparse (RE2 extract) ->
+reproject WGS84 -> Web Mercator (fused 14-step transform) -> tile
+assign (zoom 12) -> PIP join against broadcast polygon buckets ->
+per-cell aggregate (partial combine, then tiny groupby).
+
+Streaming end-to-end: no take_all/to_pandas/materialize on the big
+stream; the only materialized result is the final per-cell aggregate
+(bounded by cell count). The wide ``html`` column is dropped right
+after synthesis (select_columns) so the point pipeline never ships it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..sources import read_table
+from ..stages.geoparse import GeoparseStage, synth_pages_batch
+from ..stages.tile_stage import tile_stage
+from ..stages.pip_stage import PIPJoinActor
+from ..stages.transform_stage import transform_points_stage
+from .derive import pid_numpy
+
+# fixed AOI polygon set (FIXTURES.md §4 shapes: convex, concave, overlapping)
+FLAGSHIP_POLYGONS = [
+    ("na_box", [(-130.0, 25.0), (-60.0, 25.0), (-60.0, 55.0), (-130.0, 55.0)]),
+    ("eu_blob", [(-10.0, 36.0), (25.0, 36.0), (32.0, 48.0), (15.0, 60.0), (-5.0, 55.0)]),
+    ("concave_c", [(60.0, -20.0), (100.0, -20.0), (100.0, 20.0), (60.0, 20.0),
+                   (60.0, 10.0), (90.0, 10.0), (90.0, -10.0), (60.0, -10.0)]),
+    ("overlap_eu", [(0.0, 40.0), (20.0, 40.0), (20.0, 52.0), (0.0, 52.0)]),
+    ("south_band", [(-170.0, -60.0), (170.0, -60.0), (170.0, -35.0), (-170.0, -35.0)]),
+]
+
+
+def pages_dataset(sf_dir: str, batch_size: int = 65536):
+    """lineitem keys -> pages table (volume source for the web-scale shape)."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
+
+    def mk(batch: pa.Table) -> pa.Table:
+        pid = pid_numpy(batch["l_orderkey"].to_numpy(zero_copy_only=False),
+                        batch["l_linenumber"].to_numpy(zero_copy_only=False))
+        return synth_pages_batch(pa.table({"pid": pa.array(pid, pa.int64())}), "pid")
+
+    return ds.map_batches(mk, batch_format="pyarrow", batch_size=batch_size,
+                          zero_copy_batch=True)
+
+
+def flagship_pipeline(sf_dir: str, zoom: int = 12, agg_zoom: int = 4,
+                      batch_size: int = 65536):
+    """Returns the per-(cell, polygon) aggregate Dataset."""
+    pages = pages_dataset(sf_dir, batch_size=batch_size)
+    # drop the wide html column before the point pipeline (prune early)
+    pages = pages.select_columns(["pid", "url", "text"])
+    points = pages.map_batches(GeoparseStage, batch_format="pyarrow",
+                               batch_size=batch_size, concurrency=(1, 8))
+    merc = transform_points_stage(points, "+init=epsg:4326", "+init=epsg:3857",
+                                  lon_col="lon", lat_col="lat",
+                                  out_x="xm", out_y="ym", batch_size=batch_size)
+    tiled = tile_stage(merc, zoom, out="cell_id")
+    joined = tiled.map_batches(
+        PIPJoinActor,
+        fn_constructor_kwargs=dict(poly_defs=FLAGSHIP_POLYGONS, zoom=5,
+                                   id_cols=("pid", "cell_id")),
+        batch_format="pyarrow", batch_size=batch_size, concurrency=(1, 8))
+
+    from ..kernels.tiling import parent_cell
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df["parent_cell"] = parent_cell(df["cell_id"].to_numpy(), zoom, agg_zoom)
+        return df.groupby(["parent_cell", "polygon_id"], as_index=False).agg(
+            n_points=("pid", "size"), min_pid=("pid", "min"))
+
+    partials = joined.map_batches(partial, batch_format="pandas", batch_size=262144)
+    from ray.data.aggregate import Min, Sum
+
+    return partials.groupby(["parent_cell", "polygon_id"]).aggregate(
+        Sum("n_points", alias_name="n_points"),
+        Min("min_pid", alias_name="min_pid"),
+    )

@@ -1,0 +1,31 @@
+"""Ray Data pipeline stages: thin factories that compose the pure NumPy
+kernels into ``Dataset.map_batches`` transforms.
+
+Design rules (SURVEY.md §7.2):
+- stateless numeric transforms = plain functions over zero-copy Arrow
+  batches (``batch_format="pyarrow"``)
+- stages with load-once state (shift grids, polygon buckets, query
+  matrices) = callable classes run as actor pools; state built in
+  ``__init__`` once per actor, not per batch
+- the whole projection+datum pipeline is ONE fused UDF per batch —
+  never one Ray stage per step (the steps are microseconds)
+"""
+
+from .transform_stage import TransformStage, transform_points_stage
+from .geoparse import GeoparseStage, synth_pages_stage
+from .tile_stage import tile_stage
+from .pip_stage import PIPJoinActor, make_polygons
+from .knn_stage import knn_topk
+from .agg import partial_group_sums
+
+__all__ = [
+    "TransformStage",
+    "transform_points_stage",
+    "GeoparseStage",
+    "synth_pages_stage",
+    "tile_stage",
+    "PIPJoinActor",
+    "make_polygons",
+    "knn_topk",
+    "partial_group_sums",
+]
