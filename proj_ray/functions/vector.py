@@ -59,9 +59,9 @@ def ann_cosine_topk(ds, queries: np.ndarray, k=10, id_col="vec_id",
 
     cand = ds.map_batches(part, batch_format="pyarrow", batch_size=batch_size,
                           zero_copy_batch=True)
-    tb = pa.Table.from_batches(
-        list(cand.iter_batches(batch_size=1 << 20, batch_format="pyarrow")),
-        schema=pa.schema([("qj", pa.int64()), ("vec_id", pa.int64()), ("sim", pa.float64())]))
+    chunks = list(cand.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    schema = pa.schema([("qj", pa.int64()), ("vec_id", pa.int64()), ("sim", pa.float64())])
+    tb = pa.concat_tables(chunks) if chunks else schema.empty_table()
     qj = tb["qj"].to_numpy()
     ids = tb["vec_id"].to_numpy()
     sims = tb["sim"].to_numpy()

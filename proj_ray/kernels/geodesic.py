@@ -167,3 +167,41 @@ def interpolate_line(lon1, lat1, lon2, lat2, n_points: int):
         lons[:, k] = lo
         lats[:, k] = la
     return lons, lats
+
+
+def slerp_line(lon1, lat1, lon2, lat2, n_points: int):
+    """Spherical great-circle interpolation (slerp) — the SQL-expressible
+    counterpart of ``interpolate_line`` (geod -l line mode,
+    src/geod.c:34-57): expands each pair into n_points rows.
+
+    Returns (k, lon, lat) arrays of shape (N, n_points), degrees. The op
+    sequence is kept trivially mirrorable in SQL (sin/cos/acos/atan2).
+    """
+    d2r = np.pi / 180.0
+    r2d = 57.29577951308232
+    lo1 = np.asarray(lon1, dtype=np.float64) * d2r
+    la1 = np.asarray(lat1, dtype=np.float64) * d2r
+    lo2 = np.asarray(lon2, dtype=np.float64) * d2r
+    la2 = np.asarray(lat2, dtype=np.float64) * d2r
+    x1 = np.cos(la1) * np.cos(lo1)
+    y1 = np.cos(la1) * np.sin(lo1)
+    z1 = np.sin(la1)
+    x2 = np.cos(la2) * np.cos(lo2)
+    y2 = np.cos(la2) * np.sin(lo2)
+    z2 = np.sin(la2)
+    dot = x1 * x2 + y1 * y2 + z1 * z2
+    omega = np.arccos(np.minimum(np.maximum(dot, -1.0), 1.0))
+    sino = np.sin(omega)
+    lons = np.empty((lo1.size, n_points))
+    lats = np.empty_like(lons)
+    for k in range(n_points):
+        f = k * (1.0 / (n_points - 1))
+        safe = sino != 0.0
+        a = np.where(safe, np.sin((1.0 - f) * omega) / np.where(safe, sino, 1.0), 1.0 - f)
+        b = np.where(safe, np.sin(f * omega) / np.where(safe, sino, 1.0), f)
+        vx = a * x1 + b * x2
+        vy = a * y1 + b * y2
+        vz = a * z1 + b * z2
+        lons[:, k] = np.arctan2(vy, vx) * r2d
+        lats[:, k] = np.arctan2(vz, np.sqrt(vx * vx + vy * vy)) * r2d
+    return lons, lats

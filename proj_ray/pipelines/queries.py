@@ -539,3 +539,846 @@ def points_geocent(sf_dir):
                          "gz": pa.array(Z)})
 
     return pts.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ===========================================================================
+# Geospatial part 2: Helmert, inverse webmerc, tiling, PIP join, kNN,
+# haversine, synthetic grid shift, pm/axis/units, geoparse extraction
+# ===========================================================================
+
+from ..kernels.tiling import cell_id as _cell_id, cell_xy as _cell_xy, parent_cell as _parent  # noqa: E402
+from ..kernels.geodesic import MEAN_RADIUS, haversine as _haversine  # noqa: E402
+from ..stages.geoparse import GeoparseStage, synth_pages_batch  # noqa: E402
+from ..stages.knn_stage import knn_topk  # noqa: E402
+from ..stages.pip_stage import PIPJoinActor  # noqa: E402
+from .flagship import FLAGSHIP_POLYGONS  # noqa: E402
+
+
+# -- 7-param Helmert on geocentric XYZ (linear => bitwise exact) -----------
+
+def _helmert_sql():
+    from ..crs import CRS
+
+    dp = CRS("+proj=latlong +datum=potsdam").datum_params  # pre-scaled (rad, 1+ppm)
+    X = f"(CAST(({PID_SQL}) * 31 % 2000000 - 1000000 AS DOUBLE) + 6378137.0e0)"
+    Y = f"CAST(({PID_SQL}) * 37 % 2000000 - 1000000 AS DOUBLE)"
+    Z = f"CAST(({PID_SQL}) * 41 % 2000000 - 1000000 AS DOUBLE)"
+    return f"""
+    WITH xyz AS (SELECT {PID_SQL} AS pid, {X} AS X, {Y} AS Y, {Z} AS Z FROM lineitem)
+    SELECT pid,
+      {_R(dp[6])} * (X - {_R(dp[5])} * Y + {_R(dp[4])} * Z) + {_R(dp[0])} AS hx,
+      {_R(dp[6])} * ({_R(dp[5])} * X + Y - {_R(dp[3])} * Z) + {_R(dp[1])} AS hy,
+      {_R(dp[6])} * (-{_R(dp[4])} * X + {_R(dp[3])} * Y + Z) + {_R(dp[2])} AS hz
+    FROM xyz
+    """
+
+
+@query("helmert7_xyz", sql=_helmert_sql())
+def helmert7_xyz(sf_dir):
+    """Position-vector 7-param Helmert toward WGS84 on derived XYZ
+    (src/pj_transform.c:502-543). Linear => full-precision bitwise."""
+    from ..crs import CRS
+    from ..kernels.geocent import helmert_to_wgs84
+
+    dp = CRS("+proj=latlong +datum=potsdam").datum_params
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        pid = pid_numpy(t["l_orderkey"].to_numpy(zero_copy_only=False),
+                        t["l_linenumber"].to_numpy(zero_copy_only=False))
+        X = (pid * 31 % 2000000 - 1000000).astype(np.float64) + 6378137.0
+        Y = (pid * 37 % 2000000 - 1000000).astype(np.float64)
+        Z = (pid * 41 % 2000000 - 1000000).astype(np.float64)
+        hx, hy, hz = helmert_to_wgs84(dp, X, Y, Z, seven=True)
+        return pa.table({"pid": pa.array(pid, pa.int64()), "hx": pa.array(hx),
+                         "hy": pa.array(hy), "hz": pa.array(hz)})
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=131072,
+                          zero_copy_batch=True)
+
+
+# -- inverse Web Mercator ---------------------------------------------------
+
+ROUND6_SQL = "floor(({e}) * 1.0e6 + 0.5) / 1.0e6"
+
+
+def _r6(x):
+    return np.floor(x * 1.0e6 + 0.5) / 1.0e6
+
+
+def _webmerc_inv_sql():
+    ra = 1.0 / 6378137.0
+    XM = f"CAST((({PID_SQL}) * {LON_MUL}) % 36000 - 18000 AS DOUBLE) * 1.0e3"
+    YM = f"CAST((({PID_SQL}) * {LAT_MUL}) % 16000 - 8000 AS DOUBLE) * 1.0e3"
+    return f"""
+    WITH m AS (SELECT {PID_SQL} AS pid, {XM} AS xm, {YM} AS ym FROM lineitem)
+    SELECT pid,
+      {ROUND6_SQL.format(e=f"(xm * {_R(ra)}) * {_R(RAD_TO_DEG)}")} AS lon,
+      {ROUND6_SQL.format(e=f"({_R(HALFPI)} - 2.0 * atan(exp(-(ym * {_R(ra)})))) * {_R(RAD_TO_DEG)}")} AS lat
+    FROM m
+    """
+
+
+@query("webmerc_inverse", sql=_webmerc_inv_sql())
+def webmerc_inverse(sf_dir):
+    """EPSG:3857 meters -> WGS84 degrees through the fused inverse
+    pipeline (incl. the epsg:3857 @null-grid datum branch)."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        pid = pid_numpy(t["l_orderkey"].to_numpy(zero_copy_only=False),
+                        t["l_linenumber"].to_numpy(zero_copy_only=False))
+        xm = (pid * LON_MUL % 36000 - 18000).astype(np.float64) * 1.0e3
+        ym = (pid * LAT_MUL % 16000 - 8000).astype(np.float64) * 1.0e3
+        return pa.table({"pid": pa.array(pid, pa.int64()),
+                         "xm": pa.array(xm), "ym": pa.array(ym)})
+
+    pts = ds.map_batches(mk, batch_format="pyarrow", batch_size=131072,
+                         zero_copy_batch=True)
+    out = transform_points_stage(pts, "+init=epsg:3857", "+init=epsg:4326",
+                                 lon_col="xm", lat_col="ym",
+                                 out_x="lon", out_y="lat")
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({"pid": t["pid"],
+                         "lon": pa.array(_r6(t["lon"].to_numpy(zero_copy_only=False))),
+                         "lat": pa.array(_r6(t["lat"].to_numpy(zero_copy_only=False)))})
+
+    return out.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# -- tile assignment + per-tile aggregate ----------------------------------
+
+_TILE_ZOOM = 12
+
+
+def _tile_sql_exprs(zoom):
+    n = float(1 << zoom)
+    pi = float(np.pi)
+    u = "((lon + 180.0) / 360.0)"
+    latr = f"(lat * {_R(pi / 180.0)})"
+    v = f"((1.0 - ln(tan({_R(pi / 4.0)} + {latr} / 2.0)) / {_R(pi)}) / 2.0)"
+    tx = f"CAST(least(greatest(floor({u} * {_R(n)}), 0.0), {_R(n - 1)}) AS BIGINT)"
+    ty = f"CAST(least(greatest(floor({v} * {_R(n)}), 0.0), {_R(n - 1)}) AS BIGINT)"
+    return tx, ty
+
+
+def _tile_assign_sql():
+    tx, ty = _tile_sql_exprs(_TILE_ZOOM)
+    return f"""
+    WITH {_POINTS_CTE}
+    SELECT pid, {tx} AS tile_x, {ty} AS tile_y,
+           {ty} * {1 << _TILE_ZOOM} + {tx} AS cell_id
+    FROM points
+    """
+
+
+@query("tile_assign", sql=_tile_assign_sql())
+def tile_assign(sf_dir):
+    """Integer-exact web-mercator quadtree cells at zoom 12 (documented
+    half-open edge convention; see kernels.tiling)."""
+    pts = _points_ds(sf_dir)
+    from ..stages.tile_stage import tile_stage
+
+    out = tile_stage(pts, _TILE_ZOOM, out="cell_id", with_xy=True)
+    return out.select_columns(["pid", "tile_x", "tile_y", "cell_id"])
+
+
+def _tile_agg_sql():
+    tx, ty = _tile_sql_exprs(_TILE_ZOOM)
+    d = _TILE_ZOOM - 4
+    return f"""
+    WITH {_POINTS_CTE},
+    cells AS (
+      SELECT pid, ({ty} // {1 << d}) * {1 << 4} + ({tx} // {1 << d}) AS parent_cell,
+             ((pid) * {LON_MUL}) % 36000 - 18000 AS lon_centi
+      FROM points
+    )
+    SELECT parent_cell, COUNT(*) AS n_points, SUM(lon_centi) AS sum_lon_centi,
+           MIN(pid) AS min_pid
+    FROM cells GROUP BY parent_cell
+    """
+
+
+@query("tile_agg", sql=_tile_agg_sql())
+def tile_agg(sf_dir):
+    """Per-tile aggregate at zoom 4 via partial combine + small groupby
+    (the skew-safe two-phase shape; dense cells pre-reduced per batch)."""
+    pts = _points_ds(sf_dir)
+    from ..stages.tile_stage import tile_stage
+
+    tiled = tile_stage(pts, _TILE_ZOOM, out="cell_id")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pid = df["pid"].to_numpy()
+        df = pd.DataFrame({
+            "parent_cell": _parent(df["cell_id"].to_numpy(), _TILE_ZOOM, 4),
+            "n_points": 1,
+            "sum_lon_centi": pid * LON_MUL % 36000 - 18000,
+            "min_pid": pid,
+        })
+        return df.groupby("parent_cell", as_index=False).agg(
+            n_points=("n_points", "sum"), sum_lon_centi=("sum_lon_centi", "sum"),
+            min_pid=("min_pid", "min"))
+
+    partials = tiled.map_batches(partial, batch_format="pandas", batch_size=262144)
+    from ray.data.aggregate import Min, Sum
+
+    return partials.groupby("parent_cell").aggregate(
+        Sum("n_points", alias_name="n_points"),
+        Sum("sum_lon_centi", alias_name="sum_lon_centi"),
+        Min("min_pid", alias_name="min_pid"),
+    )
+
+
+# -- point-in-polygon join --------------------------------------------------
+
+def _pip_sql():
+    rows = []
+    for pid_, ring in FLAGSHIP_POLYGONS:
+        jj = len(ring) - 1
+        for i in range(len(ring)):
+            xi, yi = ring[i]
+            xj, yj = ring[jj]
+            rows.append(f"('{pid_}', {_R(xi)}, {_R(yi)}, {_R(xj)}, {_R(yj)})")
+            jj = i
+    edges = ",\n      ".join(rows)
+    return f"""
+    WITH {_POINTS_CTE},
+    dpoints AS (SELECT DISTINCT pid, lon, lat FROM points),
+    edges(polygon_id, xi, yi, xj, yj) AS (VALUES
+      {edges}
+    ),
+    crossings AS (
+      SELECT p.pid, e.polygon_id
+      FROM dpoints p JOIN edges e
+        ON ((e.yi > p.lat) != (e.yj > p.lat))
+       AND p.lon < (e.xj - e.xi) * (p.lat - e.yi) / (e.yj - e.yi) + e.xi
+    ),
+    inside AS (
+      SELECT pid, polygon_id FROM crossings
+      GROUP BY pid, polygon_id HAVING COUNT(*) % 2 = 1
+    )
+    -- join back so multiplicity matches the per-input-row engine output
+    -- (pid = orderkey*10+linenumber is not unique in the synthetic data)
+    SELECT p.pid, i.polygon_id FROM points p JOIN inside i USING (pid)
+    """
+
+
+@query("pip_join", sql=_pip_sql())
+def pip_join(sf_dir):
+    """Broadcast PIP join: cell-bucketed polygons in an actor pool,
+    even-odd ray casting per point (pnpoly semantics,
+    src/PJ_healpix.c:103-138). Exact rows (north rule)."""
+    pts = _points_ds(sf_dir)
+    joined = pts.map_batches(
+        PIPJoinActor,
+        fn_constructor_kwargs=dict(poly_defs=FLAGSHIP_POLYGONS, zoom=5,
+                                   id_cols=("pid",)),
+        batch_format="pyarrow", batch_size=131072, concurrency=(1, 4))
+    return joined
+
+
+# -- kNN --------------------------------------------------------------------
+
+_KNN_QUERIES = [(0, -100.0, 40.0), (1, 10.0, 50.0), (2, 140.0, -30.0), (3, 0.0, 0.0)]
+
+
+def _knn_sql():
+    vals = ", ".join(f"({q}, {_R(x)}, {_R(y)})" for q, x, y in _KNN_QUERIES)
+    return f"""
+    WITH {_POINTS_CTE},
+    qs(qid, qx, qy) AS (VALUES {vals}),
+    d AS (
+      SELECT q.qid, p.pid AS id,
+             (p.lon - q.qx) * (p.lon - q.qx) + (p.lat - q.qy) * (p.lat - q.qy) AS d2
+      FROM points p CROSS JOIN qs q
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d2, id) AS rank FROM d)
+    SELECT qid, id, rank, d2 FROM r WHERE rank <= 5
+    """
+
+
+@query("knn_points", sql=_knn_sql())
+def knn_points(sf_dir):
+    """Broadcast kNN: per-batch partial top-k then tiny final reduce —
+    no shuffle of the point stream. Deterministic (d2, id) tie-break."""
+    pts = _points_ds(sf_dir)
+    return knn_topk(pts, _KNN_QUERIES, k=5, id_col="pid")
+
+
+# -- haversine distances ----------------------------------------------------
+
+def _haversine_sql():
+    return f"""
+    WITH {_POINTS_CTE}
+    SELECT pid,
+      floor((2.0 * {_R(MEAN_RADIUS)} * asin(sqrt(least(
+        sin((lat * {_R(np.pi / 180.0)} - 0.0) * 0.5) * sin((lat * {_R(np.pi / 180.0)} - 0.0) * 0.5)
+        + cos(0.0) * cos(lat * {_R(np.pi / 180.0)})
+          * (sin((lon * {_R(np.pi / 180.0)} - 0.0) * 0.5) * sin((lon * {_R(np.pi / 180.0)} - 0.0) * 0.5)),
+        1.0)))) * 1.0e3 + 0.5) / 1.0e3 AS dist_m
+    FROM points
+    """
+
+
+@query("haversine_dist", sql=_haversine_sql())
+def haversine_dist(sf_dir):
+    """Great-circle distance to (0,0) (mm-rounded; the SQL-expressible
+    spherical variant of the Karney geod_inverse kernel)."""
+    pts = _points_ds(sf_dir)
+
+    def fn(t: pa.Table) -> pa.Table:
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        d = _haversine(lon, lat, np.zeros_like(lon), np.zeros_like(lat))
+        d = np.floor(d * 1.0e3 + 0.5) / 1.0e3
+        return pa.table({"pid": t["pid"], "dist_m": pa.array(d)})
+
+    return pts.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ===========================================================================
+# Geospatial part 3: synthetic datum-shift grid, prime meridian,
+# axis/units handling, geoparse extraction
+# ===========================================================================
+
+# Synthetic CTABLE grid (FIXTURES.md §3): node values are small-int
+# multiples of 2^-30 => exactly representable in BOTH float32 (engine
+# storage) and float64 (SQL), so bilinear results match bit-for-bit.
+_GRID_D2R = float(np.pi / 180.0)
+_GRID_SPEC = dict(
+    ll=(-30.0 * _GRID_D2R, 30.0 * _GRID_D2R),
+    delta=(0.5 * _GRID_D2R, 0.5 * _GRID_D2R),
+    lim=(121, 81),
+)
+_GRID_AMP = 2.0 ** -30
+
+
+def _grid_cvs():
+    nlam, nphi = _GRID_SPEC["lim"]
+    jj, ii = np.meshgrid(np.arange(nphi), np.arange(nlam), indexing="ij")
+    cvs = np.empty((nphi, nlam, 2), dtype=np.float32)
+    cvs[..., 0] = ((ii * 7 + jj * 13) % 101 - 50) * _GRID_AMP
+    cvs[..., 1] = ((ii * 11 + jj * 17) % 89 - 44) * _GRID_AMP
+    return cvs
+
+
+def _grid_loader(name):
+    from ..kernels.grid import ShiftGrid
+
+    if name == "synthA":
+        return ShiftGrid("synthA", _GRID_SPEC["ll"], _GRID_SPEC["delta"],
+                         _GRID_SPEC["lim"], _grid_cvs())
+    return None
+
+
+def _gridshift_sql():
+    from ..kernels.common import PI
+
+    ll_lam, ll_phi = _GRID_SPEC["ll"]
+    dl, dp = _GRID_SPEC["delta"]
+    lon_sql = lon_band_sql(PID_SQL, -2900, 5800)       # lon in [-29, 29)
+    lat_sql = f"(3100 + (({PID_SQL}) * {LAT_MUL}) %% 3800) / 1.0e2".replace("%%", "%")
+    vlam = "CAST((({i}) * 7 + ({j}) * 13) % 101 - 50 AS DOUBLE) * {amp}".replace("{amp}", _R(_GRID_AMP))
+    vphi = "CAST((({i}) * 11 + ({j}) * 17) % 89 - 44 AS DOUBLE) * {amp}".replace("{amp}", _R(_GRID_AMP))
+
+    def bil(v):
+        f00 = v.format(i="il", j="ip")
+        f10 = v.format(i="il + 1", j="ip")
+        f01 = v.format(i="il", j="ip + 1")
+        f11 = v.format(i="il + 1", j="ip + 1")
+        return (f"((1.0 - fl) * (1.0 - fp)) * ({f00}) + (fl * (1.0 - fp)) * ({f10}) "
+                f"+ ((1.0 - fl) * fp) * ({f01}) + (fl * fp) * ({f11})")
+
+    return f"""
+    WITH pts AS (
+      SELECT {PID_SQL} AS pid,
+             ({lon_sql}) * {DEG_TO_RAD_LIT} AS lam,
+             ({lat_sql}) * {DEG_TO_RAD_LIT} AS phi
+      FROM lineitem
+    ), tb AS (
+      SELECT pid, lam, phi,
+             ((lam - {_R(ll_lam)}) - {_R(PI)}) + {_R(PI)} AS tbl,
+             phi - {_R(ll_phi)} AS tbp
+      FROM pts
+    ), idx AS (
+      SELECT pid, lam, phi,
+             CAST(floor(tbl / {_R(dl)}) AS BIGINT) AS il,
+             CAST(floor(tbp / {_R(dp)}) AS BIGINT) AS ip,
+             tbl / {_R(dl)} - floor(tbl / {_R(dl)}) AS fl,
+             tbp / {_R(dp)} - floor(tbp / {_R(dp)}) AS fp
+      FROM tb
+    )
+    SELECT pid,
+      (lam - ({bil(vlam)})) * {_R(RAD_TO_DEG)} AS lon_shifted,
+      (phi + ({bil(vphi)})) * {_R(RAD_TO_DEG)} AS lat_shifted
+    FROM idx
+    """
+
+
+@query("grid_shift_fwd", sql=_gridshift_sql())
+def grid_shift_fwd(sf_dir):
+    """Forward datum grid shift through a synthetic CTABLE: ordered
+    first-match apply + bilinear interpolation (src/nad_intr.c:5-62,
+    src/nad_cvt.c:59-67). Full-precision bitwise vs the SQL bilinear."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        pid = pid_numpy(t["l_orderkey"].to_numpy(zero_copy_only=False),
+                        t["l_linenumber"].to_numpy(zero_copy_only=False))
+        lon = lon_band_numpy(pid, -2900, 5800)
+        lat = (3100 + pid * LAT_MUL % 3800) / 1.0e2
+        return pa.table({"pid": pa.array(pid, pa.int64()),
+                         "lon": pa.array(lon), "lat": pa.array(lat)})
+
+    pts = ds.map_batches(mk, batch_format="pyarrow", batch_size=131072,
+                         zero_copy_batch=True)
+    out = transform_points_stage(
+        pts, "+proj=latlong +nadgrids=synthA +ellps=WGS84",
+        "+proj=latlong +datum=WGS84",
+        out_x="lon_shifted", out_y="lat_shifted", grid_loader=_grid_loader)
+    return out.select_columns(["pid", "lon_shifted", "lat_shifted"])
+
+
+# -- prime meridian ---------------------------------------------------------
+
+def _pm_sql():
+    from ..crs import CRS
+
+    pm = CRS("+proj=latlong +datum=WGS84 +pm=paris").from_greenwich
+    return f"""
+    WITH {_POINTS_CTE}
+    SELECT pid,
+      ((lon * {DEG_TO_RAD_LIT}) - {_R(pm)}) * {_R(RAD_TO_DEG)} AS lon_paris,
+      (lat * {DEG_TO_RAD_LIT}) * {_R(RAD_TO_DEG)} AS lat_out
+    FROM points
+    """
+
+
+@query("pm_shift_paris", sql=_pm_sql())
+def pm_shift_paris(sf_dir):
+    """Prime-meridian handling (pj_datums.c:66-81 registry + the
+    from_greenwich step, src/pj_transform.c:253-260). Bitwise exact."""
+    pts = _points_ds(sf_dir)
+    out = transform_points_stage(pts, "+proj=latlong +datum=WGS84",
+                                 "+proj=latlong +datum=WGS84 +pm=paris",
+                                 out_x="lon_paris", out_y="lat_out")
+    return out.select_columns(["pid", "lon_paris", "lat_out"])
+
+
+# -- axis orientation + unit conversion -------------------------------------
+
+def _axis_units_sql():
+    from ..crs import CRS
+
+    P = CRS("+proj=merc +datum=WGS84 +units=km +axis=wsu")
+    fr = 1.0 / 1000.0
+    # ellipsoidal merc (es != 0): y = -k0 * ln(tsfn(phi)) (PJ_merc.c e_forward)
+    phi = f"(lat * {DEG_TO_RAD_LIT})"
+    tsfn = (f"tan(0.5 * ({_R(HALFPI)} - {phi})) / "
+            f"pow((1.0 - {_R(P.e)} * sin({phi})) / (1.0 + {_R(P.e)} * sin({phi})), {_R(0.5 * P.e)})")
+    y = f"-ln({tsfn})"
+    return f"""
+    WITH {_POINTS_CTE}
+    SELECT pid,
+      {ROUND6_SQL.format(e=f"-((6378137.0e0 * (lon * {DEG_TO_RAD_LIT}) + 0.0) * {_R(fr)})")} AS xw_km,
+      {ROUND6_SQL.format(e=f"-((6378137.0e0 * ({y}) + 0.0) * {_R(fr)})")} AS ys_km,
+      lat AS lat_in
+    FROM points
+    """
+
+
+@query("axis_units_km", sql=_axis_units_sql())
+def axis_units_km(sf_dir):
+    """+axis=wsu (denormalization, src/pj_transform.c:728-825) combined
+    with +units=km (fr_meter scaling, src/pj_init.c:556-571)."""
+    pts = _points_ds(sf_dir)
+    out = transform_points_stage(
+        pts, "+proj=latlong +datum=WGS84",
+        "+proj=merc +datum=WGS84 +units=km +axis=wsu",
+        out_x="xw_km", out_y="ys_km")
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({"pid": t["pid"],
+                         "xw_km": pa.array(_r6(t["xw_km"].to_numpy(zero_copy_only=False))),
+                         "ys_km": pa.array(_r6(t["ys_km"].to_numpy(zero_copy_only=False))),
+                         "lat_in": t["lat"]})
+
+    return out.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# -- geoparse extraction ----------------------------------------------------
+
+def _geoparse_sql():
+    lon_sql, lat_sql = lonlat_sql("doc_id")
+    return f"""
+    WITH pages AS (
+      SELECT doc_id AS pid,
+             'https://site' || (doc_id % 1000) || '.example/page/' || doc_id AS url,
+             text || ' Coordinates: (' || printf('%.2f', {lat_sql}) || ', '
+                  || printf('%.2f', {lon_sql}) || ')' AS t
+      FROM documents
+    )
+    SELECT pid, url,
+           CAST(regexp_extract(t, '\\((-?\\d+\\.\\d\\d), (-?\\d+\\.\\d\\d)\\)', 1) AS DOUBLE) AS lat,
+           CAST(regexp_extract(t, '\\((-?\\d+\\.\\d\\d), (-?\\d+\\.\\d\\d)\\)', 2) AS DOUBLE) AS lon
+    FROM pages
+    """
+
+
+@query("geoparse_extract", sql=_geoparse_sql())
+def geoparse_extract(sf_dir):
+    """Page synthesis (printf-exact text construction) + RE2 coordinate
+    extraction; text passthrough is byte-identical per url by design."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        return synth_pages_batch(
+            pa.table({"pid": pc.cast(t["doc_id"], pa.int64()), "text": t["text"]}),
+            "pid", text_col="text")
+
+    pages = ds.map_batches(mk, batch_format="pyarrow", batch_size=65536,
+                           zero_copy_batch=True)
+    parsed = pages.map_batches(GeoparseStage, batch_format="pyarrow",
+                               batch_size=65536, concurrency=(1, 2))
+    return parsed.select_columns(["pid", "url", "lat", "lon"])
+
+
+# ===========================================================================
+# Training-data-pipeline operators: dedup, text analysis, similarity,
+# multimodal plumbing, geodesic line expansion
+# ===========================================================================
+
+from ..functions.dedup import (  # noqa: E402
+    add_text_hash, minhash_bands_batch, minhash_signature, simhash64,
+)
+from ..functions.text import (  # noqa: E402
+    LANG_MARKERS, STOPWORDS_EN, TOKEN_RE, fingerprint_batch, lang_id_batch,
+    quality_batch, token_count,
+)
+from ..kernels.geodesic import slerp_line  # noqa: E402
+
+
+@query(
+    "dedup_exact",
+    sql="""
+    SELECT MIN(doc_id) AS doc_id_keep, COUNT(*) AS dup_count
+    FROM documents GROUP BY text
+    """,
+)
+def dedup_exact(sf_dir):
+    """Exact dedup: vectorized content hash per batch -> groupby(hash)
+    -> (min id, count). The shuffle moves (hash, id) pairs, never text
+    (64-bit content hash; collisions ~2^-64, oracle groups by raw text)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = add_text_hash(t, "text")
+        df = pd.DataFrame({"text_hash": t["text_hash"].to_numpy(zero_copy_only=False),
+                           "doc_id": t["doc_id"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("text_hash", as_index=False).agg(
+            doc_id_keep=("doc_id", "min"), dup_count=("doc_id", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    from ray.data.aggregate import Min, Sum
+
+    agg = partials.groupby("text_hash").aggregate(
+        Min("doc_id_keep", alias_name="doc_id_keep"),
+        Sum("dup_count", alias_name="dup_count"))
+    return agg.select_columns(["doc_id_keep", "dup_count"])
+
+
+@query(
+    "token_stats",
+    sql=f"""
+    SELECT doc_id, len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_tokens,
+           length(text) AS n_chars_seen
+    FROM documents
+    """,
+)
+def token_stats(sf_dir):
+    """Token counting via RE2 (pyarrow count_substring_regex); identical
+    RE2 semantics in the DuckDB oracle."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pc.cast(token_count(t["text"]), pa.int64()),
+            "n_chars_seen": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=65536,
+                          zero_copy_batch=True)
+
+
+def _quality_sql():
+    stop = "|".join(STOPWORDS_EN)
+    return f"""
+    WITH c AS (
+      SELECT doc_id,
+        len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+        len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+        len(regexp_extract_all(text, '\\s')) AS n_space,
+        length(text) AS n_len,
+        len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tok,
+        len(regexp_extract_all(text, '\\b(?:{stop})\\b')) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_len AS n_chars_seen, n_tok AS n_tokens, n_stop AS n_stopwords,
+      CAST(n_alpha AS DOUBLE) / greatest(CAST(n_len AS DOUBLE), 1.0) AS alpha_ratio,
+      CAST(n_digit AS DOUBLE) / greatest(CAST(n_len AS DOUBLE), 1.0) AS digit_ratio,
+      CAST(n_len - (n_alpha + n_digit + n_space) AS DOUBLE)
+        / greatest(CAST(n_len AS DOUBLE), 1.0) AS punct_ratio,
+      CAST(n_stop AS DOUBLE) / greatest(CAST(n_tok AS DOUBLE), 1.0) AS stopword_ratio,
+      CAST(n_alpha AS DOUBLE) / greatest(CAST(n_tok AS DOUBLE), 1.0) AS avg_token_len
+    FROM c
+    """
+
+
+@query("quality_scores", sql=_quality_sql())
+def quality_scores(sf_dir):
+    """Per-doc quality features: ratios of identical integer counts =>
+    bit-identical doubles."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(lambda t: quality_batch(t), batch_format="pyarrow",
+                          batch_size=65536, zero_copy_batch=True)
+
+
+def _langid_sql():
+    cols = ", ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{lang}"
+        for lang, pat in LANG_MARKERS)
+    l0, l1, l2, l3 = [l for l, _ in LANG_MARKERS]
+    return f"""
+    WITH c AS (SELECT doc_id, {cols} FROM documents)
+    SELECT doc_id, n_{l0}, n_{l1}, n_{l2}, n_{l3},
+      CASE WHEN n_{l0} = 0 AND n_{l1} = 0 AND n_{l2} = 0 AND n_{l3} = 0 THEN 'und'
+           WHEN n_{l0} >= n_{l1} AND n_{l0} >= n_{l2} AND n_{l0} >= n_{l3} THEN '{l0}'
+           WHEN n_{l1} >= n_{l2} AND n_{l1} >= n_{l3} THEN '{l1}'
+           WHEN n_{l2} >= n_{l3} THEN '{l2}'
+           ELSE '{l3}' END AS pred_lang
+    FROM c
+    """
+
+
+@query("lang_markers", sql=_langid_sql())
+def lang_markers(sf_dir):
+    """N-gram-marker language id, deterministic first-wins argmax."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(lambda t: lang_id_batch(t), batch_format="pyarrow",
+                          batch_size=65536, zero_copy_batch=True)
+
+
+@query("doc_fingerprint")  # rows-only: custom rolling hash, not in SQL
+def doc_fingerprint(sf_dir):
+    """Rolling-hash document fingerprint (Rabin-Karp min-sketch)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(lambda t: fingerprint_batch(t), batch_format="pyarrow",
+                         batch_size=65536, zero_copy_batch=True)
+
+    def tostr(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "fingerprint": pc.cast(t["fingerprint"], pa.string())})
+
+    return out.map_batches(tostr, batch_format="pyarrow")
+
+
+@query("minhash_lsh_candidates")  # rows-only: own 64-bit hashing
+def minhash_lsh_candidates(sf_dir):
+    """MinHash+LSH near-dup detection: signature per doc -> explode to
+    (band_id, band_hash, doc) rows -> groupby band buckets -> per-doc
+    candidate-partner count. The classic shingle->minhash->band shuffle."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    bands = ds.map_batches(lambda t: minhash_bands_batch(t), batch_format="pyarrow",
+                           batch_size=65536)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy())
+        if ids.size < 2:
+            return pd.DataFrame({"doc_id": [], "partners": []})
+        return pd.DataFrame({"doc_id": ids, "partners": ids.size - 1})
+
+    cand = bands.groupby(["band_id", "band_hash"]).map_groups(
+        per_bucket, batch_format="pandas")
+    from ray.data.aggregate import Max, Sum
+
+    return cand.groupby("doc_id").aggregate(
+        Sum("partners", alias_name="collision_partners"),
+        Max("partners", alias_name="max_bucket_partners"))
+
+
+@query("simhash_docs")  # rows-only
+def simhash_docs(sf_dir):
+    """SimHash-64 per document (sign-sum of shingle-hash bits)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        hs = [str(simhash64(x)) for x in texts]
+        return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(hs, pa.string())})
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=65536)
+
+
+@query("ann_cosine_topk")  # rows-only: float reduction order differs in SQL
+def ann_cosine_topk(sf_dir):
+    """Brute-force cosine top-k over the embeddings table against 3
+    broadcast query vectors (per-batch matmul + partial top-k)."""
+    import duckdb as _dd
+
+    from ..functions.vector import ann_cosine_topk as _ann
+
+    qv = _dd.sql(f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+                 f"WHERE vec_id IN (0, 1, 2) ORDER BY vec_id").fetchall()
+    Q = np.array([list(r[0]) for r in qv], dtype=np.float32)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = _ann(ds, Q, k=10)
+    return out.select(["qid", "vec_id", "rank"])
+
+
+@query("ann_lsh_buckets")  # rows-only
+def ann_lsh_buckets(sf_dir):
+    """Random-hyperplane LSH bucketing (the 100 TB ANN path): bucket
+    histogram proves the partitioner; same planes broadcast everywhere."""
+    from ..functions.vector import batch_matrix, hyperplane_signatures, make_planes
+
+    planes = make_planes(64, nbits=8, seed=42)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        M = batch_matrix(t)
+        sig = hyperplane_signatures(M, planes)
+        return pa.table({"bucket": pa.array(sig, pa.int64())})
+
+    b = ds.map_batches(fn, batch_format="pyarrow", batch_size=65536)
+    from ray.data.aggregate import Count
+
+    return b.groupby("bucket").aggregate(Count(alias_name="n_vectors"))
+
+
+@query("multimodal_features")  # rows-only: decode stubbed (no media libs)
+def multimodal_features(sf_dir):
+    """Multimodal plumbing: binary payload column + typed metadata ->
+    actor-pool decode stage (deterministic fake features; the real codec
+    raises NotImplementedError by design). Small batch_size — binary
+    payloads are wide rows."""
+    from ..stages.multimodal import DecodeStage, attach_fake_media
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    with_media = ds.map_batches(lambda t: attach_fake_media(t),
+                                batch_format="pyarrow", batch_size=1024)
+    decoded = with_media.map_batches(
+        DecodeStage, fn_constructor_kwargs=dict(n_features=4),
+        batch_format="pyarrow", batch_size=512, concurrency=(1, 2))
+
+    def fin(t: pa.Table) -> pa.Table:
+        col = t["features"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        feats = col.flatten().to_numpy(zero_copy_only=False).reshape(len(t), -1)
+        return pa.table({"doc_id": t["doc_id"],
+                         "payload_bytes": t["payload_bytes"],
+                         "f0": pa.array(np.round(feats[:, 0].astype(np.float64), 3))})
+
+    return decoded.map_batches(fin, batch_format="pyarrow")
+
+
+# -- geodesic line expansion (flat_map: 1 row -> n rows) --------------------
+
+_GEOD_N = 5
+
+
+def _geod_line_sql():
+    pi = float(np.pi)
+    d2r = pi / 180.0
+    lon2_sql = f"(((pid) * {LAT_MUL}) % 36000 - 18000) / 1.0e2"
+    lat2_sql = f"(((pid) * {LON_MUL}) % 16000 - 8000) / 1.0e2"
+    v = {}
+    for p, lo, la in (("1", "lon", "lat"), ("2", "lon2", "lat2")):
+        v[f"x{p}"] = f"cos({la} * {_R(d2r)}) * cos({lo} * {_R(d2r)})"
+        v[f"y{p}"] = f"cos({la} * {_R(d2r)}) * sin({lo} * {_R(d2r)})"
+        v[f"z{p}"] = f"sin({la} * {_R(d2r)})"
+    return f"""
+    WITH {_POINTS_CTE},
+    pts AS (
+      SELECT pid, lon, lat, {lon2_sql} AS lon2, {lat2_sql} AS lat2 FROM points
+    ),
+    vec AS (
+      SELECT pid, {v['x1']} AS x1, {v['y1']} AS y1, {v['z1']} AS z1,
+                  {v['x2']} AS x2, {v['y2']} AS y2, {v['z2']} AS z2
+      FROM pts
+    ),
+    om AS (
+      SELECT *, acos(least(greatest(x1*x2 + y1*y2 + z1*z2, -1.0), 1.0)) AS omega,
+             sin(acos(least(greatest(x1*x2 + y1*y2 + z1*z2, -1.0), 1.0))) AS sino
+      FROM vec
+    ),
+    expanded AS (
+      SELECT o.*, k.k,
+        CASE WHEN sino != 0.0 THEN sin((1.0 - k.k * {_R(1.0 / (_GEOD_N - 1))}) * omega) / sino
+             ELSE 1.0 - k.k * {_R(1.0 / (_GEOD_N - 1))} END AS a,
+        CASE WHEN sino != 0.0 THEN sin(k.k * {_R(1.0 / (_GEOD_N - 1))} * omega) / sino
+             ELSE k.k * {_R(1.0 / (_GEOD_N - 1))} END AS b
+      FROM om o CROSS JOIN (VALUES (0.0e0), (1.0e0), (2.0e0), (3.0e0), (4.0e0)) k(k)
+    )
+    SELECT pid, CAST(k AS BIGINT) AS k,
+      {ROUND6_SQL.format(e=f"atan2(a*y1 + b*y2, a*x1 + b*x2) * {_R(57.29577951308232)}")} AS lon_i,
+      {ROUND6_SQL.format(e=f"atan2(a*z1 + b*z2, sqrt((a*x1 + b*x2)*(a*x1 + b*x2) + (a*y1 + b*y2)*(a*y1 + b*y2))) * {_R(57.29577951308232)}")} AS lat_i
+    FROM expanded
+    """
+
+
+@query("geod_line_interp", sql=_geod_line_sql())
+def geod_line_interp(sf_dir):
+    """geod -l line mode as a flat_map-shaped stage: each point pair
+    expands to 5 great-circle samples (spherical slerp variant;
+    the ellipsoidal Vincenty path is covered by geod_inverse_vincenty)."""
+    pts = _points_ds(sf_dir)
+
+    def fn(t: pa.Table) -> pa.Table:
+        pid = t["pid"].to_numpy(zero_copy_only=False)
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        lon2 = (pid * LAT_MUL % 36000 - 18000) / 1.0e2
+        lat2 = (pid * LON_MUL % 16000 - 8000) / 1.0e2
+        lons, lats = slerp_line(lon, lat, lon2, lat2, _GEOD_N)
+        n = pid.size
+        ks = np.tile(np.arange(_GEOD_N, dtype=np.int64), n)
+        return pa.table({
+            "pid": pa.array(np.repeat(pid, _GEOD_N), pa.int64()),
+            "k": pa.array(ks, pa.int64()),
+            "lon_i": pa.array(_r6(lons.reshape(-1))),
+            "lat_i": pa.array(_r6(lats.reshape(-1))),
+        })
+
+    return pts.map_batches(fn, batch_format="pyarrow", batch_size=131072,
+                           zero_copy_batch=True)
+
+
+@query("geod_inverse_vincenty")  # rows-only: iterative, not SQL-expressible
+def geod_inverse_vincenty(sf_dir):
+    """Ellipsoidal geodesic inverse (the Karney geod_inverse role,
+    src/geodesic.c:944): distance + azimuths per derived pair."""
+    from ..kernels.geodesic import geod_inverse
+
+    pts = _points_ds(sf_dir)
+
+    def fn(t: pa.Table) -> pa.Table:
+        pid = t["pid"].to_numpy(zero_copy_only=False)
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        lon2 = (pid * LAT_MUL % 36000 - 18000) / 1.0e2
+        lat2 = (pid * LON_MUL % 16000 - 8000) / 1.0e2
+        s12, azi1, azi2, ok = geod_inverse(lon, lat, lon2, lat2)
+        return pa.table({
+            "pid": pa.array(pid, pa.int64()),
+            "s12_mm": pa.array(np.floor(s12 * 1e3 + 0.5).astype(np.int64)),
+            "azi1_udeg": pa.array(np.floor(azi1 * 1e6 + 0.5).astype(np.int64)),
+            "converged": pa.array(ok),
+        })
+
+    return pts.map_batches(fn, batch_format="pyarrow", batch_size=131072,
+                           zero_copy_batch=True)

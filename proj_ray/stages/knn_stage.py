@@ -53,10 +53,10 @@ def knn_topk(ds, queries, k=5, lon_col="lon", lat_col="lat", id_col="pid",
 
     cand = ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size,
                           zero_copy_batch=True)
-    tbl = pa.Table.from_batches(
-        [b for b in cand.iter_batches(batch_size=1 << 20, batch_format="pyarrow")],
-        schema=pa.schema([("qj", pa.int64()), ("id", pa.int64()), ("d2", pa.float64())]),
-    )
+    # iter_batches(batch_format="pyarrow") yields pa.Table chunks
+    chunks = list(cand.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    schema = pa.schema([("qj", pa.int64()), ("id", pa.int64()), ("d2", pa.float64())])
+    tbl = pa.concat_tables(chunks) if chunks else schema.empty_table()
     qj = tbl["qj"].to_numpy()
     ids = tbl["id"].to_numpy()
     d2 = tbl["d2"].to_numpy()
