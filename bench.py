@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default: run the headline flagship pipeline + representative queries over
+``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) with
+``ray.init(num_cpus=$RAY_GRAFT_CPUS or 32)`` and print ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "points": N, "points_per_sec": N}
+
+``--scaling``: run the identical headline job in two fresh processes at
+num_cpus=8 and num_cpus=32 on the same input and print throughputs +
+scaling efficiency E = (T8/T32)/4 (the sandbox substitute for the
+N-vs-4N-node criterion, see BASELINE.md).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_MULT = int(os.environ.get("GRAFT_BENCH_MULT", "8"))
+
+
+def run_bench():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from proj_ray.pipelines.flagship import flagship_pipeline, pages_dataset
+    from proj_ray.pipelines.queries import QUERIES
+
+    # warm the OS page cache so we measure compute+shuffle, not cold disk
+    pages_dataset(SF_DIR, mult=1).count()
+
+    # ---- headline: points geoparsed+transformed+tiled+joined+aggregated
+    n_points = pages_dataset(SF_DIR, mult=BENCH_MULT).count()
+    t0 = time.perf_counter()
+    flagship_pipeline(SF_DIR, mult=BENCH_MULT).count()
+    headline = time.perf_counter() - t0
+
+    # ---- representative per-operator queries (one execution each)
+    bench_queries = [
+        "q1_pricing_summary", "points_webmerc", "points_utm", "tile_agg",
+        "pip_join", "knn_points", "dedup_exact", "quality_scores",
+        "minhash_lsh_candidates", "ann_cosine_topk", "grid_shift_fwd",
+    ]
+    qtimes = {}
+    for name in bench_queries:
+        fn = QUERIES[name]["fn"]
+        t0 = time.perf_counter()
+        res = fn(SF_DIR)
+        if hasattr(res, "count"):
+            res.count()
+        qtimes[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "end-to-end points geoparsed+transformed+tiled+PIP-joined+aggregated per second",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "points": int(n_points),
+        "points_per_sec": int(n_points / headline),
+        "bench_mult": BENCH_MULT,
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling():
+    def one(ncpu):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        p = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                           capture_output=True, text=True, check=True)
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = one(lo)
+    r_hi = one(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(json.dumps({
+        "metric": "throughput scaling efficiency, num_cpus 8 -> 32 (N vs 4N substitute)",
+        "sec_8": t_lo, "sec_32": t_hi,
+        "points": r_lo["points"],
+        "points_per_sec_8": r_lo["points_per_sec"],
+        "points_per_sec_32": r_hi["points_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "pass": eff >= 0.8,
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

@@ -351,6 +351,7 @@ class CRS:
         if not name:
             raise ValueError("no projection name (-4)")
         from .kernels.projections import PROJ_REGISTRY
+        from .kernels import projections2  # noqa: F401  (registry wave 2)
 
         if name not in PROJ_REGISTRY:
             raise ValueError(f"unknown projection {name!r} (-5)")

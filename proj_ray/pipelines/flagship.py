@@ -36,36 +36,53 @@ FLAGSHIP_POLYGONS = [
 ]
 
 
-def pages_dataset(sf_dir: str, batch_size: int = 65536):
-    """lineitem keys -> pages table (volume source for the web-scale shape)."""
-    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
+def pages_dataset(sf_dir: str, batch_size: int = 65536, mult: int = 1):
+    """lineitem keys -> pages table (volume source for the web-scale
+    shape). ``mult`` > 1 fans each key out to ``mult`` distinct pages
+    (distinct pids) — the bench knob that scales the point stream without
+    changing the pipeline shape."""
+    import ray
+
+    # split the single-file key read so the producer isn't serial
+    # (real inputs are many files/row-groups and split for free)
+    nblocks = max(16, int(ray.cluster_resources().get("CPU", 8)))
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"],
+                    override_num_blocks=nblocks)
 
     def mk(batch: pa.Table) -> pa.Table:
         pid = pid_numpy(batch["l_orderkey"].to_numpy(zero_copy_only=False),
                         batch["l_linenumber"].to_numpy(zero_copy_only=False))
+        if mult > 1:
+            pid = (pid[:, None] * mult + np.arange(mult, dtype=np.int64)[None, :]
+                   ).reshape(-1)
         return synth_pages_batch(pa.table({"pid": pa.array(pid, pa.int64())}), "pid")
 
-    return ds.map_batches(mk, batch_format="pyarrow", batch_size=batch_size,
+    # small batch_size => fine-grained task bundles: the 8x page
+    # expansion + wide html/text columns mean input rows are a poor
+    # size proxy; without this Ray bundles the tiny key blocks into a
+    # handful of huge tasks and parallelism collapses
+    return ds.map_batches(mk, batch_format="pyarrow", batch_size=4096,
                           zero_copy_batch=True)
 
 
 def flagship_pipeline(sf_dir: str, zoom: int = 12, agg_zoom: int = 4,
-                      batch_size: int = 65536):
+                      batch_size: int = 65536, mult: int = 1):
     """Returns the per-(cell, polygon) aggregate Dataset."""
-    pages = pages_dataset(sf_dir, batch_size=batch_size)
+    pages = pages_dataset(sf_dir, batch_size=batch_size, mult=mult)
     # drop the wide html column before the point pipeline (prune early)
     pages = pages.select_columns(["pid", "url", "text"])
-    points = pages.map_batches(GeoparseStage, batch_format="pyarrow",
-                               batch_size=batch_size, concurrency=(1, 8))
+    # GeoparseStage instance => stateless task pool (scales with CPUs,
+    # no actor startup); the class form stays available for heavy state
+    points = pages.map_batches(GeoparseStage(), batch_format="pyarrow",
+                               batch_size=batch_size)
     merc = transform_points_stage(points, "+init=epsg:4326", "+init=epsg:3857",
                                   lon_col="lon", lat_col="lat",
                                   out_x="xm", out_y="ym", batch_size=batch_size)
     tiled = tile_stage(merc, zoom, out="cell_id")
     joined = tiled.map_batches(
-        PIPJoinActor,
-        fn_constructor_kwargs=dict(poly_defs=FLAGSHIP_POLYGONS, zoom=5,
-                                   id_cols=("pid", "cell_id")),
-        batch_format="pyarrow", batch_size=batch_size, concurrency=(1, 8))
+        PIPJoinActor(poly_defs=FLAGSHIP_POLYGONS, zoom=5,
+                     id_cols=("pid", "cell_id")),
+        batch_format="pyarrow", batch_size=batch_size)
 
     from ..kernels.tiling import parent_cell
 
@@ -74,10 +91,16 @@ def flagship_pipeline(sf_dir: str, zoom: int = 12, agg_zoom: int = 4,
         return df.groupby(["parent_cell", "polygon_id"], as_index=False).agg(
             n_points=("pid", "size"), min_pid=("pid", "min"))
 
-    partials = joined.map_batches(partial, batch_format="pandas", batch_size=262144)
-    from ray.data.aggregate import Min, Sum
-
-    return partials.groupby(["parent_cell", "polygon_id"]).aggregate(
-        Sum("n_points", alias_name="n_points"),
-        Min("min_pid", alias_name="min_pid"),
-    )
+    partials = joined.map_batches(partial, batch_format="pandas", batch_size=None)
+    # final combine: the key space (cells at agg_zoom x polygons) is tiny,
+    # so the all-to-all groupby shuffle (seconds of fixed latency) is
+    # replaced by a driver-side reduce over the small partials — the
+    # low-cardinality branch of the two-phase aggregate. High-cardinality
+    # aggregates keep the groupby path (see queries.tile_agg).
+    chunks = [b for b in partials.iter_batches(batch_size=None, batch_format="pandas")]
+    if not chunks:
+        return pd.DataFrame(columns=["parent_cell", "polygon_id", "n_points", "min_pid"])
+    allp = pd.concat(chunks, ignore_index=True)
+    out = allp.groupby(["parent_cell", "polygon_id"], as_index=False).agg(
+        n_points=("n_points", "sum"), min_pid=("min_pid", "min"))
+    return out

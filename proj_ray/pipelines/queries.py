@@ -94,7 +94,7 @@ def q1_pricing_summary(sf_dir):
         })
         return tmp.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
 
-    partials = ds.map_batches(partial, batch_format="pandas", batch_size=131072)
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=None)
     from ray.data.aggregate import Sum
 
     out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
@@ -123,7 +123,7 @@ def top_orders(sf_dir):
         return df.sort_values(["o_totalprice", "o_orderkey"],
                               ascending=[False, True]).head(10)
 
-    cand = ds.map_batches(local_topk, batch_format="pandas", batch_size=262144).to_pandas()
+    cand = ds.map_batches(local_topk, batch_format="pandas", batch_size=None).to_pandas()
     return (cand.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
             .head(10).reset_index(drop=True))
 
@@ -162,7 +162,7 @@ def regional_customers(sf_dir):
         })
         return tmp.groupby("region_name", as_index=False).sum()
 
-    partials = ds.map_batches(partial, batch_format="pandas", batch_size=262144)
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=None)
     from ray.data.aggregate import Sum
 
     return partials.groupby("region_name").aggregate(
@@ -200,7 +200,7 @@ def filter_ship_window(sf_dir):
         return pa.table({"l_returnflag": t["l_returnflag"],
                          "sum_qty_cents": pa.array(qty, pa.int64())})
 
-    filtered = ds.map_batches(fn, batch_format="pyarrow", batch_size=131072,
+    filtered = ds.map_batches(fn, batch_format="pyarrow", batch_size=None,
                               zero_copy_batch=True)
     from ray.data.aggregate import Count, Sum
 
@@ -246,7 +246,7 @@ def events_hourly(sf_dir):
         })
         return tmp.groupby(["event_type", "hour_bucket"], as_index=False).sum()
 
-    partials = ds.map_batches(partial, batch_format="pandas", batch_size=262144)
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=None)
     from ray.data.aggregate import Sum
 
     return partials.groupby(["event_type", "hour_bucket"]).aggregate(
@@ -315,7 +315,7 @@ def _r2(x):
     return np.floor(x * 100.0 + 0.5) / 100.0
 
 
-def _points_ds(sf_dir, batch_size=131072):
+def _points_ds(sf_dir, batch_size=None):
     """lineitem keys -> (pid, lon, lat) derived point stream."""
     ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
 
@@ -427,7 +427,7 @@ def points_utm(sf_dir):
                          "lon": pa.array(lon, pa.float64()),
                          "lat": pa.array(lat, pa.float64())})
 
-    pts = ds.map_batches(mk, batch_format="pyarrow", batch_size=131072,
+    pts = ds.map_batches(mk, batch_format="pyarrow", batch_size=None,
                          zero_copy_batch=True)
     out = transform_points_stage(pts, "+proj=latlong +datum=WGS84",
                                  "+proj=utm +zone=33 +datum=WGS84",
@@ -491,7 +491,7 @@ def points_lcc(sf_dir):
                          "lon": pa.array(lon, pa.float64()),
                          "lat": pa.array(lat, pa.float64())})
 
-    pts = ds.map_batches(mk, batch_format="pyarrow", batch_size=131072,
+    pts = ds.map_batches(mk, batch_format="pyarrow", batch_size=None,
                          zero_copy_batch=True)
     out = transform_points_stage(pts, "+proj=latlong +datum=WGS84", _LCC_DEF,
                                  out_x="xm", out_y="ym")
@@ -593,7 +593,7 @@ def helmert7_xyz(sf_dir):
         return pa.table({"pid": pa.array(pid, pa.int64()), "hx": pa.array(hx),
                          "hy": pa.array(hy), "hz": pa.array(hz)})
 
-    return ds.map_batches(fn, batch_format="pyarrow", batch_size=131072,
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None,
                           zero_copy_batch=True)
 
 
@@ -633,7 +633,7 @@ def webmerc_inverse(sf_dir):
         return pa.table({"pid": pa.array(pid, pa.int64()),
                          "xm": pa.array(xm), "ym": pa.array(ym)})
 
-    pts = ds.map_batches(mk, batch_format="pyarrow", batch_size=131072,
+    pts = ds.map_batches(mk, batch_format="pyarrow", batch_size=None,
                          zero_copy_batch=True)
     out = transform_points_stage(pts, "+init=epsg:3857", "+init=epsg:4326",
                                  lon_col="xm", lat_col="ym",
@@ -721,7 +721,7 @@ def tile_agg(sf_dir):
             n_points=("n_points", "sum"), sum_lon_centi=("sum_lon_centi", "sum"),
             min_pid=("min_pid", "min"))
 
-    partials = tiled.map_batches(partial, batch_format="pandas", batch_size=262144)
+    partials = tiled.map_batches(partial, batch_format="pandas", batch_size=None)
     from ray.data.aggregate import Min, Sum
 
     return partials.groupby("parent_cell").aggregate(
@@ -772,10 +772,8 @@ def pip_join(sf_dir):
     src/PJ_healpix.c:103-138). Exact rows (north rule)."""
     pts = _points_ds(sf_dir)
     joined = pts.map_batches(
-        PIPJoinActor,
-        fn_constructor_kwargs=dict(poly_defs=FLAGSHIP_POLYGONS, zoom=5,
-                                   id_cols=("pid",)),
-        batch_format="pyarrow", batch_size=131072, concurrency=(1, 4))
+        PIPJoinActor(poly_defs=FLAGSHIP_POLYGONS, zoom=5, id_cols=("pid",)),
+        batch_format="pyarrow", batch_size=None)
     return joined
 
 
@@ -932,7 +930,7 @@ def grid_shift_fwd(sf_dir):
         return pa.table({"pid": pa.array(pid, pa.int64()),
                          "lon": pa.array(lon), "lat": pa.array(lat)})
 
-    pts = ds.map_batches(mk, batch_format="pyarrow", batch_size=131072,
+    pts = ds.map_batches(mk, batch_format="pyarrow", batch_size=None,
                          zero_copy_batch=True)
     out = transform_points_stage(
         pts, "+proj=latlong +nadgrids=synthA +ellps=WGS84",
@@ -1038,10 +1036,10 @@ def geoparse_extract(sf_dir):
             pa.table({"pid": pc.cast(t["doc_id"], pa.int64()), "text": t["text"]}),
             "pid", text_col="text")
 
-    pages = ds.map_batches(mk, batch_format="pyarrow", batch_size=65536,
+    pages = ds.map_batches(mk, batch_format="pyarrow", batch_size=None,
                            zero_copy_batch=True)
-    parsed = pages.map_batches(GeoparseStage, batch_format="pyarrow",
-                               batch_size=65536, concurrency=(1, 2))
+    parsed = pages.map_batches(GeoparseStage(), batch_format="pyarrow",
+                               batch_size=None)
     return parsed.select_columns(["pid", "url", "lat", "lon"])
 
 
@@ -1081,7 +1079,7 @@ def dedup_exact(sf_dir):
             doc_id_keep=("doc_id", "min"), dup_count=("doc_id", "size"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
     from ray.data.aggregate import Min, Sum
 
     agg = partials.groupby("text_hash").aggregate(
@@ -1110,7 +1108,7 @@ def token_stats(sf_dir):
             "n_chars_seen": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
         })
 
-    return ds.map_batches(fn, batch_format="pyarrow", batch_size=65536,
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None,
                           zero_copy_batch=True)
 
 
@@ -1144,7 +1142,7 @@ def quality_scores(sf_dir):
     bit-identical doubles."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(lambda t: quality_batch(t), batch_format="pyarrow",
-                          batch_size=65536, zero_copy_batch=True)
+                          batch_size=None, zero_copy_batch=True)
 
 
 def _langid_sql():
@@ -1169,7 +1167,7 @@ def lang_markers(sf_dir):
     """N-gram-marker language id, deterministic first-wins argmax."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(lambda t: lang_id_batch(t), batch_format="pyarrow",
-                          batch_size=65536, zero_copy_batch=True)
+                          batch_size=None, zero_copy_batch=True)
 
 
 @query("doc_fingerprint")  # rows-only: custom rolling hash, not in SQL
@@ -1177,7 +1175,7 @@ def doc_fingerprint(sf_dir):
     """Rolling-hash document fingerprint (Rabin-Karp min-sketch)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     out = ds.map_batches(lambda t: fingerprint_batch(t), batch_format="pyarrow",
-                         batch_size=65536, zero_copy_batch=True)
+                         batch_size=None, zero_copy_batch=True)
 
     def tostr(t: pa.Table) -> pa.Table:
         return pa.table({"doc_id": t["doc_id"],
@@ -1193,7 +1191,7 @@ def minhash_lsh_candidates(sf_dir):
     candidate-partner count. The classic shingle->minhash->band shuffle."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     bands = ds.map_batches(lambda t: minhash_bands_batch(t), batch_format="pyarrow",
-                           batch_size=65536)
+                           batch_size=None)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g["doc_id"].to_numpy())
@@ -1220,7 +1218,7 @@ def simhash_docs(sf_dir):
         hs = [str(simhash64(x)) for x in texts]
         return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(hs, pa.string())})
 
-    return ds.map_batches(fn, batch_format="pyarrow", batch_size=65536)
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 @query("ann_cosine_topk")  # rows-only: float reduction order differs in SQL
@@ -1253,7 +1251,7 @@ def ann_lsh_buckets(sf_dir):
         sig = hyperplane_signatures(M, planes)
         return pa.table({"bucket": pa.array(sig, pa.int64())})
 
-    b = ds.map_batches(fn, batch_format="pyarrow", batch_size=65536)
+    b = ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
     from ray.data.aggregate import Count
 
     return b.groupby("bucket").aggregate(Count(alias_name="n_vectors"))
@@ -1354,7 +1352,7 @@ def geod_line_interp(sf_dir):
             "lat_i": pa.array(_r6(lats.reshape(-1))),
         })
 
-    return pts.map_batches(fn, batch_format="pyarrow", batch_size=131072,
+    return pts.map_batches(fn, batch_format="pyarrow", batch_size=None,
                            zero_copy_batch=True)
 
 
@@ -1380,5 +1378,5 @@ def geod_inverse_vincenty(sf_dir):
             "converged": pa.array(ok),
         })
 
-    return pts.map_batches(fn, batch_format="pyarrow", batch_size=131072,
+    return pts.map_batches(fn, batch_format="pyarrow", batch_size=None,
                            zero_copy_batch=True)

@@ -11,6 +11,21 @@ Design rules (SURVEY.md §7.2):
   never one Ray stage per step (the steps are microseconds)
 """
 
+def _tune_worker_threads():
+    """Pin per-process Arrow thread pools: Ray runs one task per CPU, so
+    each worker's kernels must be single-threaded — 32 workers x 32
+    arrow threads thrashes the node and inverts scaling."""
+    import pyarrow as _pa
+
+    try:
+        _pa.set_cpu_count(1)
+        _pa.set_io_thread_count(2)
+    except Exception:
+        pass
+
+
+_tune_worker_threads()
+
 from .transform_stage import TransformStage, transform_points_stage
 from .geoparse import GeoparseStage, synth_pages_stage
 from .tile_stage import tile_stage

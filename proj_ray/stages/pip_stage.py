@@ -53,28 +53,49 @@ def _tile_of(lon, lat, zoom):
 
 
 class PIPJoinActor:
-    """Actor-pool PIP join: polygon buckets built once per actor.
+    """PIP join stage: usable BOTH as an actor-pool class (pass the class
+    to map_batches with fn_constructor_kwargs — state built once per
+    actor) and as a prebuilt instance (map_batches(PIPJoinActor(...)) —
+    a stateless task fn whose small state pickles with the task). The
+    instance form avoids actor startup latency and scales with the task
+    pool; prefer it when the polygon set is small. Emits one output row
+    per (point, containing polygon): ``id_cols`` + ``polygon_id``.
 
-    Emits one output row per (point, containing polygon):
-    carries ``id_cols`` through + a ``polygon_id`` column.
+    Probe strategy: for small polygon sets (<= direct_threshold) every
+    polygon is tested vectorized over the whole batch (the per-polygon
+    bbox mask prunes most points); for large sets points are grouped by
+    covering cell and only each cell's bucket candidates are tested —
+    the co-partitioned form whose shuffle twin is groupby(cell) on both
+    sides.
     """
 
     def __init__(self, poly_defs, zoom=7, lon_col="lon", lat_col="lat",
-                 id_cols=("pid",), keep_unmatched=False):
+                 id_cols=("pid",), direct_threshold=64):
         self.polygons = make_polygons(poly_defs)
         self.zoom = zoom
-        self.buckets = bucket_polygons(self.polygons, zoom)
+        self.direct = len(self.polygons) <= direct_threshold
+        self.buckets = None if self.direct else bucket_polygons(self.polygons, zoom)
         self.lon_col = lon_col
         self.lat_col = lat_col
         self.id_cols = id_cols
-        self.keep_unmatched = keep_unmatched
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         lon = batch[self.lon_col].to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
         lat = batch[self.lat_col].to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        if self.direct:
+            pt_idx, pls = pip_join_all(self.polygons, lon, lat)
+            poly_ids = np.array([self.polygons[k].polygon_id for k in pls],
+                                dtype=object)
+        else:
+            pt_idx, poly_ids = self._bucketed(lon, lat)
+        cols = {c: batch[c].take(pa.array(pt_idx, pa.int64()))
+                for c in self.id_cols if c in batch.column_names}
+        cols["polygon_id"] = pa.array(poly_ids.astype(str) if poly_ids.size else [],
+                                      pa.string())
+        return pa.table(cols)
+
+    def _bucketed(self, lon, lat):
         cells = cell_id_of(lon, lat, self.zoom)
-        # probe buckets: points grouped by cell, each cell tests only its
-        # candidate polygons (vectorized per polygon over the cell's points)
         pt_idx_out = []
         poly_out = []
         order = np.argsort(cells, kind="stable")
@@ -83,8 +104,7 @@ class PIPJoinActor:
         starts = np.concatenate([[0], bounds])
         ends = np.concatenate([bounds, [len(sorted_cells)]])
         for s, e in zip(starts, ends):
-            cell = sorted_cells[s]
-            cand = self.buckets.get(int(cell))
+            cand = self.buckets.get(int(sorted_cells[s]))
             if not cand:
                 continue
             ids = order[s:e]
@@ -92,15 +112,8 @@ class PIPJoinActor:
             pts, pls = pip_join_all(sub_polys, lon[ids], lat[ids])
             if pts.size:
                 pt_idx_out.append(ids[pts])
-                poly_out.append(np.array([sub_polys[k].polygon_id for k in pls], dtype=object))
+                poly_out.append(np.array([sub_polys[k].polygon_id for k in pls],
+                                         dtype=object))
         if pt_idx_out:
-            pt_idx = np.concatenate(pt_idx_out)
-            poly_ids = np.concatenate(poly_out)
-        else:
-            pt_idx = np.empty(0, dtype=np.int64)
-            poly_ids = np.empty(0, dtype=object)
-        cols = {c: batch[c].take(pa.array(pt_idx, pa.int64()))
-                for c in self.id_cols if c in batch.column_names}
-        cols["polygon_id"] = pa.array(poly_ids.astype(str) if poly_ids.size else [],
-                                      pa.string())
-        return pa.table(cols)
+            return np.concatenate(pt_idx_out), np.concatenate(poly_out)
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=object)

@@ -11,7 +11,7 @@ from ..kernels.tiling import cell_id, cell_xy
 
 
 def tile_stage(ds, zoom: int, lon_col="lon", lat_col="lat", out="cell_id",
-               with_xy=False, batch_size=131072):
+               with_xy=False, batch_size=None):
     def fn(batch: pa.Table) -> pa.Table:
         lon = batch[lon_col].to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
         lat = batch[lat_col].to_numpy(zero_copy_only=False).astype(np.float64, copy=False)

@@ -37,7 +37,7 @@ def _apply(t: Transform, batch: pa.Table, lon_col, lat_col, z_col,
 
 def transform_points_stage(ds, src_def, dst_def, lon_col="lon", lat_col="lat",
                            z_col=None, out_x="x", out_y="y", out_z=None,
-                           drop_bad=False, batch_size=65536, grid_loader=None):
+                           drop_bad=False, batch_size=None, grid_loader=None):
     """Stateless task-pool transform stage (the default)."""
     t = make_transform(src_def, dst_def, grid_loader=grid_loader)
 

@@ -1,0 +1,102 @@
+"""Roundtrip + property tests for projection wave 2 (equal-area,
+azimuthal, pseudocylindrical families)."""
+
+import numpy as np
+import pytest
+
+from proj_ray.transform import make_transform
+
+WGS = "+proj=latlong +datum=WGS84"
+
+# (proj def, lon domain half-width deg, roundtrip atol deg)
+CASES = [
+    ("+proj=aea +lat_1=29.5 +lat_2=45.5 +lon_0=-96 +datum=WGS84", 170, 1e-9),
+    ("+proj=aea +lat_1=29.5 +lat_2=45.5 +ellps=sphere", 170, 1e-9),
+    ("+proj=leac +lat_1=45 +datum=WGS84", 170, 1e-9),
+    ("+proj=laea +lat_0=52 +lon_0=10 +datum=WGS84", 170, 1e-7),
+    ("+proj=laea +lat_0=90 +datum=WGS84", 170, 1e-7),
+    ("+proj=laea +lat_0=-90 +datum=WGS84", 170, 1e-7),
+    ("+proj=laea +lat_0=0 +ellps=sphere", 170, 1e-9),
+    ("+proj=laea +lat_0=40 +ellps=sphere", 170, 1e-9),
+    ("+proj=aeqd +lat_0=90 +datum=WGS84", 170, 1e-9),
+    ("+proj=aeqd +lat_0=-90 +datum=WGS84", 170, 1e-9),
+    ("+proj=aeqd +lat_0=40 +lon_0=-100 +ellps=sphere", 170, 1e-9),
+    ("+proj=aeqd +lat_0=40 +lon_0=-100 +datum=WGS84", 170, 1e-6),
+    ("+proj=cea +datum=WGS84", 170, 1e-7),
+    ("+proj=cea +ellps=sphere +lat_ts=30", 170, 1e-9),
+    ("+proj=moll +ellps=sphere", 170, 1e-9),
+    ("+proj=wag4 +ellps=sphere", 170, 1e-9),
+    ("+proj=wag5 +ellps=sphere", 170, 1e-9),
+    ("+proj=sinu +datum=WGS84", 170, 1e-9),
+    ("+proj=sinu +ellps=sphere", 170, 1e-9),
+    ("+proj=eck6 +ellps=sphere", 170, 1e-9),
+    ("+proj=mbtfps +ellps=sphere", 170, 1e-9),
+    ("+proj=gn_sinu +m=2 +n=3 +ellps=sphere", 170, 1e-9),
+    ("+proj=mill +ellps=sphere", 170, 1e-9),
+    # gnom/ortho: valid hemisphere only => narrow domain around center
+    ("+proj=gnom +lat_0=40 +ellps=sphere", 35, 1e-9),
+    ("+proj=ortho +lat_0=40 +ellps=sphere", 35, 1e-7),
+    ("+proj=cass +lat_0=10 +datum=WGS84", 3, 1e-4),  # series: near-CM only
+    ("+proj=cass +lat_0=10 +ellps=sphere", 170, 1e-9),
+    ("+proj=stere +lat_0=-90 +lat_ts=-71 +datum=WGS84", 170, 1e-9),
+    ("+proj=ups +datum=WGS84", 170, 1e-9),
+]
+
+
+@pytest.mark.parametrize("proj,dom,atol", CASES,
+                         ids=[c[0].split()[0][6:] + str(i) for i, c in enumerate(CASES)])
+def test_roundtrip_wave2(proj, dom, atol):
+    rng = np.random.default_rng(11)
+    n = 150
+    lon0 = 0.0
+    for tok in proj.split():
+        if tok.startswith("+lon_0="):
+            lon0 = float(tok.split("=")[1])
+    lon = lon0 + rng.uniform(-dom, dom, n)
+    lon = (lon + 180) % 360 - 180
+    if "+proj=ups" in proj or "lat_0=90" in proj:
+        lat = rng.uniform(60, 89, n)
+    elif "lat_0=-90" in proj or "lat_ts=-71" in proj:
+        lat = rng.uniform(-89, -60, n)
+    elif "gnom" in proj or "ortho" in proj:
+        lat = rng.uniform(10, 70, n)
+    else:
+        lat = rng.uniform(-80, 80, n)
+    fwd = make_transform(WGS, proj)
+    inv = make_transform(proj, WGS)
+    x, y, _ = fwd(lon, lat)
+    lo, la, _ = inv(x, y)
+    ok = np.isfinite(lo) & np.isfinite(la)
+    assert ok.mean() > 0.9, proj
+    np.testing.assert_allclose(lo[ok], lon[ok], rtol=0, atol=atol, err_msg=proj)
+    np.testing.assert_allclose(la[ok], lat[ok], rtol=0, atol=atol, err_msg=proj)
+
+
+def test_equal_area_property():
+    """aea/laea/cea/moll/sinu preserve area: the Jacobian determinant of
+    the normalized (unit-sphere/ellipsoid) map ~ cos(phi) scaled."""
+    # numerical check on cea spherical: dy/dphi * dx/dlam == cos(phi)
+    t = make_transform(WGS, "+proj=cea +ellps=sphere")
+    lat = np.array([10.0, 30.0, 55.0])
+    eps = 1e-6
+    x1, y1, _ = t(np.zeros(3), lat)
+    x2, y2, _ = t(np.zeros(3), lat + eps)
+    x3, y3, _ = t(np.full(3, eps), lat)
+    R = 6370997.0
+    dphi = np.radians(eps)
+    dlam = np.radians(eps)
+    jac = ((y2 - y1) / (R * dphi)) * ((x3 - x1) / (R * dlam))
+    np.testing.assert_allclose(jac, np.cos(np.radians(lat)), rtol=1e-4)
+
+
+def test_aeqd_polar_distance_property():
+    """Polar aeqd: radial distance = meridional arc length (equidistant)."""
+    t = make_transform(WGS, "+proj=aeqd +lat_0=90 +datum=WGS84")
+    x, y, _ = t(np.array([0.0]), np.array([80.0]))
+    from proj_ray.kernels.common import enfn, mlfn, HALFPI
+
+    es = 0.0066943799901413165
+    en = enfn(es)
+    arc = (mlfn(np.float64(HALFPI), 1.0, 0.0, en)
+           - mlfn(np.radians(80.0), np.sin(np.radians(80.0)), np.cos(np.radians(80.0)), en))
+    np.testing.assert_allclose(np.hypot(x, y), 6378137.0 * arc, rtol=1e-12)
