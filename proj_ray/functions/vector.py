@@ -48,7 +48,7 @@ def cosine_topk_partial(batch: pa.Table, Q: np.ndarray, k: int,
 
 
 def ann_cosine_topk(ds, queries: np.ndarray, k=10, id_col="vec_id",
-                    vec_col="embedding", batch_size=65536) -> pa.Table:
+                    vec_col="embedding", batch_size=None) -> pa.Table:
     """Exact brute-force cosine top-k (the baseline the ANN variants are
     judged against). Returns (qid, vec_id, rank, sim)."""
     Qn = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-30)

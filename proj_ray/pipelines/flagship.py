@@ -45,23 +45,28 @@ def pages_dataset(sf_dir: str, batch_size: int = 65536, mult: int = 1):
 
     # split the single-file key read so the producer isn't serial
     # (real inputs are many files/row-groups and split for free)
-    nblocks = max(16, int(ray.cluster_resources().get("CPU", 8)))
+    nblocks = max(32, 4 * int(ray.cluster_resources().get("CPU", 8)))
     ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"],
                     override_num_blocks=nblocks)
 
-    def mk(batch: pa.Table) -> pa.Table:
+    # generator UDF: one whole key block in, pages YIELDED in ~64k-row
+    # chunks — each downstream fused-stage call sees a decently sized
+    # batch (per-call overhead amortized) while the expansion transient
+    # stays bounded, independent of input bundling
+    chunk_rows = 65536
+
+    def mk(batch: pa.Table):
         pid = pid_numpy(batch["l_orderkey"].to_numpy(zero_copy_only=False),
                         batch["l_linenumber"].to_numpy(zero_copy_only=False))
         if mult > 1:
             pid = (pid[:, None] * mult + np.arange(mult, dtype=np.int64)[None, :]
                    ).reshape(-1)
-        return synth_pages_batch(pa.table({"pid": pa.array(pid, pa.int64())}), "pid")
+        for lo in range(0, pid.size, chunk_rows):
+            yield synth_pages_batch(
+                pa.table({"pid": pa.array(pid[lo:lo + chunk_rows], pa.int64())}),
+                "pid")
 
-    # small batch_size => fine-grained task bundles: the 8x page
-    # expansion + wide html/text columns mean input rows are a poor
-    # size proxy; without this Ray bundles the tiny key blocks into a
-    # handful of huge tasks and parallelism collapses
-    return ds.map_batches(mk, batch_format="pyarrow", batch_size=4096,
+    return ds.map_batches(mk, batch_format="pyarrow", batch_size=None,
                           zero_copy_batch=True)
 
 
@@ -73,16 +78,19 @@ def flagship_pipeline(sf_dir: str, zoom: int = 12, agg_zoom: int = 4,
     pages = pages.select_columns(["pid", "url", "text"])
     # GeoparseStage instance => stateless task pool (scales with CPUs,
     # no actor startup); the class form stays available for heavy state
+    # NOTE: no batch_size on the chain stages — a row-count batch_size
+    # becomes min-rows-per-task-bundle on the fused operator and
+    # collapses parallelism (observed: 600k-row input -> 9 tasks)
     points = pages.map_batches(GeoparseStage(), batch_format="pyarrow",
-                               batch_size=batch_size)
+                               batch_size=None)
     merc = transform_points_stage(points, "+init=epsg:4326", "+init=epsg:3857",
                                   lon_col="lon", lat_col="lat",
-                                  out_x="xm", out_y="ym", batch_size=batch_size)
+                                  out_x="xm", out_y="ym", batch_size=None)
     tiled = tile_stage(merc, zoom, out="cell_id")
     joined = tiled.map_batches(
         PIPJoinActor(poly_defs=FLAGSHIP_POLYGONS, zoom=5,
                      id_cols=("pid", "cell_id")),
-        batch_format="pyarrow", batch_size=batch_size)
+        batch_format="pyarrow", batch_size=None)
 
     from ..kernels.tiling import parent_cell
 

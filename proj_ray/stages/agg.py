@@ -10,7 +10,7 @@ import pandas as pd
 import pyarrow as pa
 
 
-def partial_group_sums(ds, key_cols, sum_cols, count_col="n", batch_size=262144,
+def partial_group_sums(ds, key_cols, sum_cols, count_col="n", batch_size=None,
                        salt_mod=None):
     """Stage 1: per-batch groupby-sum (vectorized pandas) emitting
     partials; stage 2: Ray groupby over the partials. Returns a Dataset

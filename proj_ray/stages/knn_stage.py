@@ -22,7 +22,7 @@ import pyarrow as pa
 
 
 def knn_topk(ds, queries, k=5, lon_col="lon", lat_col="lat", id_col="pid",
-             batch_size=131072, refine_geodesic=False):
+             batch_size=None, refine_geodesic=False):
     """``queries`` = [(qid, qlon, qlat), ...] (small). Returns a pyarrow
     Table (qid, id, rank, d2) with rank 1..k by (d2, id)."""
     q = np.asarray([[ql, qa] for _, ql, qa in queries], dtype=np.float64)
