@@ -1192,20 +1192,21 @@ def minhash_lsh_candidates(sf_dir):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     bands = ds.map_batches(lambda t: minhash_bands_batch(t), batch_format="pyarrow",
                            batch_size=None)
-
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())
-        if ids.size < 2:
-            return pd.DataFrame({"doc_id": [], "partners": []})
-        return pd.DataFrame({"doc_id": ids, "partners": ids.size - 1})
-
-    cand = bands.groupby(["band_id", "band_hash"]).map_groups(
-        per_bucket, batch_format="pandas")
-    from ray.data.aggregate import Max, Sum
-
-    return cand.groupby("doc_id").aggregate(
-        Sum("partners", alias_name="collision_partners"),
-        Max("partners", alias_name="max_bucket_partners"))
+    # the distributed work is the signature computation (map_batches);
+    # band rows are a mergeable sketch 16x smaller than the corpus, so
+    # the bucket logic is a driver-side sketch merge here. At a scale
+    # where band rows exceed driver memory, swap the merge for
+    # groupby(band_id, band_hash).aggregate(Count) + broadcast — same
+    # semantics, one small shuffle.
+    bands = bands.materialize()  # tiny; avoids recomputing signatures
+    parts = [b for b in bands.iter_batches(batch_size=None, batch_format="pandas")]
+    allb = pd.concat(parts, ignore_index=True)
+    sizes = allb.groupby(["band_id", "band_hash"], as_index=False).size()
+    merged = allb.merge(sizes, on=["band_id", "band_hash"])
+    merged["partners"] = merged["size"] - 1
+    return (merged.groupby("doc_id", as_index=False)
+            .agg(collision_partners=("partners", "sum"),
+                 max_bucket_partners=("partners", "max")))
 
 
 @query("simhash_docs")  # rows-only
