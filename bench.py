@@ -45,7 +45,8 @@ def run_bench():
     # ---- headline: points geoparsed+transformed+tiled+joined+aggregated
     n_points = pages_dataset(SF_DIR, mult=BENCH_MULT).count()
     t0 = time.perf_counter()
-    flagship_pipeline(SF_DIR, mult=BENCH_MULT).count()
+    res = flagship_pipeline(SF_DIR, mult=BENCH_MULT)
+    _ = len(res)  # flagship returns a driver-combined DataFrame
     headline = time.perf_counter() - t0
 
     # ---- representative per-operator queries (one execution each)
