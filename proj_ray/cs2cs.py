@@ -1,0 +1,5 @@
+"""python -m proj_ray.cs2cs — the cs2cs-equivalent text filter."""
+from .cli import cs2cs_main
+
+if __name__ == "__main__":
+    raise SystemExit(cs2cs_main())

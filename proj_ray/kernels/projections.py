@@ -136,9 +136,11 @@ def setup_merc(P):
         e = P.e
 
         def fwd(lam, phi):
-            bad = np.abs(np.abs(phi) - HALFPI) <= EPS10
+            bad = (np.abs(np.abs(phi) - HALFPI) <= EPS10) | ~np.isfinite(phi)
+            with np.errstate(invalid="ignore"):
+                y = -k0 * np.log(tsfn(np.where(bad, 0.0, phi),
+                                      np.sin(np.where(bad, 0.0, phi)), e))
             x = k0 * lam
-            y = -k0 * np.log(tsfn(np.where(bad, 0.0, phi), np.sin(np.where(bad, 0.0, phi)), e))
             return np.where(bad, HUGE, x), np.where(bad, HUGE, y)
 
         def inv(x, y):
@@ -149,9 +151,10 @@ def setup_merc(P):
     else:
 
         def fwd(lam, phi):
-            bad = np.abs(np.abs(phi) - HALFPI) <= EPS10
+            bad = (np.abs(np.abs(phi) - HALFPI) <= EPS10) | ~np.isfinite(phi)
             x = k0 * lam
-            y = k0 * np.log(np.tan(FORTPI + 0.5 * np.where(bad, 0.0, phi)))
+            with np.errstate(invalid="ignore"):
+                y = k0 * np.log(np.tan(FORTPI + 0.5 * np.where(bad, 0.0, phi)))
             return np.where(bad, HUGE, x), np.where(bad, HUGE, y)
 
         def inv(x, y):
