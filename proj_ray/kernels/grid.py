@@ -270,5 +270,59 @@ def gridlist_from_nadgrids(nadgrids: str, loader=None):
             if optional:
                 continue
             raise FileNotFoundError(f"required grid {name!r} not available (-38)")
-        grids.append(g)
+        if isinstance(g, list):
+            grids.extend(g)  # NTv2 top-level subgrids are list siblings
+        else:
+            grids.append(g)
     return grids
+
+
+def apply_vgridshift(vgrids, inverse: bool, lam, phi, z):
+    """Vertical (geoid) grid shift: first-match bilinear height applied
+    to z (+= forward geoid->ellipsoidal, -= inverse), replicating
+    pj_apply_vgridshift (src/pj_apply_vgridshift.c:46-211): NON-inflated
+    bbox, child descent, -88.8888 nodata.
+
+    Deviation from the reference: a point with no vgrid coverage gets an
+    inf z lane (and ok=False) instead of failing the whole call — batch
+    engines must not let one point poison the stream. Returns (z, ok).
+    """
+    lam = np.asarray(lam, dtype=np.float64)
+    phi = np.asarray(phi, dtype=np.float64)
+    z = np.asarray(z, dtype=np.float64).copy()
+    ok = np.zeros(lam.shape, dtype=bool)
+    err_in = ~np.isfinite(lam)
+    NODATA = np.float32(-88.8888)
+    for vg in vgrids:
+        todo = np.flatnonzero(~ok & ~err_in)
+        if todo.size == 0:
+            break
+        inside = vg.contains(lam[todo], phi[todo])
+        ids = todo[inside]
+        if ids.size == 0:
+            continue
+        dl, dp = vg.delta
+        nl = vg.lim[0]
+        gx = (lam[ids] - vg.ll[0]) / dl
+        gy = (phi[ids] - vg.ll[1]) / dp
+        ix = np.floor(gx)
+        iy = np.floor(gy)
+        fx = gx - ix
+        fy = gy - iy
+        ix = np.clip(ix, 0, vg.lim[0] - 2).astype(np.int64)
+        iy = np.clip(iy, 0, vg.lim[1] - 2).astype(np.int64)
+        v = vg.values
+        # accumulation order of pj_apply_vgridshift.c:146-155
+        value = (v[iy, ix] * (1.0 - fx) * (1.0 - fy)
+                 + v[iy, ix + 1] * fx * (1.0 - fy)
+                 + v[iy + 1, ix] * (1.0 - fx) * fy
+                 + v[iy + 1, ix + 1] * fx * fy)
+        good = value != NODATA
+        gids = ids[good]
+        if inverse:
+            z[gids] = z[gids] - value[good]
+        else:
+            z[gids] = z[gids] + value[good]
+        ok[gids] = True
+    z[~ok & ~err_in] = HUGE
+    return z, ok

@@ -9,9 +9,9 @@ Step order and elision conditions replicate ``pj_transform``
  2. vertical units -> meters             (vto_meter != 1)
  3. geocentric->geodetic OR inverse-project source
  4. + source prime meridian              (from_greenwich != 0)
- 5. source geoid vertical shift          (+geoidgrids)        [not in v0]
+ 5. source geoid vertical shift          (+geoidgrids)
  6. datum transform (grid shift -> geocentric -> Helmert -> back)
- 7. dest geoid vertical shift (inverse)                        [not in v0]
+ 7. dest geoid vertical shift (inverse)
  8. - dest prime meridian
  9. geodetic->geocentric OR forward-project dest
 10. lon_wrap recentering (latlong dest only)
@@ -96,7 +96,7 @@ class Transform:
     everything is radians, matching the reference.
     """
 
-    def __init__(self, src, dst, grid_loader=None):
+    def __init__(self, src, dst, grid_loader=None, vgrid_loader=None):
         self.src = src if isinstance(src, CRS) else CRS(src)
         self.dst = dst if isinstance(dst, CRS) else CRS(dst)
         self._src_grids = None
@@ -106,6 +106,13 @@ class Transform:
             self._src_grids = gridlist_from_nadgrids(self.src.nadgrids, grid_loader)
         if self.dst.datum_type == PJD_GRIDSHIFT:
             self._dst_grids = gridlist_from_nadgrids(self.dst.nadgrids, grid_loader)
+        # vertical geoid grids (+geoidgrids, steps 5/7 of pj_transform)
+        self._src_vgrids = self._dst_vgrids = None
+        vloader = vgrid_loader or grid_loader
+        if getattr(self.src, "has_geoid_vgrids", False):
+            self._src_vgrids = gridlist_from_nadgrids(self.src.geoidgrids, vloader)
+        if getattr(self.dst, "has_geoid_vgrids", False):
+            self._dst_vgrids = gridlist_from_nadgrids(self.dst.geoidgrids, vloader)
 
     # -- datum step (src/pj_transform.c:602-720) ------------------------
     def _datum_transform(self, x, y, z):
@@ -172,8 +179,18 @@ class Transform:
         # 4. + src prime meridian
         if src.from_greenwich != 0.0:
             x = np.where(np.isfinite(x), x + src.from_greenwich, x)
+        # 5. source geoid -> ellipsoidal vertical shift (+geoidgrids)
+        if self._src_vgrids:
+            from .kernels.grid import apply_vgridshift
+
+            z, _ok = apply_vgridshift(self._src_vgrids, False, x, y, z)
         # 6. datum transform
         x, y, z = self._datum_transform(x, y, z)
+        # 7. dst geoid vertical shift (inverse)
+        if self._dst_vgrids:
+            from .kernels.grid import apply_vgridshift
+
+            z, _ok = apply_vgridshift(self._dst_vgrids, True, x, y, z)
         # 8. - dst prime meridian
         if dst.from_greenwich != 0.0:
             x = np.where(np.isfinite(x), x - dst.from_greenwich, x)
