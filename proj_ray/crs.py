@@ -352,6 +352,7 @@ class CRS:
             raise ValueError("no projection name (-4)")
         from .kernels.projections import PROJ_REGISTRY
         from .kernels import projections2  # noqa: F401  (registry wave 2)
+        from .kernels import projections3  # noqa: F401  (registry wave 3)
 
         if name not in PROJ_REGISTRY:
             raise ValueError(f"unknown projection {name!r} (-5)")

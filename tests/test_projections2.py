@@ -100,3 +100,50 @@ def test_aeqd_polar_distance_property():
     arc = (mlfn(np.float64(HALFPI), 1.0, 0.0, en)
            - mlfn(np.radians(80.0), np.sin(np.radians(80.0)), np.cos(np.radians(80.0)), en))
     np.testing.assert_allclose(np.hypot(x, y), 6378137.0 * arc, rtol=1e-12)
+
+
+WAVE3 = [
+    ("+proj=sterea +lat_0=52 +lon_0=5 +ellps=bessel", 170, 1e-9),
+    ("+proj=eqdc +lat_1=40 +lat_2=60 +datum=WGS84", 170, 1e-9),
+    ("+proj=eqdc +lat_1=40 +lat_2=60 +ellps=sphere", 170, 1e-9),
+    ("+proj=robin +ellps=sphere", 170, 2e-5),  # table spline: reference-level wiggle
+    ("+proj=eck4 +ellps=sphere", 170, 1e-7),
+    ("+proj=gall +ellps=sphere", 170, 1e-9),
+    ("+proj=hammer +ellps=sphere", 170, 1e-9),
+    ("+proj=wink1 +ellps=sphere", 170, 1e-9),
+    ("+proj=eck5 +ellps=sphere", 170, 1e-9),
+]
+
+
+@pytest.mark.parametrize("proj,dom,atol", WAVE3,
+                         ids=[c[0].split()[0][6:] + "w3" + str(i) for i, c in enumerate(WAVE3)])
+def test_roundtrip_wave3(proj, dom, atol):
+    rng = np.random.default_rng(21)
+    n = 120
+    lon = rng.uniform(-dom, dom, n)
+    lat = rng.uniform(-80, 80, n)
+    fwd = make_transform(WGS, proj)
+    inv = make_transform(proj, WGS)
+    x, y, _ = fwd(lon, lat)
+    lo, la, _ = inv(x, y)
+    ok = np.isfinite(lo) & np.isfinite(la)
+    assert ok.mean() > 0.9, proj
+    np.testing.assert_allclose(lo[ok], lon[ok], rtol=0, atol=atol, err_msg=proj)
+    np.testing.assert_allclose(la[ok], lat[ok], rtol=0, atol=atol, err_msg=proj)
+
+
+def test_robin_reference_golden():
+    """tv_out.dist robin rows (float32 coefficient parity)."""
+    t = make_transform(WGS, "+proj=robin +datum=WGS84")
+    x, y, _ = t(np.array([-30.0, -35.0, 20.0]), np.array([40.0, 45.0, 40.0]))
+    np.testing.assert_allclose(np.round(x, 2), [-2612095.95, -2963455.42, 1741397.30])
+    np.testing.assert_allclose(np.round(y, 2), [4276351.58, 4805073.65, 4276351.58])
+
+
+def test_sterea_rd_new_origin():
+    """RD New (EPSG:28992-style sterea) maps its origin to the false origin."""
+    t = make_transform(WGS, "+proj=sterea +lat_0=52.15616055555555 "
+                       "+lon_0=5.38763888888889 +k=0.9999079 +x_0=155000 "
+                       "+y_0=463000 +ellps=bessel")
+    x, y, _ = t(np.array([5.38763888888889]), np.array([52.15616055555555]))
+    np.testing.assert_allclose([x[0], y[0]], [155000.0, 463000.0], atol=1e-6)
