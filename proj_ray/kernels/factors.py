@@ -1,0 +1,84 @@
+"""Projection scale-factor analysis (the reference's ``-S``/``-V``
+feature): numeric 4-point derivatives + scale factors h, k, areal s,
+convergence, Tissot axes a/b, angular distortion omega.
+
+Replicates ``pj_factors`` (src/pj_factors.c:17-86) and ``pj_deriv``
+(src/pj_deriv.c) vectorized: the derivative uses the same 4-corner
+stencil with step h (default 1e-5 rad) on the RAW projection function
+(no false easting / a-scaling), and the ellipsoidal corrections match
+the reference term for term.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .common import HALFPI, adjlon, aasin
+
+DEFAULT_H = 1e-5
+
+
+def factors(P, lon_deg, lat_deg, h: float = DEFAULT_H):
+    """Vectorized pj_factors. Returns dict of arrays:
+    h, k (meridional/parallel scale), s (areal), conv (convergence,
+    radians), omega (max angular distortion), a, b (Tissot axes),
+    thetap. Invalid lanes are NaN."""
+    lam = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    bad = (np.abs(phi) - HALFPI > 1e-12) | (np.abs(lam) > 10.0)
+
+    if h < 1e-12:
+        h = DEFAULT_H
+    # pole adjust (pj_factors.c:25-27)
+    phi = np.where(np.abs(phi) > (HALFPI - h),
+                   np.where(phi < 0.0, -HALFPI + h, HALFPI - h), phi)
+    if P.geoc:
+        inner = np.abs(phi) <= (HALFPI - h)
+        phi = np.where(inner, np.arctan(P.rone_es * np.tan(phi)), phi)
+    lam = lam - P.lam0
+    if not P.over:
+        lam = adjlon(lam)
+
+    # 4-corner stencil (pj_deriv.c) on the raw fwd
+    x_pp, y_pp = P.fwd(lam + h, phi + h)
+    x_pm, y_pm = P.fwd(lam + h, phi - h)
+    x_mm, y_mm = P.fwd(lam - h, phi - h)
+    x_mp, y_mp = P.fwd(lam - h, phi + h)
+    h4 = 4.0 * h
+    x_l = (x_pp + x_pm - x_mm - x_mp) / h4
+    y_l = (y_pp + y_pm - y_mm - y_mp) / h4
+    x_p = (-x_pp + x_pm + x_mm - x_mp) / h4
+    y_p = (y_pp - y_pm - y_mm + y_mp) / h4
+    bad = bad | ~np.isfinite(x_l) | ~np.isfinite(y_p)
+
+    cosphi = np.cos(phi)
+    fh = np.hypot(x_p, y_p)
+    fk = np.hypot(x_l, y_l) / cosphi
+    if P.es:
+        t = np.sin(phi)
+        t = 1.0 - P.es * t * t
+        n = np.sqrt(t)
+        fh = fh * (t * n / P.one_es)
+        fk = fk * n
+        r = t * t / P.one_es
+    else:
+        r = 1.0
+    conv = -np.arctan2(y_l, x_l)
+    s = (y_p * x_l - x_p * y_l) * r / cosphi
+    with np.errstate(invalid="ignore", divide="ignore"):
+        thetap = aasin(s / (fh * fk))
+    t2 = fk * fk + fh * fh
+    a = np.sqrt(np.maximum(t2 + 2.0 * s, 0.0))
+    tmb = t2 - 2.0 * s
+    tmb = np.where(tmb <= 0.0, 0.0, np.sqrt(np.maximum(tmb, 0.0)))
+    b = 0.5 * (a - tmb)
+    a = 0.5 * (a + tmb)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        omega = 2.0 * aasin((a - b) / (a + b))
+
+    def mask(v):
+        return np.where(bad, np.nan, v)
+
+    return {"h": mask(fh), "k": mask(fk), "s": mask(s), "conv": mask(conv),
+            "omega": mask(omega), "a": mask(a), "b": mask(b),
+            "thetap": mask(thetap)}

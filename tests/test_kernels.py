@@ -230,3 +230,30 @@ def test_geod_line_interpolation():
                                     np.array([10.0]), np.array([0.0]), 5)
     np.testing.assert_allclose(lons[0], [0.0, 2.5, 5.0, 7.5, 10.0], atol=1e-6)
     np.testing.assert_allclose(lats[0], 0.0, atol=1e-9)
+
+
+def test_factors_known_values():
+    """Scale factors: merc k = sec(phi)-like (ellipsoidal), UTM k0 at CM,
+    stere polar conformal h == k."""
+    from proj_ray.crs import CRS
+    from proj_ray.kernels.factors import factors
+
+    # spherical merc: h = k = 1/cos(phi)
+    P = CRS("+proj=merc +ellps=sphere")
+    f = factors(P, np.array([0.0, 10.0]), np.array([0.0, 45.0]))
+    np.testing.assert_allclose(f["k"], 1.0 / np.cos(np.radians([0.0, 45.0])), rtol=1e-5)
+    np.testing.assert_allclose(f["h"], f["k"], rtol=1e-5)   # conformal
+    np.testing.assert_allclose(f["omega"], 0.0, atol=1e-4)  # no angular distortion
+    # UTM: k = 0.9996 on the central meridian
+    P2 = CRS("+proj=utm +zone=33 +datum=WGS84")
+    f2 = factors(P2, np.array([15.0]), np.array([45.0]))
+    np.testing.assert_allclose(f2["k"][0], 0.9996, rtol=1e-6)
+    np.testing.assert_allclose(f2["conv"][0], 0.0, atol=1e-6)  # no convergence on CM
+    # convergence magnitude off-CM: |gamma| = atan(tan(dlam) sin(phi))
+    f3 = factors(P2, np.array([18.0]), np.array([45.0]))
+    expect = np.arctan(np.tan(np.radians(3.0)) * np.sin(np.radians(45.0)))
+    np.testing.assert_allclose(abs(f3["conv"][0]), expect, rtol=1e-3)
+    # equal-area projection: areal scale s == 1 everywhere
+    P4 = CRS("+proj=cea +ellps=sphere")
+    f4 = factors(P4, np.array([20.0, -50.0]), np.array([15.0, 60.0]))
+    np.testing.assert_allclose(f4["s"], 1.0, rtol=1e-5)
