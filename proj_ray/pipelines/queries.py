@@ -1381,3 +1381,157 @@ def geod_inverse_vincenty(sf_dir):
 
     return pts.map_batches(fn, batch_format="pyarrow", batch_size=None,
                            zero_copy_batch=True)
+
+
+# ===========================================================================
+# Relational part 2: as-of join, salted skew aggregate, union/repartition,
+# token frequency top-k
+# ===========================================================================
+
+@query(
+    "asof_signup_purchase",
+    sql="""
+    WITH s AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'signup'),
+         p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, s.event_id AS signup_event_id,
+           epoch_us(p.ts) - epoch_us(s.ts) AS gap_us
+    FROM p ASOF JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+)
+def asof_signup_purchase(sf_dir):
+    """AS-OF join: each purchase matched to the latest prior-or-equal
+    signup of the same user. groupby(user).map_groups with sorted
+    searchsorted — the per-key ordered-log pattern; at scale the
+    key-hash shuffle co-locates each user's events."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type", "event_id"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        s = g[g["event_type"] == "signup"].sort_values(["ts", "event_id"])
+        p = g[g["event_type"] == "purchase"]
+        if s.empty or p.empty:
+            return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                                 "signup_event_id": pd.Series(dtype="int64"),
+                                 "gap_us": pd.Series(dtype="int64")})
+        s_ts = s["ts"].astype("int64").to_numpy()
+        p_ts = p["ts"].astype("int64").to_numpy()
+        pos = np.searchsorted(s_ts, p_ts, side="right") - 1
+        ok = pos >= 0
+        return pd.DataFrame({
+            "event_id": p["event_id"].to_numpy()[ok],
+            "signup_event_id": s["event_id"].to_numpy()[pos[ok]],
+            "gap_us": p_ts[ok] - s_ts[pos[ok]],
+        })
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def _salted_sql():
+    tx, ty = _tile_sql_exprs(2)
+    return f"""
+    WITH {_POINTS_CTE}
+    SELECT {ty} * 4 + {tx} AS cell,
+           COUNT(*) AS n_points,
+           SUM(pid) AS sum_pid
+    FROM points GROUP BY cell
+    """
+
+
+@query("salted_cell_agg", sql=_salted_sql())
+def salted_cell_agg(sf_dir):
+    """Skew demo: zoom-2 cells are few and hot (megacity-cell shape).
+    The salted two-phase aggregate (partial per (key, salt) inside
+    map_batches, final groupby over tiny partials) produces the exact
+    same totals as an unsalted GROUP BY — the oracle proves it."""
+    pts = _points_ds(sf_dir)
+
+    def add_cell(t: pa.Table) -> pa.Table:
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        return pa.table({"cell": pa.array(_cell_id(lon, lat, 2), pa.int64()),
+                         "pid": t["pid"]})
+
+    with_cell = pts.map_batches(add_cell, batch_format="pyarrow", batch_size=None)
+    from ..stages.agg import partial_group_sums
+
+    out = partial_group_sums(with_cell, ["cell"], ["pid"], count_col="n_points",
+                             salt_mod=8)
+    # rename summed column to the oracle's name
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"pid": "sum_pid"})
+
+    return out.map_batches(fin, batch_format="pandas", batch_size=None)
+
+
+@query(
+    "union_repartition_count",
+    sql="""
+    SELECT COUNT(*) AS n_rows, SUM(l_orderkey) AS sum_key FROM (
+      SELECT l_orderkey FROM lineitem WHERE l_discount < 0.03
+      UNION ALL
+      SELECT l_orderkey FROM lineitem WHERE l_discount >= 0.07
+    )
+    """,
+)
+def union_repartition_count(sf_dir):
+    """union + repartition coverage: two filtered streams unioned,
+    redistributed, then aggregated."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_discount"])
+
+    def filt(lo, hi):
+        def fn(t: pa.Table) -> pa.Table:
+            keep = pc.and_(pc.greater_equal(t["l_discount"], pa.scalar(lo)),
+                           pc.less(t["l_discount"], pa.scalar(hi)))
+            return t.filter(keep).select(["l_orderkey"])
+        return fn
+
+    a = ds.map_batches(filt(-1.0, 0.03), batch_format="pyarrow", batch_size=None)
+    b = ds.map_batches(filt(0.07, 99.0), batch_format="pyarrow", batch_size=None)
+    u = a.union(b).repartition(16)
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({"n_rows": pa.array([len(k)], pa.int64()),
+                         "sum_key": pa.array([int(k.sum())], pa.int64())})
+
+    parts = u.map_batches(partial, batch_format="pyarrow", batch_size=None).to_pandas()
+    return pd.DataFrame({"n_rows": [int(parts["n_rows"].sum())],
+                         "sum_key": [int(parts["sum_key"].sum())]})
+
+
+@query(
+    "token_topk",
+    sql=f"""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(text, '{TOKEN_RE}')) AS token FROM documents
+    )
+    SELECT token, COUNT(*) AS n FROM toks GROUP BY token
+    ORDER BY n DESC, token LIMIT 20
+    """,
+)
+def token_topk(sf_dir):
+    """Top-k token frequency: per-batch partial counts -> groupby(token)
+    -> small final sort (the wordcount shape)."""
+    import re as _re
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    tok_re = _re.compile(TOKEN_RE)
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c = Counter()
+        for txt in t["text"].to_pylist():
+            c.update(tok_re.findall(txt or ""))
+        if not c:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        toks, ns = zip(*c.items())
+        return pa.table({"token": pa.array(list(toks), pa.string()),
+                         "n": pa.array(list(ns), pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    from ray.data.aggregate import Sum
+
+    agg = parts.groupby("token").aggregate(Sum("n", alias_name="n")).to_pandas()
+    return (agg.sort_values(["n", "token"], ascending=[False, True])
+            .head(20).reset_index(drop=True))

@@ -257,3 +257,36 @@ def test_factors_known_values():
     P4 = CRS("+proj=cea +ellps=sphere")
     f4 = factors(P4, np.array([20.0, -50.0]), np.array([15.0, 60.0]))
     np.testing.assert_allclose(f4["s"], 1.0, rtol=1e-5)
+
+
+def test_grid_catalog_asof_mix():
+    """Dated catalog: linear mix between before/after grids by date
+    (pj_gridcatalog.c:102-230), date=0 => after only."""
+    from proj_ray.kernels.gridcatalog import CatalogEntry, GridCatalog, parse_catalog_date
+
+    assert parse_catalog_date("2000-02-01") == 2000 + 31 / 372.0
+    assert parse_catalog_date("1997.5") == 1997.5
+
+    d2r = np.pi / 180.0
+    # two constant-shift grids at dates 2000 and 2010
+    def const_grid(gid, shift):
+        cvs = np.zeros((5, 5, 2), dtype=np.float32)
+        cvs[..., 0] = shift
+        return ShiftGrid(gid, (-10 * d2r, -10 * d2r), (5 * d2r, 5 * d2r), (5, 5), cvs)
+
+    region = (-10 * d2r, -10 * d2r, 10 * d2r, 10 * d2r)
+    cat = GridCatalog([
+        CatalogEntry(const_grid("G2000", 1e-5), region, 2000.0),
+        CatalogEntry(const_grid("G2010", 3e-5), region, 2010.0),
+    ])
+    lam = np.array([0.0])
+    phi = np.array([0.0])
+    # date 2005 => halfway mix: shift = -(2e-5) on lam (fwd subtracts)
+    lo, _ = cat.apply(2005.0, False, lam, phi)
+    np.testing.assert_allclose(lo[0], -2e-5, atol=1e-10)
+    # date 0 => pure after (first entry with date >= 0 is G2000)
+    lo0, _ = cat.apply(0.0, False, lam, phi)
+    np.testing.assert_allclose(lo0[0], -1e-5, atol=1e-10)
+    # point outside all regions passes through
+    lo2, _ = cat.apply(2005.0, False, np.array([2.0]), np.array([0.0]))
+    assert lo2[0] == 2.0
