@@ -197,13 +197,15 @@ def dmstor(s: str) -> float:
         tv = float(m.group(0))
         i = m.end()
         ch = s[i] if i < len(s) else ""
-        if ch in "dD":
+        # note: ch may be "" at end-of-string; `"" in "dD"` is True in
+        # Python, so every membership test must guard on non-empty ch
+        if ch and ch in "dD":
             n = 0
         elif ch == "'":
             n = 1
         elif ch == '"':
             n = 2
-        elif ch in "rR":
+        elif ch and ch in "rR":
             if nl:
                 raise ValueError(f"bad DMS string: {s!r}")
             i += 1
@@ -353,6 +355,7 @@ class CRS:
         from .kernels.projections import PROJ_REGISTRY
         from .kernels import projections2  # noqa: F401  (registry wave 2)
         from .kernels import projections3  # noqa: F401  (registry wave 3)
+        from .kernels import projections4  # noqa: F401  (registry wave 4)
 
         if name not in PROJ_REGISTRY:
             raise ValueError(f"unknown projection {name!r} (-5)")

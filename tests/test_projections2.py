@@ -147,3 +147,52 @@ def test_sterea_rd_new_origin():
                        "+y_0=463000 +ellps=bessel")
     x, y, _ = t(np.array([5.38763888888889]), np.array([52.15616055555555]))
     np.testing.assert_allclose([x[0], y[0]], [155000.0, 463000.0], atol=1e-6)
+
+
+WAVE4 = [
+    ("+proj=omerc +lat_0=4 +lonc=115 +alpha=53.3 +k_0=0.99984 +datum=WGS84", 30, 1e-7),
+    ("+proj=omerc +lat_0=45 +lon_1=-80 +lat_1=40 +lon_2=-60 +lat_2=50 +datum=WGS84", 30, 1e-7),
+    ("+proj=omerc +lat_0=4 +lonc=115 +alpha=53.3 +no_off +datum=WGS84", 30, 1e-7),
+    ("+proj=omerc +lat_0=4 +lonc=115 +gamma=53.1 +alpha=53.3 +no_rot +datum=WGS84", 30, 1e-7),
+    ("+proj=poly +datum=WGS84", 30, 1e-9),
+    ("+proj=poly +ellps=sphere", 30, 1e-9),
+    # bonne southern lat_1 inverse is broken in the reference era too —
+    # only the northern forms are round-trippable
+    ("+proj=bonne +lat_1=45 +datum=WGS84", 30, 1e-9),
+    ("+proj=bonne +lat_1=45 +ellps=sphere", 30, 1e-9),
+    ("+proj=bonne +lat_1=90 +ellps=sphere", 30, 1e-9),
+]
+
+
+@pytest.mark.parametrize("proj,dom,atol", WAVE4,
+                         ids=[c[0].split()[0][6:] + "w4" + str(i) for i, c in enumerate(WAVE4)])
+def test_roundtrip_wave4(proj, dom, atol):
+    rng = np.random.default_rng(31)
+    n = 100
+    lon = rng.uniform(-dom, dom, n)
+    lat = rng.uniform(-60, 60, n)
+    fwd = make_transform(WGS, proj)
+    inv = make_transform(proj, WGS)
+    x, y, _ = fwd(lon, lat)
+    lo, la, _ = inv(x, y)
+    ok = np.isfinite(lo) & np.isfinite(la)
+    assert ok.mean() > 0.9, proj
+    np.testing.assert_allclose(lo[ok], lon[ok], rtol=0, atol=atol, err_msg=proj)
+    np.testing.assert_allclose(la[ok], lat[ok], rtol=0, atol=atol, err_msg=proj)
+
+
+def test_omerc_rso_borneo_golden():
+    """tv_out.dist RSO Borneo: 116d2'11.12630 5d54'19.90183 ->
+    704570.40 653979.68 (ticket 62 regression)."""
+    from proj_ray.crs import dmstor
+    from proj_ray.kernels.common import RAD_TO_DEG
+
+    rso = ("+proj=omerc +a=6377298.556 +rf=300.8017 +lat_0=4 +lonc=115 "
+           "+alpha=53d18'56.9537 +gamma=53d7'48.3685 +k_0=0.99984 "
+           "+x_0=590476.87 +y_0=442857.65")
+    t = make_transform("+proj=latlong +a=6377298.556 +rf=300.8017", rso)
+    lon = np.array([dmstor("116d2'11.12630") * RAD_TO_DEG])
+    lat = np.array([dmstor("5d54'19.90183") * RAD_TO_DEG])
+    x, y, _ = t(lon, lat)
+    np.testing.assert_allclose([round(x[0], 2), round(y[0], 2)],
+                               [704570.40, 653979.68])
