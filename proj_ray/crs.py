@@ -625,5 +625,28 @@ class CRS:
             return self.nadgrids == other.nadgrids
         return True
 
+    def to_proj4(self) -> str:
+        """Serialize back to a +proj string from the USED parameters
+        (pj_get_def semantics, src/pj_utils.c:71-116: only params whose
+        ``used`` flag is set appear)."""
+        toks = []
+        for k in self.pl.keys():
+            if k in self.pl.used or k == "proj":
+                v = self.pl._d[k]
+                toks.append(f"+{k}={v}" if v != "" else f"+{k}")
+        return " ".join(toks)
+
+    def latlong_base(self) -> "CRS":
+        """The underlying geographic CRS (pj_latlong_from_proj,
+        src/pj_utils.c:118-173): keeps datum/ellipsoid/grid/pm params."""
+        keep = ("datum", "ellps", "a", "b", "rf", "es", "e", "f", "towgs84",
+                "nadgrids", "pm", "R", "geoidgrids", "lon_wrap", "over")
+        toks = ["+proj=latlong"]
+        for k in self.pl.keys():
+            if k in keep:
+                v = self.pl._d[k]
+                toks.append(f"+{k}={v}" if v != "" else f"+{k}")
+        return CRS(" ".join(toks))
+
     def __repr__(self):
         return f"CRS({self.defn!r})"
