@@ -356,6 +356,7 @@ class CRS:
         from .kernels import projections2  # noqa: F401  (registry wave 2)
         from .kernels import projections3  # noqa: F401  (registry wave 3)
         from .kernels import projections4  # noqa: F401  (registry wave 4)
+        from .kernels import projections5  # noqa: F401  (registry wave 5)
 
         if name not in PROJ_REGISTRY:
             raise ValueError(f"unknown projection {name!r} (-5)")

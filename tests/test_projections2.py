@@ -196,3 +196,49 @@ def test_omerc_rso_borneo_golden():
     x, y, _ = t(lon, lat)
     np.testing.assert_allclose([round(x[0], 2), round(y[0], 2)],
                                [704570.40, 653979.68])
+
+
+WAVE5 = [
+    ("+proj=krovak +ellps=bessel", None, 1e-9),
+    ("+proj=eck1 +ellps=sphere", 170, 1e-9),
+    ("+proj=eck2 +ellps=sphere", 170, 1e-9),
+    ("+proj=eck3 +ellps=sphere", 170, 1e-9),
+    ("+proj=kav7 +ellps=sphere", 170, 1e-9),
+    ("+proj=wag6 +ellps=sphere", 170, 1e-9),
+    ("+proj=putp1 +ellps=sphere", 170, 1e-9),
+    ("+proj=collg +ellps=sphere", 170, 1e-9),
+    ("+proj=fouc_s +ellps=sphere", 170, 1e-9),
+    ("+proj=fouc_s +n=0.5 +ellps=sphere", 170, 1e-9),
+    ("+proj=nell +ellps=sphere", 170, 1e-9),
+]
+
+
+@pytest.mark.parametrize("proj,dom,atol", WAVE5,
+                         ids=[c[0].split()[0][6:] + "w5" + str(i) for i, c in enumerate(WAVE5)])
+def test_roundtrip_wave5(proj, dom, atol):
+    rng = np.random.default_rng(41)
+    if "krovak" in proj:
+        lon = rng.uniform(12, 19, 80)   # S-JTSK domain
+        lat = rng.uniform(48, 51, 80)
+    else:
+        lon = rng.uniform(-dom, dom, 80)
+        lat = rng.uniform(-80, 80, 80)
+    fwd = make_transform(WGS, proj)
+    inv = make_transform(proj, WGS)
+    x, y, _ = fwd(lon, lat)
+    lo, la, _ = inv(x, y)
+    ok = np.isfinite(lo) & np.isfinite(la)
+    assert ok.mean() > 0.9, proj
+    np.testing.assert_allclose(lo[ok], lon[ok], rtol=0, atol=atol, err_msg=proj)
+    np.testing.assert_allclose(la[ok], lat[ok], rtol=0, atol=atol, err_msg=proj)
+
+
+def test_krovak_sjtsk_prague():
+    """S-JTSK: Prague is ~(-742950, -1042797) in the standard
+    negative-axes convention; +czech flips signs."""
+    t = make_transform(WGS, "+proj=krovak +ellps=bessel")
+    x, y, _ = t(np.array([14.42]), np.array([50.09]))
+    assert -744000 < x[0] < -742000 and -1044000 < y[0] < -1042000
+    tc = make_transform(WGS, "+proj=krovak +czech +ellps=bessel")
+    xc, yc, _ = tc(np.array([14.42]), np.array([50.09]))
+    np.testing.assert_allclose([xc[0], yc[0]], [-x[0], -y[0]], rtol=1e-12)
