@@ -320,3 +320,139 @@ def setup_wink2(P):
 
     P.fwd = fwd
     P.inv = inv
+
+
+# ---------------------------------------------------------------------------
+# ob_tran — General Oblique Transformation: wraps ANY registered
+# projection in an oblique rotation, instantiating the inner operator by
+# name at setup (src/PJ_ob_tran.c:71-145) — the reference's precedent
+# for operator composition in config (SURVEY.md §2.9).
+# ---------------------------------------------------------------------------
+
+class _InnerProj:
+    """Lightweight clone carrying the outer CRS's params/constants with a
+    forced spherical earth, for the inner projection's setup."""
+
+    def __init__(self, outer):
+        self.pl = outer.pl
+        for attr in ("over", "geoc", "a", "lam0", "phi0", "x0", "y0", "k0",
+                     "ra", "defn"):
+            setattr(self, attr, getattr(outer, attr))
+        self.es = 0.0
+        self.e = 0.0
+        self.one_es = 1.0
+        self.rone_es = 1.0
+        self.is_latlong = False
+        self.is_geocent = False
+        self.fwd = None
+        self.inv = None
+
+    # pj_param-style accessors (duck-typed like CRS)
+    def param_t(self, key):
+        return key in self.pl.keys()
+
+    def param_s(self, key):
+        return self.pl.get_s(key)
+
+    def param_f(self, key, default=0.0):
+        return self.pl.get_f(key, default)
+
+    def param_r(self, key, default=0.0):
+        return self.pl.get_r(key, default)
+
+    def param_i(self, key, default=0):
+        return self.pl.get_i(key, default)
+
+    def param_b(self, key):
+        return self.pl.get_b(key)
+
+
+@register("ob_tran", "General Oblique Transformation")
+def setup_ob_tran(P):
+    from .projections import PROJ_REGISTRY
+    from .common import adjlon, aatan2
+
+    TOL = 1e-10
+    name = P.param_s("o_proj")
+    if not name:
+        raise ValueError("ob_tran: no o_proj (-26)")
+    if name not in PROJ_REGISTRY:
+        raise ValueError(f"ob_tran: unknown o_proj {name!r} (-37)")
+    P.es = 0.0  # force outer spherical
+    P.e = 0.0
+    P.one_es = P.rone_es = 1.0
+    link = _InnerProj(P)
+    PROJ_REGISTRY[name][0](link)
+
+    if P.param_t("o_alpha"):
+        lamc = P.param_r("o_lon_c")
+        phic = P.param_r("o_lat_c")
+        alpha = P.param_r("o_alpha")
+        if abs(abs(phic) - HALFPI) <= TOL:
+            raise ValueError("ob_tran: |o_lat_c| ~ 90 (-32)")
+        lamp = lamc + float(aatan2(-np.cos(alpha), -np.sin(alpha) * np.sin(phic)))
+        phip = float(aasin(np.cos(phic) * np.sin(alpha)))
+    elif P.param_t("o_lat_p"):
+        lamp = P.param_r("o_lon_p")
+        phip = P.param_r("o_lat_p")
+    else:
+        lam1 = P.param_r("o_lon_1")
+        phi1 = P.param_r("o_lat_1")
+        lam2 = P.param_r("o_lon_2")
+        phi2 = P.param_r("o_lat_2")
+        con = abs(phi1)
+        if (abs(phi1 - phi2) <= TOL or con <= TOL or abs(con - HALFPI) <= TOL
+                or abs(abs(phi2) - HALFPI) <= TOL):
+            raise ValueError("ob_tran: bad two-point spec (-33)")
+        lamp = float(np.arctan2(
+            np.cos(phi1) * np.sin(phi2) * np.cos(lam1)
+            - np.sin(phi1) * np.cos(phi2) * np.cos(lam2),
+            np.sin(phi1) * np.cos(phi2) * np.sin(lam2)
+            - np.cos(phi1) * np.sin(phi2) * np.sin(lam1)))
+        phip = float(np.arctan(-np.cos(lamp - lam1) / np.tan(phi1)))
+
+    if abs(phip) > TOL:  # oblique
+        cphip = float(np.cos(phip))
+        sphip = float(np.sin(phip))
+
+        def fwd(lam, phi):
+            coslam = np.cos(lam)
+            sinphi = np.sin(phi)
+            cosphi = np.cos(phi)
+            lam2_ = adjlon(aatan2(cosphi * np.sin(lam),
+                                  sphip * cosphi * coslam + cphip * sinphi) + lamp)
+            phi2_ = aasin(sphip * sinphi - cphip * cosphi * coslam)
+            return link.fwd(lam2_, phi2_)
+
+        def inv(x, y):
+            lam_i, phi_i = link.inv(x, y)
+            ok = np.isfinite(lam_i)
+            lam_i = lam_i - lamp
+            coslam = np.cos(lam_i)
+            sinphi = np.sin(phi_i)
+            cosphi = np.cos(phi_i)
+            phi_o = aasin(sphip * sinphi + cphip * cosphi * coslam)
+            lam_o = aatan2(cosphi * np.sin(lam_i),
+                           sphip * cosphi * coslam - cphip * sinphi)
+            return np.where(ok, lam_o, HUGE), np.where(ok, phi_o, HUGE)
+
+    else:  # transverse
+
+        def fwd(lam, phi):
+            cosphi = np.cos(phi)
+            coslam = np.cos(lam)
+            lam2_ = adjlon(aatan2(cosphi * np.sin(lam), np.sin(phi)) + lamp)
+            phi2_ = aasin(-cosphi * coslam)
+            return link.fwd(lam2_, phi2_)
+
+        def inv(x, y):
+            lam_i, phi_i = link.inv(x, y)
+            ok = np.isfinite(lam_i)
+            cosphi = np.cos(phi_i)
+            t = lam_i - lamp
+            lam_o = aatan2(cosphi * np.sin(t), -np.sin(phi_i))
+            phi_o = aasin(cosphi * np.cos(t))
+            return np.where(ok, lam_o, HUGE), np.where(ok, phi_o, HUGE)
+
+    P.fwd = fwd
+    P.inv = inv

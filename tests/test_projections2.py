@@ -242,3 +242,29 @@ def test_krovak_sjtsk_prague():
     tc = make_transform(WGS, "+proj=krovak +czech +ellps=bessel")
     xc, yc, _ = tc(np.array([14.42]), np.array([50.09]))
     np.testing.assert_allclose([xc[0], yc[0]], [-x[0], -y[0]], rtol=1e-12)
+
+
+def test_ob_tran_composition():
+    """ob_tran wraps any registered projection in an oblique rotation —
+    the reference's operator-composition-in-config precedent
+    (src/PJ_ob_tran.c:71-145)."""
+    rng = np.random.default_rng(51)
+    lon = rng.uniform(-170, 170, 80)
+    lat = rng.uniform(-75, 75, 80)
+    sph = "+proj=latlong +ellps=sphere"
+    for proj in [
+        "+proj=ob_tran +o_proj=moll +o_lat_p=45 +o_lon_p=-90 +ellps=sphere",
+        "+proj=ob_tran +o_proj=mill +o_lon_1=-10 +o_lat_1=30 +o_lon_2=60 +o_lat_2=50 +ellps=sphere",
+        "+proj=ob_tran +o_proj=merc +o_alpha=40 +o_lon_c=0 +o_lat_c=30 +ellps=sphere",
+        # near-zero pole latitude selects the transverse branch
+        "+proj=ob_tran +o_proj=eqc +o_lat_p=0.00000001 +o_lon_p=90 +ellps=sphere",
+    ]:
+        fwd = make_transform(sph, proj)
+        inv = make_transform(proj, sph)
+        x, y, _ = fwd(lon, lat)
+        lo, la, _ = inv(x, y)
+        ok = np.isfinite(lo)
+        assert ok.mean() > 0.8, proj
+        dl = (lo[ok] - lon[ok] + 180) % 360 - 180
+        assert np.abs(dl).max() < 1e-6, proj
+        np.testing.assert_allclose(la[ok], lat[ok], atol=1e-6, err_msg=proj)
