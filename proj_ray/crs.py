@@ -357,17 +357,24 @@ class CRS:
         from .kernels import projections3  # noqa: F401  (registry wave 3)
         from .kernels import projections4  # noqa: F401  (registry wave 4)
         from .kernels import projections5  # noqa: F401  (registry wave 5)
+        from .kernels import projections6  # noqa: F401  (registry wave 6)
 
         if name not in PROJ_REGISTRY:
             raise ValueError(f"unknown projection {name!r} (-5)")
         setup, _desc = PROJ_REGISTRY[name]
         self.proj_name = name
 
-        # defaults unless +no_defs
+        # defaults unless +no_defs; the general ellps default is
+        # suppressed when any earth-model param is already present
+        # (get_opt "don't default ellipse", src/pj_init.c:188-201)
         if not pl.get_b("no_defs"):
             for tok in PROJ_DEFAULTS.get(name, []):
                 pl.append(tok)
+            has_earth = any(k in pl.keys()
+                            for k in ("datum", "ellps", "a", "b", "rf", "f"))
             for tok in GENERAL_DEFAULTS:
+                if tok.startswith("ellps=") and has_earth:
+                    continue
                 pl.append(tok)
 
         self.pl = pl

@@ -268,3 +268,65 @@ def test_ob_tran_composition():
         dl = (lo[ok] - lon[ok] + 180) % 360 - 180
         assert np.abs(dl).max() < 1e-6, proj
         np.testing.assert_allclose(la[ok], lat[ok], atol=1e-6, err_msg=proj)
+
+
+def test_healpix_reference_goldens():
+    """tv_out.dist healpix stanzas: sphere + ellipsoid forward values,
+    the quirky -90.10072 inverse, and the dmstor-constant-dependent
+    -180/90 pole value (reproduced only through the text-parse path)."""
+    from proj_ray.crs import dmstor
+    from proj_ray.kernels.common import RAD_TO_DEG
+
+    t = make_transform("+proj=latlong +a=1 +lon_0=0", "+proj=healpix +a=1 +lon_0=0")
+    x, y, _ = t(np.array([0.0, -90.0]), np.array([41.81031, 0.0]))
+    np.testing.assert_allclose(np.round(x, 5), [0.0, -1.57080])
+    np.testing.assert_allclose(np.round(y, 5), [0.78540, 0.0])
+
+    te = make_transform("+proj=latlong +a=1 +lon_0=0 +ellps=WGS84",
+                        "+proj=healpix +a=1 +lon_0=0 +ellps=WGS84")
+    xe, ye, _ = te(np.array([0.0, -90.0]), np.array([41.937853904844985, 0.0]))
+    np.testing.assert_allclose(np.round(xe, 5), [0.0, -1.56904])
+    np.testing.assert_allclose(np.round(ye, 5), [0.78452, 0.0])
+
+    ti = make_transform("+proj=healpix +a=1 +lon_0=0 +ellps=WGS84",
+                        "+proj=latlong +a=1 +lon_0=0 +ellps=WGS84")
+    lo, la, _ = ti(np.array([-1.5707963267948966]), np.array([0.0]))
+    np.testing.assert_allclose(round(lo[0], 5), -90.10072)
+
+    t5 = make_transform("+proj=latlong +R=5", "+proj=healpix +R=5")
+    lam_text = dmstor("-180") * RAD_TO_DEG
+    xp, yp, _ = t5(np.array([lam_text]), np.array([90.0]))
+    np.testing.assert_allclose([round(xp[0], 5), round(yp[0], 5)],
+                               [-19.63495, 7.85398])
+
+
+def test_healpix_rhealpix_roundtrips():
+    rng = np.random.default_rng(3)
+    lon = rng.uniform(-179, 179, 200)
+    lat = rng.uniform(-89, 89, 200)
+    for proj, base in [
+        ("+proj=healpix +ellps=sphere", "+proj=latlong +ellps=sphere"),
+        ("+proj=healpix +datum=WGS84", WGS),
+        ("+proj=rhealpix +north_square=1 +south_square=2 +ellps=sphere",
+         "+proj=latlong +ellps=sphere"),
+        ("+proj=rhealpix +north_square=0 +south_square=0 +datum=WGS84", WGS),
+    ]:
+        fwd = make_transform(base, proj)
+        inv = make_transform(proj, base)
+        x, y, _ = fwd(lon, lat)
+        lo, la, _ = inv(x, y)
+        ok = np.isfinite(lo)
+        assert ok.mean() > 0.97, proj
+        atol = 1e-7 if "WGS84" in proj else 1e-9
+        np.testing.assert_allclose(lo[ok], lon[ok], atol=atol, err_msg=proj)
+        np.testing.assert_allclose(la[ok], lat[ok], atol=atol, err_msg=proj)
+
+
+def test_default_ellps_suppression():
+    """+a alone means a sphere: the general ellps=WGS84 default is
+    suppressed when earth-model params are present (pj_init.c:188-201)."""
+    from proj_ray.crs import CRS
+
+    assert CRS("+proj=merc +a=1").es == 0.0
+    assert CRS("+proj=merc +a=6378137 +rf=298.257223563").es != 0.0
+    assert CRS("+proj=merc").es != 0.0  # default WGS84 ellipsoid applies
