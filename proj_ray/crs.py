@@ -358,6 +358,7 @@ class CRS:
         from .kernels import projections4  # noqa: F401  (registry wave 4)
         from .kernels import projections5  # noqa: F401  (registry wave 5)
         from .kernels import projections6  # noqa: F401  (registry wave 6)
+        from .kernels import projections7  # noqa: F401  (registry wave 7)
 
         if name not in PROJ_REGISTRY:
             raise ValueError(f"unknown projection {name!r} (-5)")

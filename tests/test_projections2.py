@@ -330,3 +330,58 @@ def test_default_ellps_suppression():
     assert CRS("+proj=merc +a=1").es == 0.0
     assert CRS("+proj=merc +a=6378137 +rf=298.257223563").es != 0.0
     assert CRS("+proj=merc").es != 0.0  # default WGS84 ellipsoid applies
+
+
+WAVE7_RT = [
+    "+proj=kav5", "+proj=qua_aut", "+proj=mbt_s", "+proj=fouc", "+proj=vandg",
+    "+proj=aitoff", "+proj=wintri", "+proj=wag2", "+proj=wag3 +lat_ts=30",
+    "+proj=crast", "+proj=fahey", "+proj=hatano", "+proj=loxim +lat_1=40",
+    "+proj=nell_h", "+proj=mbt_fps", "+proj=mbtfpp", "+proj=mbtfpq",
+    "+proj=natearth", "+proj=urmfps +n=0.9", "+proj=wag1", "+proj=tcea +lat_0=0",
+]
+WAVE7_FWD_ONLY = [
+    "+proj=boggs", "+proj=august", "+proj=denoy", "+proj=gins8",
+    "+proj=larr", "+proj=lask", "+proj=tcc",
+    "+proj=urm5 +n=0.8 +q=0.3 +alpha=20", "+proj=wink2",
+]
+
+
+@pytest.mark.parametrize("proj", WAVE7_RT,
+                         ids=[p.split()[0][6:] for p in WAVE7_RT])
+def test_roundtrip_wave7(proj):
+    sph = "+proj=latlong +ellps=sphere"
+    rng = np.random.default_rng(12)
+    lon = rng.uniform(-170, 170, 100)
+    lat = rng.uniform(-80, 80, 100)
+    full = proj + " +ellps=sphere"
+    fwd = make_transform(sph, full)
+    inv = make_transform(full, sph)
+    x, y, _ = fwd(lon, lat)
+    lo, la, _ = inv(x, y)
+    ok = np.isfinite(lo)
+    assert ok.mean() > 0.9, proj
+    tol = 1e-5 if proj.split()[0][6:] in ("vandg", "aitoff", "wintri") else 1e-7
+    np.testing.assert_allclose(lo[ok], lon[ok], atol=tol, err_msg=proj)
+    np.testing.assert_allclose(la[ok], lat[ok], atol=tol, err_msg=proj)
+
+
+@pytest.mark.parametrize("proj", WAVE7_FWD_ONLY,
+                         ids=[p.split()[0][6:] for p in WAVE7_FWD_ONLY])
+def test_forward_only_wave7(proj):
+    """fwd-only heads (the reference has inv=0 too): finite forward,
+    inf-sentinel inverse."""
+    sph = "+proj=latlong +ellps=sphere"
+    fwd = make_transform(sph, proj + " +ellps=sphere")
+    x, y, _ = fwd(np.array([30.0]), np.array([40.0]))
+    assert np.isfinite(x[0]) and np.isfinite(y[0])
+    inv = make_transform(proj + " +ellps=sphere", sph)
+    lo, la, _ = inv(x, y)
+    assert np.isinf(lo[0]) and np.isinf(la[0])
+
+
+def test_kav5_reference_golden():
+    """tv_out.dist sts stanza: kav5 (4.897, 52.371) -> 383646.09 5997047.89."""
+    t = make_transform("+proj=latlong +ellps=WGS84", "+proj=kav5 +ellps=WGS84 +units=m")
+    x, y, _ = t(np.array([4.897]), np.array([52.371]))
+    np.testing.assert_allclose([round(x[0], 2), round(y[0], 2)],
+                               [383646.09, 5997047.89])
