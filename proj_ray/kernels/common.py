@@ -47,11 +47,13 @@ def adjlon(lon: np.ndarray) -> np.ndarray:
     """Wrap longitude(s) to (-pi, pi]. Vectorized src/adjlon.c:9-15."""
     lon = np.asarray(lon, dtype=np.float64)
     out = lon.copy()
-    m = np.abs(lon) > _SPI
+    with np.errstate(invalid="ignore"):
+        m = np.abs(lon) > _SPI
     if np.any(m):
-        v = lon[m] + PI
-        v -= TWOPI * np.floor(v / TWOPI)
-        v -= PI
+        with np.errstate(invalid="ignore"):
+            v = lon[m] + PI
+            v -= TWOPI * np.floor(v / TWOPI)
+            v -= PI
         out[m] = v
     return out
 

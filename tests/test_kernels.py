@@ -290,3 +290,35 @@ def test_grid_catalog_asof_mix():
     # point outside all regions passes through
     lo2, _ = cat.apply(2005.0, False, np.array([2.0]), np.array([0.0]))
     assert lo2[0] == 2.0
+
+
+def test_chebyshev_surrogate():
+    """-T feature: fitted surrogate approximates UTM to sub-mm over a
+    zone region and evaluates vectorized."""
+    from proj_ray.kernels.cheby import fit_transform_surrogate
+
+    s = fit_transform_surrogate("+proj=latlong +datum=WGS84",
+                                "+proj=utm +zone=33 +datum=WGS84",
+                                region=(12.0, 18.0, 40.0, 55.0), deg=(14, 14))
+    from proj_ray.transform import make_transform
+
+    t = make_transform("+proj=latlong +datum=WGS84", "+proj=utm +zone=33 +datum=WGS84")
+
+    def f(lon, lat):
+        x, y, _ = t(lon, lat)
+        return x, y
+
+    assert s.max_error(f) < 1e-3  # sub-mm over the zone
+    # vectorized eval agrees elementwise
+    lon = np.array([13.0, 17.5])
+    lat = np.array([45.0, 52.0])
+    ex, ey = f(lon, lat)
+    ax, ay = s(lon, lat)
+    np.testing.assert_allclose(ax, ex, atol=1e-3)
+    np.testing.assert_allclose(ay, ey, atol=1e-3)
+    # truncation keeps it accurate while zeroing small coefficients
+    from proj_ray.kernels.cheby import ChebyshevSurrogate
+
+    s2 = ChebyshevSurrogate.fit(f, (12.0, 18.0, 40.0, 55.0), deg=(14, 14), tol=1e-4)
+    assert (s2.cx == 0).sum() > 0
+    assert s2.max_error(f) < 5e-3
