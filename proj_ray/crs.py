@@ -359,6 +359,7 @@ class CRS:
         from .kernels import projections5  # noqa: F401  (registry wave 5)
         from .kernels import projections6  # noqa: F401  (registry wave 6)
         from .kernels import projections7  # noqa: F401  (registry wave 7)
+        from .kernels import projections8  # noqa: F401  (registry wave 8)
 
         if name not in PROJ_REGISTRY:
             raise ValueError(f"unknown projection {name!r} (-5)")

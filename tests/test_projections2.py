@@ -385,3 +385,43 @@ def test_kav5_reference_golden():
     x, y, _ = t(np.array([4.897]), np.array([52.371]))
     np.testing.assert_allclose([round(x[0], 2), round(y[0], 2)],
                                [383646.09, 5997047.89])
+
+
+def test_wave8_geos_tpeqd_nzmg():
+    sph = "+proj=latlong +ellps=sphere"
+    rng = np.random.default_rng(14)
+    # geos: visible disc roundtrip (sph + ell, both sweep axes)
+    for proj, base in [("+proj=geos +h=35785831 +datum=WGS84", WGS),
+                       ("+proj=geos +h=35785831 +sweep=x +ellps=sphere", sph)]:
+        lon = rng.uniform(-55, 55, 80)
+        lat = rng.uniform(-55, 55, 80)
+        fwd = make_transform(base, proj)
+        inv = make_transform(proj, base)
+        x, y, _ = fwd(lon, lat)
+        lo, la, _ = inv(x, y)
+        ok = np.isfinite(lo)
+        assert ok.mean() > 0.8
+        np.testing.assert_allclose(lo[ok], lon[ok], atol=1e-9, err_msg=proj)
+        np.testing.assert_allclose(la[ok], lat[ok], atol=1e-9, err_msg=proj)
+    # tpeqd
+    lon = rng.uniform(-170, 170, 80)
+    lat = rng.uniform(-80, 80, 80)
+    proj = "+proj=tpeqd +lat_1=30 +lon_1=-10 +lat_2=50 +lon_2=20 +ellps=sphere"
+    fwd = make_transform(sph, proj)
+    inv = make_transform(proj, sph)
+    x, y, _ = fwd(lon, lat)
+    lo, la, _ = inv(x, y)
+    ok = np.isfinite(lo)
+    np.testing.assert_allclose(lo[ok], lon[ok], atol=1e-9)
+    np.testing.assert_allclose(la[ok], lat[ok], atol=1e-9)
+    # nzmg: the fixed origin maps to the false origin, NZ-domain roundtrip
+    t = make_transform("+proj=latlong +ellps=intl", "+proj=nzmg")
+    ti = make_transform("+proj=nzmg", "+proj=latlong +ellps=intl")
+    x, y, _ = t(np.array([173.0]), np.array([-41.0]))
+    np.testing.assert_allclose([x[0], y[0]], [2510000.0, 6023150.0], atol=1e-5)
+    lon = rng.uniform(166, 179, 50)
+    lat = rng.uniform(-47, -34, 50)
+    x, y, _ = t(lon, lat)
+    lo, la, _ = ti(x, y)
+    np.testing.assert_allclose(lo, lon, atol=1e-8)
+    np.testing.assert_allclose(la, lat, atol=1e-8)
