@@ -360,6 +360,7 @@ class CRS:
         from .kernels import projections6  # noqa: F401  (registry wave 6)
         from .kernels import projections7  # noqa: F401  (registry wave 7)
         from .kernels import projections8  # noqa: F401  (registry wave 8)
+        from .kernels import projections9  # noqa: F401  (registry wave 9)
 
         if name not in PROJ_REGISTRY:
             raise ValueError(f"unknown projection {name!r} (-5)")

@@ -425,3 +425,45 @@ def test_wave8_geos_tpeqd_nzmg():
     lo, la, _ = ti(x, y)
     np.testing.assert_allclose(lo, lon, atol=1e-8)
     np.testing.assert_allclose(la, lat, atol=1e-8)
+
+
+WAVE9_RT = [
+    ("+proj=cc", 170),
+    ("+proj=nsper +h=5000000 +lat_0=40", 35),
+    ("+proj=tpers +h=5000000 +lat_0=40 +tilt=10 +azi=30", 35),
+    ("+proj=oea +m=1.5 +n=2 +lat_0=40 +theta=20", 80),  # <120 deg from center
+    ("+proj=putp2", 170), ("+proj=putp3", 170), ("+proj=putp3p", 170),
+    ("+proj=putp4p", 170), ("+proj=weren", 170), ("+proj=putp5", 170),
+    ("+proj=putp5p", 170), ("+proj=putp6", 170), ("+proj=putp6p", 170),
+]
+WAVE9_FWD = ["+proj=lagrng +W=2 +lat_1=0", "+proj=wag7", "+proj=vandg2",
+             "+proj=vandg3", "+proj=vandg4", "+proj=apian", "+proj=ortel",
+             "+proj=bacon"]
+
+
+@pytest.mark.parametrize("proj,dom", WAVE9_RT,
+                         ids=[p[0].split()[0][6:] for p in WAVE9_RT])
+def test_roundtrip_wave9(proj, dom):
+    sph = "+proj=latlong +ellps=sphere"
+    rng = np.random.default_rng(19)
+    lon = rng.uniform(-dom, dom, 100)
+    if "nsper" in proj or "tpers" in proj or "oea" in proj:
+        lat = rng.uniform(10, 70, 100)
+    else:
+        lat = rng.uniform(-80, 80, 100)
+    full = proj + " +ellps=sphere"
+    fwd = make_transform(sph, full)
+    inv = make_transform(full, sph)
+    x, y, _ = fwd(lon, lat)
+    lo, la, _ = inv(x, y)
+    ok = np.isfinite(lo)
+    assert ok.mean() > 0.7, proj
+    np.testing.assert_allclose(lo[ok], lon[ok], atol=1e-6, err_msg=proj)
+    np.testing.assert_allclose(la[ok], lat[ok], atol=1e-6, err_msg=proj)
+
+
+@pytest.mark.parametrize("proj", WAVE9_FWD, ids=[p.split()[0][6:] for p in WAVE9_FWD])
+def test_forward_only_wave9(proj):
+    fwd = make_transform("+proj=latlong +ellps=sphere", proj + " +ellps=sphere")
+    x, y, _ = fwd(np.array([30.0, -100.0]), np.array([40.0, -20.0]))
+    assert np.isfinite(x).all() and np.isfinite(y).all()
