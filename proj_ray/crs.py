@@ -361,6 +361,7 @@ class CRS:
         from .kernels import projections7  # noqa: F401  (registry wave 7)
         from .kernels import projections8  # noqa: F401  (registry wave 8)
         from .kernels import projections9  # noqa: F401  (registry wave 9)
+        from .kernels import projections10  # noqa: F401  (registry wave 10)
 
         if name not in PROJ_REGISTRY:
             raise ValueError(f"unknown projection {name!r} (-5)")

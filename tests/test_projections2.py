@@ -467,3 +467,38 @@ def test_forward_only_wave9(proj):
     fwd = make_transform("+proj=latlong +ellps=sphere", proj + " +ellps=sphere")
     x, y, _ = fwd(np.array([30.0, -100.0]), np.array([40.0, -20.0]))
     assert np.isfinite(x).all() and np.isfinite(y).all()
+
+
+def test_wave10_conics_somerc_goode_ocea():
+    sph = "+proj=latlong +ellps=sphere"
+    rng = np.random.default_rng(23)
+    lon = rng.uniform(-170, 170, 100)
+    lat_n = rng.uniform(5, 80, 100)
+    lat_all = rng.uniform(-80, 80, 100)
+    for proj in ["+proj=euler +lat_1=30 +lat_2=60", "+proj=murd1 +lat_1=30 +lat_2=60",
+                 "+proj=murd2 +lat_1=30 +lat_2=60", "+proj=murd3 +lat_1=30 +lat_2=60",
+                 "+proj=pconic +lat_1=30 +lat_2=60 +lat_0=45",
+                 "+proj=tissot +lat_1=30 +lat_2=60", "+proj=vitk1 +lat_1=30 +lat_2=60",
+                 "+proj=ocea +lat_1=30 +lon_1=-10 +lat_2=50 +lon_2=20", "+proj=goode"]:
+        full = proj + " +ellps=sphere"
+        fwd = make_transform(sph, full)
+        inv = make_transform(full, sph)
+        la = lat_all if ("ocea" in proj or "goode" in proj) else lat_n
+        x, y, _ = fwd(lon, la)
+        lo, lb, _ = inv(x, y)
+        ok = np.isfinite(lo)
+        assert ok.mean() > 0.9, proj
+        np.testing.assert_allclose(lo[ok], lon[ok], atol=1e-6, err_msg=proj)
+        np.testing.assert_allclose(lb[ok], la[ok], atol=1e-6, err_msg=proj)
+
+
+def test_somerc_ch1903_bern():
+    """CH1903: the Bern origin maps to the (600000, 200000) false origin."""
+    defn = ("+proj=somerc +lat_0=46.95240555555556 +lon_0=7.439583333333333 "
+            "+k_0=1 +x_0=600000 +y_0=200000 +ellps=bessel")
+    t = make_transform("+proj=latlong +ellps=bessel", defn)
+    x, y, _ = t(np.array([7.439583333333333]), np.array([46.95240555555556]))
+    np.testing.assert_allclose([x[0], y[0]], [600000.0, 200000.0], atol=1e-6)
+    ti = make_transform(defn, "+proj=latlong +ellps=bessel")
+    lo, la, _ = ti(np.array([642617.53]), np.array([205442.81]))
+    np.testing.assert_allclose([lo[0], la[0]], [8.0, 47.0], atol=1e-6)
