@@ -254,3 +254,158 @@ def setup_ocea(P):
 
     P.fwd = fwd
     P.inv = inv
+
+
+# ---------------------------------------------------------------------------
+# Modified stereographic family (Snyder & Linck): complex-polynomial
+# warped stereographic for regional grids (src/PJ_mod_ster.c).
+# ---------------------------------------------------------------------------
+
+from .common import DEG_TO_RAD  # noqa: E402
+from .projections8 import zpoly1, zpolyd1  # noqa: E402
+
+_MOD_STER_SETS = {
+    "mil_os": dict(coef=[0.924500 + 0j, 0j, 0.019430 + 0j],
+                   lam0=20.0, phi0=18.0, sphere=True),
+    "lee_os": dict(coef=[0.721316 + 0j, 0j, -0.0088162 - 0.00617325j],
+                   lam0=-165.0, phi0=-10.0, sphere=True),
+    "gs48": dict(coef=[0.98879 + 0j, 0j, -0.050909 + 0j, 0j, 0.075528 + 0j],
+                 lam0=-96.0, phi0=-39.0, sphere=True, a=6370997.0),
+    "alsk": dict(
+        coef_e=[0.9945303 + 0j, 0.0052083 - 0.0027404j, 0.0072721 + 0.0048181j,
+                -0.0151089 - 0.1932526j, 0.0642675 - 0.1381226j,
+                0.3582802 - 0.2884586j],
+        coef_s=[0.9972523 + 0j, 0.0052513 - 0.0041175j, 0.0074606 + 0.0048125j,
+                -0.0153783 - 0.1968253j, 0.0636871 - 0.1408027j,
+                0.3660976 - 0.2937382j],
+        lam0=-152.0, phi0=64.0),
+    "gs50": dict(
+        coef_e=[0.9827497 + 0j, 0.0210669 + 0.0053804j, -0.1031415 - 0.0571664j,
+                -0.0323337 - 0.0322847j, 0.0502303 + 0.1211983j,
+                0.0251805 + 0.0895678j, -0.0012315 - 0.1416121j,
+                0.0072202 - 0.1317091j, -0.0194029 + 0.0759677j,
+                -0.0210072 + 0.0834037j],
+        coef_s=[0.9842990 + 0j, 0.0211642 + 0.0037608j, -0.1036018 - 0.0575102j,
+                -0.0329095 - 0.0320119j, 0.0499471 + 0.1223335j,
+                0.0260460 + 0.0899805j, 0.0007388 - 0.1435792j,
+                0.0075848 - 0.1334108j, -0.0216473 + 0.0776645j,
+                -0.0225161 + 0.0853673j],
+        lam0=-120.0, phi0=45.0),
+}
+
+
+def _mod_ster_setup(P, name):
+    spec = _MOD_STER_SETS[name]
+    P.lam0 = DEG_TO_RAD * spec["lam0"]
+    P.phi0 = DEG_TO_RAD * spec["phi0"]
+    if spec.get("sphere"):
+        P.es = 0.0
+        P.e = 0.0
+        coef = np.array(spec["coef"])
+        if "a" in spec:
+            P.a = spec["a"]
+            P.ra = 1.0 / P.a
+    else:
+        # fixed Clarke 1866 ellipsoid or authalic sphere (PJ_mod_ster.c)
+        if P.es:
+            coef = np.array(spec["coef_e"])
+            P.a = 6378206.4
+            P.es = 0.00676866
+            P.e = np.sqrt(P.es)
+        else:
+            coef = np.array(spec["coef_s"])
+            P.a = 6370997.0
+        P.ra = 1.0 / P.a
+        P.one_es = 1.0 - P.es
+        P.rone_es = 1.0 / P.one_es
+    e = P.e
+    phi0 = P.phi0
+    if P.es:
+        esphi = e * np.sin(phi0)
+        chio = 2.0 * np.arctan(np.tan((HALFPI + phi0) * 0.5)
+                               * ((1.0 - esphi) / (1.0 + esphi)) ** (e * 0.5)) - HALFPI
+    else:
+        chio = phi0
+    schio = float(np.sin(chio))
+    cchio = float(np.cos(chio))
+
+    def fwd(lam, phi):
+        sinlon = np.sin(lam)
+        coslon = np.cos(lam)
+        if e:
+            esphi = e * np.sin(phi)
+            chi = 2.0 * np.arctan(np.tan((HALFPI + phi) * 0.5)
+                                  * np.power((1.0 - esphi) / (1.0 + esphi), e * 0.5)) - HALFPI
+        else:
+            chi = phi
+        schi = np.sin(chi)
+        cchi = np.cos(chi)
+        s = 2.0 / (1.0 + schio * schi + cchio * cchi * coslon)
+        z = s * cchi * sinlon + 1j * (s * (cchio * schi - schio * cchi * coslon))
+        p = zpoly1(z, coef)
+        return p.real, p.imag
+
+    def inv(x, y):
+        target = np.asarray(x, dtype=np.float64) + 1j * np.asarray(y, dtype=np.float64)
+        p = target.copy()
+        converged = np.zeros(p.shape, dtype=bool)
+        for _ in range(20):
+            f, fp = zpolyd1(p, coef)
+            f = f - target
+            den = fp.real * fp.real + fp.imag * fp.imag
+            dr = -(f.real * fp.real + f.imag * fp.imag) / den
+            di = -(f.imag * fp.real - f.real * fp.imag) / den
+            p = p + dr + 1j * di
+            done = (np.abs(dr) + np.abs(di)) <= 1e-10
+            converged |= done
+            if np.all(done):
+                break
+        rh = np.abs(p)
+        z2 = 2.0 * np.arctan(0.5 * rh)
+        sinz = np.sin(z2)
+        cosz = np.cos(z2)
+        small = np.abs(rh) <= 1e-10
+        with np.errstate(invalid="ignore", divide="ignore"):
+            chi = aasin(cosz * schio + p.imag * sinz * cchio / np.where(small, 1.0, rh))
+        if e:
+            phi = np.array(chi, copy=True)
+            active = np.isfinite(phi) & ~small
+            conv2 = np.zeros_like(active)
+            for _ in range(20):
+                if not np.any(active):
+                    break
+                ph = phi[active]
+                esphi = e * np.sin(ph)
+                dphi = (2.0 * np.arctan(np.tan((HALFPI + chi[active]) * 0.5)
+                        * np.power((1.0 + esphi) / (1.0 - esphi), e * 0.5))
+                        - HALFPI - ph)
+                phi[active] = ph + dphi
+                idx = np.flatnonzero(active)
+                done = np.abs(dphi) <= 1e-10
+                conv2[idx[done]] = True
+                active[idx[done]] = False
+            converged = converged & (conv2 | small)
+        else:
+            phi = chi
+        lam = np.arctan2(p.real * sinz,
+                         rh * cchio * cosz - p.imag * schio * sinz)
+        phi = np.where(small, phi0, phi)
+        lam = np.where(small, 0.0, lam)
+        phi = np.where(converged | small, phi, HUGE)
+        lam = np.where(converged | small, lam, HUGE)
+        return lam, phi
+
+    P.fwd = fwd
+    P.inv = inv
+
+
+for _name, _desc in (("mil_os", "Miller Oblated Stereographic"),
+                     ("lee_os", "Lee Oblated Stereographic"),
+                     ("gs48", "Mod. Stereographics of 48 U.S."),
+                     ("alsk", "Mod. Stereographics of Alaska"),
+                     ("gs50", "Mod. Stereographics of 50 U.S.")):
+    def _mk2(nm):
+        def setup(P):
+            _mod_ster_setup(P, nm)
+        return setup
+    register(_name, _desc)(_mk2(_name))

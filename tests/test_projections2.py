@@ -502,3 +502,31 @@ def test_somerc_ch1903_bern():
     ti = make_transform(defn, "+proj=latlong +ellps=bessel")
     lo, la, _ = ti(np.array([642617.53]), np.array([205442.81]))
     np.testing.assert_allclose([lo[0], la[0]], [8.0, 47.0], atol=1e-6)
+
+
+def test_mod_ster_family():
+    """Modified stereographics (Snyder & Linck complex polynomials).
+    Note: gs48's center is -39 deg in this reference snapshot (a
+    historical sign bug, replicated) so its domain is mirrored."""
+    rng = np.random.default_rng(29)
+    cases = [
+        ("+proj=mil_os", "sphere", (0, 40, 0, 40)),
+        ("+proj=lee_os", "sphere", (-175, -155, -30, 10)),
+        ("+proj=gs48 +ellps=sphere", "sphere", (-110, -80, -50, -25)),
+        ("+proj=alsk +ellps=clrk66", "clrk66", (-165, -140, 55, 70)),
+        ("+proj=alsk +ellps=sphere", "sphere", (-165, -140, 55, 70)),
+        ("+proj=gs50 +ellps=clrk66", "clrk66", (-160, -100, 30, 60)),
+        ("+proj=gs50 +ellps=sphere", "sphere", (-160, -100, 30, 60)),
+    ]
+    for proj, ell, (lo1, lo2, la1, la2) in cases:
+        base = f"+proj=latlong +ellps={ell}"
+        fwd = make_transform(base, proj)
+        inv = make_transform(proj, base)
+        lon = rng.uniform(lo1, lo2, 60)
+        lat = rng.uniform(la1, la2, 60)
+        x, y, _ = fwd(lon, lat)
+        lo, la, _ = inv(x, y)
+        ok = np.isfinite(lo)
+        assert ok.mean() > 0.9, proj
+        np.testing.assert_allclose(lo[ok], lon[ok], atol=1e-7, err_msg=proj)
+        np.testing.assert_allclose(la[ok], lat[ok], atol=1e-7, err_msg=proj)
