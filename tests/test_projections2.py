@@ -530,3 +530,41 @@ def test_mod_ster_family():
         assert ok.mean() > 0.9, proj
         np.testing.assert_allclose(lo[ok], lon[ok], atol=1e-7, err_msg=proj)
         np.testing.assert_allclose(la[ok], lat[ok], atol=1e-7, err_msg=proj)
+
+
+def test_wave11_igh_lcca_gstmerc_fwdonly():
+    sph = "+proj=latlong +ellps=sphere"
+    rng = np.random.default_rng(33)
+    # igh: 12-lobe interrupted homolosine, global roundtrip
+    lon = rng.uniform(-179, 179, 200)
+    lat = rng.uniform(-85, 85, 200)
+    fwd = make_transform(sph, "+proj=igh +ellps=sphere")
+    inv = make_transform("+proj=igh +ellps=sphere", sph)
+    x, y, _ = fwd(lon, lat)
+    lo, la, _ = inv(x, y)
+    ok = np.isfinite(lo)
+    assert ok.mean() > 0.98
+    np.testing.assert_allclose(lo[ok], lon[ok], atol=1e-9)
+    np.testing.assert_allclose(la[ok], lat[ok], atol=1e-9)
+    # lcca / gstmerc
+    for proj, base, lo0, (la1, la2) in [
+        ("+proj=lcca +lat_0=46 +datum=WGS84", WGS, 0.0, (30, 60)),
+        ("+proj=gstmerc +lat_0=-21.11 +lon_0=55.53 +k_0=1 +ellps=intl",
+         "+proj=latlong +ellps=intl", 55.53, (-40, 0)),
+    ]:
+        f2 = make_transform(base, proj)
+        i2 = make_transform(proj, base)
+        lon2 = rng.uniform(-20, 20, 80) + lo0
+        lat2 = rng.uniform(la1, la2, 80)
+        x, y, _ = f2(lon2, lat2)
+        b1, b2, _ = i2(x, y)
+        ok = np.isfinite(b1)
+        assert ok.mean() > 0.9, proj
+        np.testing.assert_allclose(b1[ok], lon2[ok], atol=1e-7, err_msg=proj)
+        np.testing.assert_allclose(b2[ok], lat2[ok], atol=1e-7, err_msg=proj)
+    # fwd-only heads produce finite output
+    for proj in ["+proj=airy +lat_0=40", "+proj=airy +lat_0=90 +lat_b=60",
+                 "+proj=rpoly +lat_ts=30", "+proj=rpoly", "+proj=nicol"]:
+        f3 = make_transform(sph, proj + " +ellps=sphere")
+        x, y, _ = f3(np.array([30.0, -60.0, 0.1]), np.array([40.0, 20.0, 0.1]))
+        assert np.isfinite(x).all() and np.isfinite(y).all(), proj
