@@ -363,6 +363,7 @@ class CRS:
         from .kernels import projections9  # noqa: F401  (registry wave 9)
         from .kernels import projections10  # noqa: F401  (registry wave 10)
         from .kernels import projections11  # noqa: F401  (registry wave 11)
+        from .kernels import projections12  # noqa: F401  (registry wave 12)
 
         if name not in PROJ_REGISTRY:
             raise ValueError(f"unknown projection {name!r} (-5)")

@@ -568,3 +568,42 @@ def test_wave11_igh_lcca_gstmerc_fwdonly():
         f3 = make_transform(sph, proj + " +ellps=sphere")
         x, y, _ = f3(np.array([30.0, -60.0, 0.1]), np.array([40.0, 20.0, 0.1]))
         assert np.isfinite(x).all() and np.isfinite(y).all(), proj
+
+
+def test_wave12_qsc_calcofi():
+    rng = np.random.default_rng(37)
+    # qsc: every cube face, sphere + ellipsoid
+    for proj, lon_c, lat_c in [("+proj=qsc +lon_0=0 +lat_0=0", 0, 0),
+                               ("+proj=qsc +lon_0=90 +lat_0=0", 90, 0),
+                               ("+proj=qsc +lon_0=180 +lat_0=0", 180, 0),
+                               ("+proj=qsc +lon_0=-90 +lat_0=0", -90, 0),
+                               ("+proj=qsc +lat_0=90", 0, 90),
+                               ("+proj=qsc +lat_0=-90", 0, -90)]:
+        for ell in ("+ellps=sphere", "+ellps=WGS84"):
+            base = "+proj=latlong " + ell
+            full = proj + " " + ell
+            fwd = make_transform(base, full)
+            inv = make_transform(full, base)
+            if lat_c == 0:
+                lon = (lon_c + rng.uniform(-40, 40, 60) + 180) % 360 - 180
+                lat = rng.uniform(-40, 40, 60)
+            else:
+                lon = rng.uniform(-179, 179, 60)
+                lat = lat_c + rng.uniform(-40, -5, 60) * (1 if lat_c > 0 else -1)
+            x, y, _ = fwd(lon, lat)
+            b1, b2, _ = inv(x, y)
+            ok = np.isfinite(b1)
+            assert ok.mean() > 0.9, full
+            dl = (b1[ok] - lon[ok] + 180) % 360 - 180
+            assert np.abs(dl).max() < 1e-7, full
+            np.testing.assert_allclose(b2[ok], lat[ok], atol=1e-7, err_msg=full)
+    # calcofi line/station roundtrip
+    for ell in ("+ellps=clrk66", "+ellps=sphere"):
+        f2 = make_transform("+proj=latlong " + ell, "+proj=calcofi " + ell)
+        i2 = make_transform("+proj=calcofi " + ell, "+proj=latlong " + ell)
+        lon = rng.uniform(-130, -110, 50)
+        lat = rng.uniform(25, 40, 50)
+        x, y, _ = f2(lon, lat)
+        b1, b2, _ = i2(x, y)
+        np.testing.assert_allclose(b1, lon, atol=1e-6)
+        np.testing.assert_allclose(b2, lat, atol=1e-6)
