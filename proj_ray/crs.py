@@ -364,6 +364,7 @@ class CRS:
         from .kernels import projections10  # noqa: F401  (registry wave 10)
         from .kernels import projections11  # noqa: F401  (registry wave 11)
         from .kernels import projections12  # noqa: F401  (registry wave 12)
+        from .kernels import projections13  # noqa: F401  (registry wave 13)
 
         if name not in PROJ_REGISTRY:
             raise ValueError(f"unknown projection {name!r} (-5)")

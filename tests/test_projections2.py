@@ -607,3 +607,71 @@ def test_wave12_qsc_calcofi():
         b1, b2, _ = i2(x, y)
         np.testing.assert_allclose(b1, lon, atol=1e-6)
         np.testing.assert_allclose(b2, lat, atol=1e-6)
+
+
+def test_bipc_matches_scalar_reference():
+    """bipc vs a scalar transliteration of the reference C (PJ_bipc.c):
+    bit-level parity including the domain errors and the known
+    inter-cone-seam roundtrip quirk (present in the reference too)."""
+    import math
+
+    lamB = -0.34894976726250681539
+    n = 0.63055844881274687180
+    F = 1.89724742567461030582
+    Azab, Azba = 0.81650043674686363166, 1.82261843856185925133
+    T, rhoc = 1.27246578267089012270, 1.20709121521568721927
+    C45, S45 = 0.70710678118654752469, 0.70710678118654752410
+    C20, S20 = 0.93969262078590838411, -0.34202014332566873287
+    R110, R104 = 1.91986217719376253360, 1.81514242207410275904
+
+    def sfwd(lam, phi):
+        cphi, sphi = math.cos(phi), math.sin(phi)
+        sd = lamB - lam
+        cdlam, sdlam = math.cos(sd), math.sin(sd)
+        tphi = sphi / cphi
+        Az = math.atan2(sdlam, C45 * (tphi - cdlam))
+        tag = Az > Azba
+        if tag:
+            sd = lam + R110
+            cdlam, sdlam = math.cos(sd), math.sin(sd)
+            z = S20 * sphi + C20 * cphi * cdlam
+            if abs(z) > 1.000000001:
+                return math.inf, math.inf
+            z = math.acos(max(-1, min(1, z)))
+            Az = math.atan2(sdlam, C20 * tphi - S20 * cdlam)
+            Av, y = Azab, rhoc
+        else:
+            z = S45 * (sphi + cphi * cdlam)
+            if abs(z) > 1.000000001:
+                return math.inf, math.inf
+            z = math.acos(max(-1, min(1, z)))
+            Av, y = Azba, -rhoc
+        if z < 0:
+            return math.inf, math.inf
+        t = math.tan(0.5 * z) ** n
+        r = F * t
+        al = 0.5 * (R104 - z)
+        if al < 0:
+            return math.inf, math.inf
+        al = (t + al ** n) / T
+        if abs(al) > 1.000000001:
+            return math.inf, math.inf
+        al = math.acos(max(-1, min(1, al)))
+        t = n * (Av - Az)
+        if abs(t) < al:
+            r /= math.cos(al + (t if tag else -t))
+        return r * math.sin(t), y + (-r if tag else r) * math.cos(t)
+
+    R = 6370997.0
+    fwd = make_transform("+proj=latlong +ellps=sphere", "+proj=bipc +ellps=sphere")
+    rng = np.random.default_rng(41)
+    lon = rng.uniform(-170, -30, 300)
+    lat = rng.uniform(-55, 70, 300)
+    x, y, _ = fwd(lon, lat)
+    d2r = 0.0174532925199432958
+    exp = np.array([sfwd(lo * d2r, la * d2r) for lo, la in zip(lon, lat)])
+    ex, ey = exp[:, 0] * R, exp[:, 1] * R
+    both_inf = ~np.isfinite(x) & ~np.isfinite(ex)
+    with np.errstate(invalid="ignore"):
+        match = both_inf | ((np.abs(x - ex) < 1e-6) & (np.abs(y - ey) < 1e-6))
+    assert match.all()
