@@ -675,3 +675,31 @@ def test_bipc_matches_scalar_reference():
     with np.errstate(invalid="ignore"):
         match = both_inf | ((np.abs(x - ex) < 1e-6) & (np.abs(y - ey) < 1e-6))
     assert match.all()
+
+
+def test_wave14_chamb_labrd():
+    sph = "+proj=latlong +ellps=sphere"
+    # chamb: control points land on their fixed plane positions,
+    # symmetric for the symmetric control triangle
+    ch = ("+proj=chamb +lat_1=22 +lon_1=0 +lat_2=22 +lon_2=45 "
+          "+lat_3=-22 +lon_3=22.5 +ellps=sphere")
+    fwd = make_transform(sph, ch)
+    x, y, _ = fwd(np.array([0.0, 45.0, 10.0]), np.array([22.0, 22.0, 20.0]))
+    np.testing.assert_allclose(x[0], -x[1], rtol=1e-12)  # symmetric ctl pts
+    np.testing.assert_allclose(y[0], y[1], rtol=1e-12)
+    assert np.isfinite(x[2]) and np.isfinite(y[2])
+    # labrd (Madagascar): origin -> false origin; regional roundtrip to
+    # the reference's truncated-series precision
+    lb = ("+proj=labrd +lat_0=-18.9 +lon_0=46.437229166666666 +azi=18.9 "
+          "+k_0=0.9995 +x_0=400000 +y_0=800000 +ellps=intl")
+    f2 = make_transform("+proj=latlong +ellps=intl", lb)
+    i2 = make_transform(lb, "+proj=latlong +ellps=intl")
+    x, y, _ = f2(np.array([46.437229166666666]), np.array([-18.9]))
+    np.testing.assert_allclose([x[0], y[0]], [400000.0, 800000.0], atol=1e-5)
+    rng = np.random.default_rng(43)
+    lon = rng.uniform(43, 50, 60)
+    lat = rng.uniform(-26, -12, 60)
+    x, y, _ = f2(lon, lat)
+    b1, b2, _ = i2(x, y)
+    np.testing.assert_allclose(b1, lon, atol=1e-6)
+    np.testing.assert_allclose(b2, lat, atol=1e-6)
