@@ -366,6 +366,7 @@ class CRS:
         from .kernels import projections12  # noqa: F401  (registry wave 12)
         from .kernels import projections13  # noqa: F401  (registry wave 13)
         from .kernels import projections14  # noqa: F401  (registry wave 14)
+        from .kernels import projections15  # noqa: F401  (registry wave 15)
 
         if name not in PROJ_REGISTRY:
             raise ValueError(f"unknown projection {name!r} (-5)")

@@ -703,3 +703,21 @@ def test_wave14_chamb_labrd():
     b1, b2, _ = i2(x, y)
     np.testing.assert_allclose(b1, lon, atol=1e-6)
     np.testing.assert_allclose(b2, lat, atol=1e-6)
+
+
+def test_lsat_som_roundtrip():
+    """Space Oblique Mercator for LANDSAT: roundtrip at the reference's
+    iteration tolerance (TOL 1e-7) over the path-22 swath."""
+    wgs = "+proj=latlong +ellps=clrk66"
+    ls = "+proj=lsat +lsat=2 +path=22 +ellps=clrk66"
+    fwd = make_transform(wgs, ls)
+    inv = make_transform(ls, wgs)
+    rng = np.random.default_rng(47)
+    lon = rng.uniform(-115, -70, 100)
+    lat = rng.uniform(25, 48, 100)
+    x, y, _ = fwd(lon, lat)
+    b1, b2, _ = inv(x, y)
+    ok = np.isfinite(b1)
+    assert ok.mean() > 0.95
+    np.testing.assert_allclose(b1[ok], lon[ok], atol=1e-5)
+    np.testing.assert_allclose(b2[ok], lat[ok], atol=1e-5)
