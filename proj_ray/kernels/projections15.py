@@ -202,3 +202,127 @@ def setup_lsat(P):
 
     P.fwd = fwd
     P.inv = inv
+
+
+# ---------------------------------------------------------------------------
+# imw_p — International Map of the World Polyconic (src/PJ_imw_p.c)
+# ---------------------------------------------------------------------------
+
+from .common import RAD_TO_DEG, enfn, mlfn  # noqa: E402
+
+
+@register("imw_p", "International Map of the World Polyconic")
+def setup_imw_p(P):
+    TOL = 1e-10
+    EPS = 1e-10
+    if not (P.param_t("lat_1") and P.param_t("lat_2")):
+        raise ValueError("imw_p: lat_1/lat_2 required (-41)")
+    phi_1 = P.param_r("lat_1")
+    phi_2 = P.param_r("lat_2")
+    delv = 0.5 * (phi_2 - phi_1)
+    sig = 0.5 * (phi_2 + phi_1)
+    if abs(delv) < EPS or abs(sig) < EPS:
+        raise ValueError("imw_p: degenerate lat_1/lat_2 (-42)")
+    if phi_2 < phi_1:
+        phi_1, phi_2 = phi_2, phi_1
+    if P.param_t("lon_1"):
+        lam_1 = P.param_r("lon_1")
+    else:
+        s = abs(sig * RAD_TO_DEG)
+        s = 2.0 if s <= 60 else (4.0 if s <= 76 else 8.0)
+        lam_1 = s * DEG_TO_RAD
+    en = enfn(P.es)
+    es = P.es
+
+    def _xy(phi):
+        sp = np.sin(phi)
+        R = 1.0 / (np.tan(phi) * np.sqrt(1.0 - es * sp * sp))
+        F = lam_1 * sp
+        return R * np.sin(F), R * (1.0 - np.cos(F)), sp, R
+
+    mode = 0
+    if phi_1:
+        x1, y1, sphi_1, R_1 = (float(v) for v in _xy(np.float64(phi_1)))
+    else:
+        mode = 1
+        y1, x1 = 0.0, lam_1
+        sphi_1 = R_1 = 0.0
+    if phi_2:
+        x2, T2, sphi_2, R_2 = (float(v) for v in _xy(np.float64(phi_2)))
+    else:
+        mode = -1
+        T2, x2 = 0.0, lam_1
+        sphi_2 = R_2 = 0.0
+    m1 = float(mlfn(np.float64(phi_1), np.sin(phi_1), np.cos(phi_1), en))
+    m2 = float(mlfn(np.float64(phi_2), np.sin(phi_2), np.cos(phi_2), en))
+    t = m2 - m1
+    s = x2 - x1
+    y2 = np.sqrt(t * t - s * s) + y1
+    C2 = y2 - T2
+    t = 1.0 / t
+    Pc = (m2 * y1 - m1 * y2) * t
+    Qc = (y2 - y1) * t
+    Pp = (m2 * x1 - m1 * x2) * t
+    Qp = (x2 - x1) * t
+    C2, Pc, Qc, Pp, Qp = map(float, (C2, Pc, Qc, Pp, Qp))
+
+    def loc_for(lam, phi):
+        """returns (x, y, yc) vectorized (loc_for in PJ_imw_p.c)."""
+        zero = phi == 0.0
+        phi_s = np.where(zero, 0.5, phi)
+        sp = np.sin(phi_s)
+        m = mlfn(phi_s, sp, np.cos(phi_s), en)
+        xa = Pp + Qp * m
+        ya = Pc + Qc * m
+        with np.errstate(invalid="ignore", divide="ignore"):
+            R = 1.0 / (np.tan(phi_s) * np.sqrt(1.0 - es * sp * sp))
+            C = np.sqrt(np.maximum(R * R - xa * xa, 0.0))
+            C = np.where(phi_s < 0.0, -C, C)
+            C = C + ya - R
+            if mode < 0:
+                xb = lam
+                yb = np.full_like(lam, C2)
+            else:
+                tt = lam * sphi_2
+                xb = R_2 * np.sin(tt)
+                yb = C2 + R_2 * (1.0 - np.cos(tt))
+            if mode > 0:
+                xc = lam
+                yc = np.zeros_like(lam)
+            else:
+                tt = lam * sphi_1
+                xc = R_1 * np.sin(tt)
+                yc = R_1 * (1.0 - np.cos(tt))
+            D = (xb - xc) / (yb - yc)
+            B = xc + D * (C + R - yc)
+            x = D * np.sqrt(np.maximum(R * R * (1.0 + D * D) - B * B, 0.0))
+            x = np.where(phi_s > 0.0, -x, x)
+            x = (B + x) / (1.0 + D * D)
+            y = np.sqrt(np.maximum(R * R - x * x, 0.0))
+            y = np.where(phi_s > 0.0, -y, y)
+            y = y + C + R
+        x = np.where(zero, lam, x)
+        y = np.where(zero, 0.0, y)
+        return x, y, yc
+
+    def fwd(lam, phi):
+        x, y, _yc = loc_for(lam, phi)
+        return x, y
+
+    def inv(x, y):
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        phi = np.full_like(y, phi_2)
+        lam = x / np.cos(phi_2)
+        for _ in range(50):
+            tx, ty, yc = loc_for(lam, phi)
+            done = (np.abs(tx - x) <= TOL) & (np.abs(ty - y) <= TOL)
+            if np.all(done):
+                break
+            with np.errstate(invalid="ignore", divide="ignore"):
+                phi = (phi - phi_1) * (y - yc) / (ty - yc) + phi_1
+                lam = lam * x / tx
+        return lam, phi
+
+    P.fwd = fwd
+    P.inv = inv

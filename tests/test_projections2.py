@@ -721,3 +721,21 @@ def test_lsat_som_roundtrip():
     assert ok.mean() > 0.95
     np.testing.assert_allclose(b1[ok], lon[ok], atol=1e-5)
     np.testing.assert_allclose(b2[ok], lat[ok], atol=1e-5)
+
+
+def test_imw_p_roundtrip():
+    """IMW modified polyconic: iterative 2-D inverse at the reference's
+    1e-10 plane tolerance."""
+    wgs = "+proj=latlong +ellps=intl"
+    iw = "+proj=imw_p +lat_1=30 +lat_2=40 +lon_0=10 +ellps=intl"
+    fwd = make_transform(wgs, iw)
+    inv = make_transform(iw, wgs)
+    rng = np.random.default_rng(53)
+    lon = rng.uniform(4, 16, 80)
+    lat = rng.uniform(28, 42, 80)
+    x, y, _ = fwd(lon, lat)
+    b1, b2, _ = inv(x, y)
+    ok = np.isfinite(b1)
+    assert ok.mean() > 0.95
+    np.testing.assert_allclose(b1[ok], lon[ok], atol=1e-8)
+    np.testing.assert_allclose(b2[ok], lat[ok], atol=1e-8)
