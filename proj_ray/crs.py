@@ -367,6 +367,7 @@ class CRS:
         from .kernels import projections13  # noqa: F401  (registry wave 13)
         from .kernels import projections14  # noqa: F401  (registry wave 14)
         from .kernels import projections15  # noqa: F401  (registry wave 15)
+        from .kernels import projections16  # noqa: F401  (registry wave 16)
 
         if name not in PROJ_REGISTRY:
             raise ValueError(f"unknown projection {name!r} (-5)")
