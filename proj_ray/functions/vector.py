@@ -85,3 +85,101 @@ def hyperplane_signatures(M: np.ndarray, planes: np.ndarray) -> np.ndarray:
 
 def make_planes(dim: int, nbits: int = 12, seed: int = 42) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal((nbits, dim)).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path next to LSH bucketing.
+# A small deterministic spherical k-means gives coarse centroids; every
+# vector belongs to one cell; a query only scores vectors in its nprobe
+# nearest cells.  At 100 TB the table is written partitioned by ivf_cell
+# (state.write_partitioned) so a query reads only probed partitions;
+# single-node we demonstrate the same pruning inside one streaming pass
+# (assign + masked score per batch — no shuffle, centroids broadcast).
+
+
+def _normalize_rows(X: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(X, axis=1, keepdims=True)
+    return X / np.maximum(n, 1e-30)
+
+
+def kmeans_cosine(X: np.ndarray, k: int, iters: int = 8, seed: int = 7) -> np.ndarray:
+    """Deterministic spherical k-means (numpy, driver-side on a sample).
+
+    Returns (k, D) float32 unit centroids.  Empty clusters keep their
+    previous centroid so the result is stable across runs."""
+    Xn = _normalize_rows(X.astype(np.float32))
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(Xn.shape[0], size=min(k, Xn.shape[0]), replace=False)
+    C = Xn[np.sort(idx)].copy()
+    for _ in range(iters):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        for j in range(C.shape[0]):
+            members = Xn[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+        C = _normalize_rows(C).astype(np.float32)
+    return C
+
+
+def ivf_assign(M: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """Cell id per row: argmax cosine against unit centroids."""
+    return np.argmax(_normalize_rows(M) @ centroids.T, axis=1).astype(np.int64)
+
+
+def ann_ivf_topk(ds, queries: np.ndarray, sample: np.ndarray, k: int = 10,
+                 ncells: int = 16, nprobe: int = 4, id_col="vec_id",
+                 vec_col="embedding") -> pa.Table:
+    """IVF-pruned cosine top-k.  ``sample`` is a small (S, D) training
+    sample for the coarse quantizer (read driver-side, deterministic).
+    Scores only rows whose cell is among each query's nprobe nearest
+    cells — ~nprobe/ncells of the brute-force FLOPs.  Returns
+    (qid, vec_id, rank, sim) like ann_cosine_topk (approximate: rows
+    outside probed cells are never scored)."""
+    C = kmeans_cosine(sample, ncells)
+    Qn = _normalize_rows(queries.astype(np.float32))
+    probe = np.argsort(-(Qn @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    probe_sets = [set(p.tolist()) for p in probe]
+
+    def part(b: pa.Table) -> pa.Table:
+        M = batch_matrix(b, vec_col)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cells = ivf_assign(M, C)
+        norms = np.linalg.norm(M, axis=1)
+        norms = np.where(norms == 0, 1.0, norms)
+        out_q, out_id, out_s = [], [], []
+        for j in range(Qn.shape[0]):
+            m = np.isin(cells, list(probe_sets[j]))
+            if not m.any():
+                continue
+            s = (M[m] @ Qn[j]) / norms[m]
+            kk = min(k, s.shape[0])
+            top = np.lexsort((ids[m], -s))[:kk]
+            out_q.append(np.full(kk, j, dtype=np.int64))
+            out_id.append(ids[m][top])
+            out_s.append(s[top].astype(np.float64))
+        if not out_q:
+            return pa.table({"qj": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        return pa.table({"qj": pa.array(np.concatenate(out_q), pa.int64()),
+                         "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
+                         "sim": pa.array(np.concatenate(out_s), pa.float64())})
+
+    cand = ds.map_batches(part, batch_format="pyarrow", batch_size=None,
+                          zero_copy_batch=True)
+    chunks = list(cand.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    schema = pa.schema([("qj", pa.int64()), ("vec_id", pa.int64()),
+                        ("sim", pa.float64())])
+    tb = pa.concat_tables(chunks) if chunks else schema.empty_table()
+    qj = tb["qj"].to_numpy()
+    ids = tb["vec_id"].to_numpy()
+    sims = tb["sim"].to_numpy()
+    rows = {"qid": [], "vec_id": [], "rank": [], "sim": []}
+    for j in range(Qn.shape[0]):
+        m = qj == j
+        order = np.lexsort((ids[m], -sims[m]))[:k]
+        rows["qid"].extend([j] * len(order))
+        rows["vec_id"].extend(ids[m][order].tolist())
+        rows["rank"].extend(range(1, len(order) + 1))
+        rows["sim"].extend(sims[m][order].tolist())
+    return pa.table({k2: pa.array(v) for k2, v in rows.items()})

@@ -1535,3 +1535,138 @@ def token_topk(sf_dir):
     agg = parts.groupby("token").aggregate(Sum("n", alias_name="n")).to_pandas()
     return (agg.sort_values(["n", "token"], ascending=[False, True])
             .head(20).reset_index(drop=True))
+
+
+# ===========================================================================
+# Relational part 3: window function (running aggregate), interval/range
+# join, holistic per-group quantile, IVF ANN (the second scale path)
+# ===========================================================================
+
+@query(
+    "window_running_total",
+    sql="""
+    SELECT o_orderkey, o_custkey,
+           SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+             OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS UNBOUNDED PRECEDING) AS run_cents
+    FROM orders
+    """,
+)
+def window_running_total(sf_dir):
+    """Windowed running aggregate: per-customer cumulative order value in
+    date order.  groupby(custkey).map_groups sorts each partition and
+    cumsums — integer cents so the running sum is exact on both sides.
+    At scale this is the standard key-hash shuffle + per-key sort; no
+    global sort is needed."""
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_custkey", "o_totalprice",
+                             "o_orderdate"])
+
+    def per_cust(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderdate", "o_orderkey"])
+        cents = np.floor(g["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return pd.DataFrame({
+            "o_orderkey": g["o_orderkey"].to_numpy(),
+            "o_custkey": g["o_custkey"].to_numpy(),
+            "run_cents": np.cumsum(cents),
+        })
+
+    return ds.groupby("o_custkey").map_groups(per_cust, batch_format="pandas")
+
+
+@query(
+    "interval_join_purchases",
+    sql="""
+    WITH s AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'signup'),
+         p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT s.event_id, COUNT(p.ts) AS n_purchases_7d
+    FROM s LEFT JOIN p ON p.user_id = s.user_id
+       AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 7 DAY
+    GROUP BY s.event_id
+    """,
+)
+def interval_join_purchases(sf_dir):
+    """Interval (range) join: purchases inside each signup's 7-day
+    window, counted per signup.  Co-locate by user (key-hash shuffle),
+    then two searchsorted probes per signup against the user's sorted
+    purchase timestamps — O(n log n) per key instead of the quadratic
+    nested-loop a naive range join would do."""
+    SEVEN_DAYS_US = 7 * 86400 * 1_000_000
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_type", "event_id"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        s = g[g["event_type"] == "signup"]
+        if s.empty:
+            return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                                 "n_purchases_7d": pd.Series(dtype="int64")})
+        p_ts = np.sort(g.loc[g["event_type"] == "purchase", "ts"]
+                       .astype("int64").to_numpy())
+        s_ts = s["ts"].astype("int64").to_numpy()
+        lo = np.searchsorted(p_ts, s_ts, side="left")
+        hi = np.searchsorted(p_ts, s_ts + SEVEN_DAYS_US, side="left")
+        return pd.DataFrame({"event_id": s["event_id"].to_numpy(),
+                             "n_purchases_7d": (hi - lo).astype(np.int64)})
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+@query(
+    "segment_acctbal_median",
+    sql="""
+    SELECT c_mktsegment,
+           CAST(floor(quantile_cont(c_acctbal, 0.5) * 1000.0 + 0.5) AS BIGINT)
+             AS median_milli,
+           COUNT(*) AS n_customers
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def segment_acctbal_median(sf_dir):
+    """Holistic per-group quantile (exact median).  Quantiles cannot be
+    combined from partials, so each group's values are shuffled to one
+    map_groups task (cardinality = 5 segments).  The linear-interpolated
+    midpoint of 2-decimal money is a multiple of 0.0005, so rounding to
+    milli-units is boundary-safe on both engines.  At 100 TB swap in a
+    mergeable sketch (t-digest) behind the same API."""
+    ds = read_table(sf_dir, "customer", columns=["c_mktsegment", "c_acctbal"])
+
+    def per_seg(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["c_acctbal"].to_numpy()
+        med = float(np.quantile(v, 0.5))  # linear interpolation, like quantile_cont
+        return pd.DataFrame({
+            "c_mktsegment": [g["c_mktsegment"].iloc[0]],
+            "median_milli": np.floor(np.float64(med) * 1000.0 + 0.5).astype(np.int64),
+            "n_customers": [np.int64(len(v))],
+        })
+
+    return ds.groupby("c_mktsegment").map_groups(per_seg, batch_format="pandas")
+
+
+@query("ann_ivf_topk")  # rows-only: approximate by construction
+def ann_ivf_topk_query(sf_dir):
+    """IVF-bucketed ANN (second scale path next to ann_lsh_buckets):
+    spherical k-means coarse quantizer on a deterministic sample, probe
+    the 4 nearest of 16 cells per query, score only those rows.
+    tests/test_vector_ivf.py checks recall against the brute-force
+    baseline."""
+    import duckdb as _dd
+
+    from ..functions.vector import ann_ivf_topk as _ivf
+
+    con = _dd.connect()
+    qv = con.sql(f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+                 f"WHERE vec_id IN (0, 1, 2) ORDER BY vec_id").fetchall()
+    sv = con.sql(f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+                 f"WHERE vec_id % 7 = 0 ORDER BY vec_id LIMIT 1024").fetchall()
+    con.close()
+    Q = np.array([list(r[0]) for r in qv], dtype=np.float32)
+    S = np.array([list(r[0]) for r in sv], dtype=np.float32)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    # the synthetic embeddings are near-isotropic (within-label cosine
+    # ~0.02), the worst case for IVF: neighbours scatter across cells, so
+    # the operating point is nprobe=8/16 (scan ~half) for recall ~0.9.
+    # On clustered real-world embeddings nprobe=2-4 suffices.
+    out = _ivf(ds, Q, S, k=10, ncells=16, nprobe=8)
+    return out.select(["qid", "vec_id", "rank"])
