@@ -24,6 +24,7 @@ closures), never rebuilt per batch.
 from __future__ import annotations
 
 import math
+import os
 
 from .kernels.common import DMS_DEG, DMS_MIN, DMS_SEC, SEC_TO_RAD
 
@@ -162,6 +163,34 @@ EPSG_INIT = {
     "26915": "+proj=utm +zone=15 +datum=NAD83 +units=m +no_defs",
     "4978": "+proj=geocent +datum=WGS84 +units=m +no_defs",
 }
+
+
+def read_init_file(path: str, section: str) -> str | None:
+    """Keyed init-file lookup (src/pj_init.c get_init/get_opt:97-291).
+
+    Format is the reference's ``nad/epsg`` style: a definition starts at
+    the ``<key>`` tag, collects whitespace-separated words (possibly over
+    several lines), and ends at the ``<>`` end tag; ``#`` starts a
+    comment running to end of line.  Returns the definition string for
+    ``section``, or None if the key is absent.  The file is found via
+    the PROJ_LIB directory, same contract as pj_open_lib."""
+    tag = f"<{section}>"
+    words: list[str] = []
+    in_section = False
+    with open(path, "r") as f:
+        for line in f:
+            hash_at = line.find("#")
+            if hash_at >= 0:
+                line = line[:hash_at]
+            for w in line.split():
+                if not in_section:
+                    if w == tag:
+                        in_section = True
+                    continue
+                if w == "<>":
+                    return " ".join(words)
+                words.append(w)
+    return " ".join(words) if in_section else None
 
 PJD_UNKNOWN = 0
 PJD_3PARAM = 1
@@ -344,9 +373,17 @@ class CRS:
                 fname, key = init.split(":", 1)
             except ValueError:
                 raise ValueError(f"bad +init={init!r} (-3)")
-            if fname != "epsg" or key not in EPSG_INIT:
+            defn_str = None
+            proj_lib = os.environ.get("PROJ_LIB")
+            if proj_lib:
+                fpath = os.path.join(proj_lib, fname)
+                if os.path.isfile(fpath):
+                    defn_str = read_init_file(fpath, key)
+            if defn_str is None and fname == "epsg":
+                defn_str = EPSG_INIT.get(key)
+            if defn_str is None:
                 raise ValueError(f"unknown init key {init!r} (-2)")
-            for tok in _parse_tokens(EPSG_INIT[key]):
+            for tok in _parse_tokens(defn_str):
                 pl.append(tok)
 
         name = pl.get_s("proj")
@@ -396,6 +433,8 @@ class CRS:
         self.datum_type = PJD_UNKNOWN
         self.datum_params = [0.0] * 7
         self.nadgrids = None
+        self.catalog_name = None
+        self.datum_date = 0.0
 
         self._datum_set(pl)
         self.a, self.es = self._ell_set(pl)
@@ -505,6 +544,17 @@ class CRS:
         if nadgrids is not None:
             self.datum_type = PJD_GRIDSHIFT
             self.nadgrids = nadgrids
+            return
+        # +catalog=<csv> [+date=<yyyy.f|yyyy-mm-dd>] — dated grid catalog
+        # (pj_datum_set.c:96-108); nadgrids wins when both are given
+        catalog = pl.get_s("catalog")
+        if catalog is not None:
+            from .kernels.gridcatalog import parse_catalog_date
+
+            self.datum_type = PJD_GRIDSHIFT
+            self.catalog_name = catalog
+            date = pl.get_s("date")
+            self.datum_date = parse_catalog_date(date) if date else 0.0
             return
         towgs84 = pl.get_s("towgs84")
         if towgs84 is not None:
@@ -640,7 +690,9 @@ class CRS:
         if self.datum_type == PJD_7PARAM:
             return self.datum_params == other.datum_params
         if self.datum_type == PJD_GRIDSHIFT:
-            return self.nadgrids == other.nadgrids
+            return (self.nadgrids == other.nadgrids
+                    and self.catalog_name == other.catalog_name
+                    and self.datum_date == other.datum_date)
         return True
 
     def to_proj4(self) -> str:

@@ -128,3 +128,55 @@ class GridCatalog:
         out_lam[sel] = mix[sel] * after_lam[sel] + (1.0 - mix[sel]) * before_lam[sel]
         out_phi[sel] = mix[sel] * after_phi[sel] + (1.0 - mix[sel]) * before_phi[sel]
         return out_lam, out_phi
+
+
+def _atoi(s: str) -> int:
+    """C atoi: parse a leading integer, 0 if none."""
+    s = s.strip()
+    out = ""
+    for i, ch in enumerate(s):
+        if ch in "+-" and i == 0 or ch.isdigit():
+            out += ch
+        else:
+            break
+    try:
+        return int(out)
+    except ValueError:
+        return 0
+
+
+def read_catalog_csv(path, grid_loader):
+    """Parse a grid catalog .csv (pj_gc_readcatalog, src/pj_gc_reader.c):
+
+    - the first line is a title and is discarded;
+    - blank lines and ``#`` comments are skipped;
+    - each row is ``gridname,ll_long,ll_lat,ur_long,ur_lat[,priority[,date]]``
+      with the corners in dmstor syntax (degrees or DMS);
+    - like the C loop (``while readentry == 0``), reading STOPS at the
+      first short (<5 token) line.
+
+    ``grid_loader(name)`` maps the gridname token to a loaded ShiftGrid.
+    Returns a GridCatalog.
+    """
+    from ..crs import dmstor
+
+    entries = []
+    with open(path, "r") as f:
+        lines = f.readlines()
+    for raw in lines[1:]:  # title line discarded
+        s = raw.lstrip()
+        if not s.strip() or s[0] == "#":
+            continue
+        tokens = s.rstrip("\n").split(",")
+        if len(tokens) < 5:
+            break  # reference aborts the read loop on a short line
+        definition = tokens[0]
+        region = (dmstor(tokens[1]), dmstor(tokens[2]),
+                  dmstor(tokens[3]), dmstor(tokens[4]))
+        priority = _atoi(tokens[5]) if len(tokens) > 5 else 0
+        date = parse_catalog_date(tokens[6]) if len(tokens) > 6 else 0.0
+        grid = grid_loader(definition)
+        if isinstance(grid, (list, tuple)):  # multi-subgrid files: top grid
+            grid = grid[0]
+        entries.append(CatalogEntry(grid, region, date, priority))
+    return GridCatalog(entries)

@@ -88,6 +88,30 @@ def _adjust_axis(axis, denormalize, x, y, z):
     return outs[0], outs[1], outs[2]
 
 
+def _load_catalog(catalog_name, grid_loader=None):
+    """Resolve and read a dated grid catalog CSV (+catalog=...).
+
+    Path resolution follows pj_open_lib: the name as given if it exists,
+    else relative to $PROJ_LIB.  Grid names inside the CSV resolve via
+    ``grid_loader`` when supplied, else against the catalog's own
+    directory (read_any_grid sniffs CTABLE2/NTv1/NTv2/GTX)."""
+    import os
+
+    from .kernels.gridcatalog import read_catalog_csv
+    from .sources.grids import read_any_grid
+
+    path = catalog_name
+    if not os.path.isfile(path):
+        proj_lib = os.environ.get("PROJ_LIB")
+        if proj_lib and os.path.isfile(os.path.join(proj_lib, catalog_name)):
+            path = os.path.join(proj_lib, catalog_name)
+        else:
+            raise FileNotFoundError(f"grid catalog {catalog_name!r} (-38)")
+    base = os.path.dirname(os.path.abspath(path))
+    loader = grid_loader or (lambda name: read_any_grid(os.path.join(base, name))[0])
+    return read_catalog_csv(path, loader)
+
+
 class Transform:
     """Compiled (src, dst) transform. Call with float64 arrays.
 
@@ -101,11 +125,18 @@ class Transform:
         self.dst = dst if isinstance(dst, CRS) else CRS(dst)
         self._src_grids = None
         self._dst_grids = None
+        self._src_catalog = self._dst_catalog = None
         self._grid_loader = grid_loader
         if self.src.datum_type == PJD_GRIDSHIFT:
-            self._src_grids = gridlist_from_nadgrids(self.src.nadgrids, grid_loader)
+            if getattr(self.src, "catalog_name", None):
+                self._src_catalog = _load_catalog(self.src.catalog_name, grid_loader)
+            else:
+                self._src_grids = gridlist_from_nadgrids(self.src.nadgrids, grid_loader)
         if self.dst.datum_type == PJD_GRIDSHIFT:
-            self._dst_grids = gridlist_from_nadgrids(self.dst.nadgrids, grid_loader)
+            if getattr(self.dst, "catalog_name", None):
+                self._dst_catalog = _load_catalog(self.dst.catalog_name, grid_loader)
+            else:
+                self._dst_grids = gridlist_from_nadgrids(self.dst.nadgrids, grid_loader)
         # vertical geoid grids (+geoidgrids, steps 5/7 of pj_transform)
         self._src_vgrids = self._dst_vgrids = None
         vloader = vgrid_loader or grid_loader
@@ -126,7 +157,10 @@ class Transform:
         dst_a, dst_es = dst.a_orig, dst.es_orig
 
         if src.datum_type == PJD_GRIDSHIFT:
-            x, y = apply_gridshift(self._src_grids, False, x, y)
+            if self._src_catalog is not None:
+                x, y = self._src_catalog.apply(src.datum_date, False, x, y)
+            else:
+                x, y = apply_gridshift(self._src_grids, False, x, y)
             src_a = SRS_WGS84_SEMIMAJOR
             src_es = SRS_WGS84_ESQUARED
         if dst.datum_type == PJD_GRIDSHIFT:
@@ -146,7 +180,10 @@ class Transform:
             x, y, z = geocentric_to_geodetic(dst_a, dst_es, x, y, z)
 
         if dst.datum_type == PJD_GRIDSHIFT:
-            x, y = apply_gridshift(self._dst_grids, True, x, y)
+            if self._dst_catalog is not None:
+                x, y = self._dst_catalog.apply(dst.datum_date, True, x, y)
+            else:
+                x, y = apply_gridshift(self._dst_grids, True, x, y)
         return x, y, z
 
     # -------------------------------------------------------------------

@@ -2,6 +2,7 @@
 tiling, point-in-polygon, geodesics."""
 
 import numpy as np
+import pytest
 
 from proj_ray.kernels import common as C
 from proj_ray.kernels import geodesic as G
@@ -322,3 +323,114 @@ def test_chebyshev_surrogate():
     s2 = ChebyshevSurrogate.fit(f, (12.0, 18.0, 40.0, 55.0), deg=(14, 14), tol=1e-4)
     assert (s2.cx == 0).sum() > 0
     assert s2.max_error(f) < 5e-3
+
+
+def test_grid_catalog_csv_reader(tmp_path):
+    """read_catalog_csv (pj_gc_reader.c): title line discarded, comments
+    and blanks skipped, dmstor corners, priority/date columns optional,
+    read stops at the first short line."""
+    from proj_ray.kernels.gridcatalog import read_catalog_csv
+
+    d2r = np.pi / 180.0
+
+    def const_grid(gid, shift):
+        cvs = np.zeros((5, 5, 2), dtype=np.float32)
+        cvs[..., 0] = shift
+        return ShiftGrid(gid, (-10 * d2r, -10 * d2r), (5 * d2r, 5 * d2r), (5, 5), cvs)
+
+    grids = {"g2000.gsb": const_grid("G2000", 1e-5),
+             "g2010.gsb": const_grid("G2010", 3e-5)}
+    csv = tmp_path / "catalog.csv"
+    csv.write_text(
+        "gridname,ll_long,ll_lat,ur_long,ur_lat,priority,date\n"
+        "# a comment line\n"
+        "\n"
+        "g2000.gsb,-10,-10,10,10,0,2000.0\n"
+        "g2010.gsb,-10d0'0\",-10,10,10,1,2010-01-01\n"
+        "short,line\n"
+        "g2000.gsb,-10,-10,10,10,0,2020.0\n")  # after short line: ignored
+    cat = read_catalog_csv(str(csv), lambda name: grids[name])
+    assert len(cat.entries) == 2  # the short line terminates the read
+    assert cat.entries[0].date == 2000.0
+    assert cat.entries[1].date == 2010.0  # 2010-01-01 -> 2010.0
+    assert cat.entries[1].priority == 1
+    np.testing.assert_allclose(cat.entries[1].region[0], -10 * d2r, rtol=1e-12)
+    # behaves identically to the code-constructed catalog
+    lo, _ = cat.apply(2005.0, False, np.array([0.0]), np.array([0.0]))
+    np.testing.assert_allclose(lo[0], -2e-5, atol=1e-10)
+
+
+def test_init_file_reader(tmp_path, monkeypatch):
+    """Keyed init files (pj_init.c get_init/get_opt): <key> ... <>,
+    multi-line definitions, # comments; PROJ_LIB lookup wins over the
+    curated EPSG subset; args before +init win over file params."""
+    from proj_ray.crs import CRS, read_init_file
+
+    f = tmp_path / "myepsg"
+    f.write_text(
+        "# test init file\n"
+        "<9999> +proj=merc +lon_0=10   # trailing comment\n"
+        "  +k=0.5 <>\n"
+        "<4326> +proj=longlat +datum=WGS84 +no_defs <>\n")
+    assert read_init_file(str(f), "9999") == "+proj=merc +lon_0=10 +k=0.5"
+    assert read_init_file(str(f), "nope") is None
+
+    monkeypatch.setenv("PROJ_LIB", str(tmp_path))
+    P = CRS("+init=myepsg:9999 +ellps=WGS84")
+    assert P.proj_name == "merc" and P.k0 == 0.5
+    # explicit args precede the +init expansion => first-wins
+    P2 = CRS("+k=0.9 +init=myepsg:9999 +ellps=WGS84")
+    assert P2.k0 == 0.9
+    # file shadows the curated dict for the same fname when PROJ_LIB set
+    P3 = CRS("+init=epsg:4326")
+    assert P3.proj_name in ("longlat", "latlong")
+    monkeypatch.delenv("PROJ_LIB")
+    with pytest.raises(ValueError):
+        CRS("+init=myepsg:9999")  # unknown without PROJ_LIB
+
+
+def test_catalog_datum_transform_e2e(tmp_path, monkeypatch):
+    """+catalog=<csv> +date=<d> wired through the datum step
+    (pj_datum_set.c:96-108 -> pj_gc_apply_gridshift): PROJ_LIB file
+    resolution, linear before/after mixing, and the reference's own
+    0/0 NaN quirk when the date equals an entry date exactly."""
+    from proj_ray.kernels.grid import write_ctable2
+    from proj_ray.transform import make_transform
+
+    d2r = np.pi / 180.0
+    for name, shift_sec in (("g2000.lla", 3.6), ("g2010.lla", 10.8)):
+        cvs = np.zeros((11, 11, 2), dtype=np.float32)
+        cvs[..., 0] = shift_sec / 3600.0 * d2r
+        g = ShiftGrid(name, (-10 * d2r, -10 * d2r), (2 * d2r, 2 * d2r),
+                      (11, 11), cvs)
+        write_ctable2(str(tmp_path / name), g)
+    (tmp_path / "catalog.csv").write_text(
+        "gridname,ll_long,ll_lat,ur_long,ur_lat,priority,date\n"
+        "g2000.lla,-10,-10,10,10,0,2000.0\n"
+        "g2010.lla,-10,-10,10,10,0,2010.0\n")
+    monkeypatch.setenv("PROJ_LIB", str(tmp_path))
+
+    t = make_transform("+proj=latlong +catalog=catalog.csv +date=2005.0 +ellps=WGS84",
+                       "+proj=latlong +datum=WGS84")
+    lon, lat, _ = t(np.array([0.0]), np.array([0.0]))
+    # halfway mix of the 3.6" and 10.8" grids: -7.2 arcsec on lon
+    np.testing.assert_allclose(lon[0], -7.2 / 3600.0, atol=1e-9)
+    np.testing.assert_allclose(lat[0], 0.0, atol=1e-12)
+
+    # date exactly on an entry: before==after -> 0/0 mix -> NaN output,
+    # same as the reference's mix_ratio arithmetic (pj_gridcatalog.c:208)
+    t2 = make_transform("+proj=latlong +catalog=catalog.csv +date=2000.0 +ellps=WGS84",
+                        "+proj=latlong +datum=WGS84")
+    lon2, _, _ = t2(np.array([0.0]), np.array([0.0]))
+    assert not np.isfinite(lon2[0])
+
+    # date=0 => pure "after" grid, no mixing
+    t0 = make_transform("+proj=latlong +catalog=catalog.csv +ellps=WGS84",
+                        "+proj=latlong +datum=WGS84")
+    lon0, _, _ = t0(np.array([0.0]), np.array([0.0]))
+    np.testing.assert_allclose(lon0[0], -3.6 / 3600.0, atol=1e-9)
+
+    # nadgrids wins over catalog when both present (pj_datum_set elif)
+    from proj_ray.crs import CRS
+    c = CRS("+proj=latlong +nadgrids=@null +catalog=catalog.csv +ellps=WGS84")
+    assert c.catalog_name is None
