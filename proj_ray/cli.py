@@ -152,6 +152,20 @@ def _flush(batch, tails, raw, transform, flags, echo, fmt, rev_out, dst_ll):
         yield out
 
 
+
+def _init_failure(prog, exc, stderr=None):
+    """Reference-style init diagnostic (proj.c/cs2cs.c emess usage):
+    <prog>: projection initialization failure\ncause: <pj_strerrno>."""
+    from .errors import errno_from_exception, pj_strerrno
+
+    stderr = stderr or sys.stderr
+    code = errno_from_exception(exc)
+    cause = pj_strerrno(code) if code is not None else str(exc)
+    print(f"{prog}: projection initialization failure", file=stderr)
+    print(f"cause: {cause}", file=stderr)
+    return 1
+
+
 def cs2cs_main(argv=None, stdin=None, stdout=None):
     argv = sys.argv[1:] if argv is None else argv
     stdin = stdin or sys.stdin
@@ -161,7 +175,10 @@ def cs2cs_main(argv=None, stdin=None, stdout=None):
         # no +to: destination = base geographic CRS of source
         # (pj_latlong_from_proj semantics, src/cs2cs.c:357-369)
         to_def = _latlong_from(from_def)
-    t = make_transform(from_def, to_def)
+    try:
+        t = make_transform(from_def, to_def)
+    except (ValueError, FileNotFoundError) as exc:
+        return _init_failure("cs2cs", exc)
     for out in _process_lines(stdin, t, flags):
         print(out, file=stdout)
     return 0
@@ -187,10 +204,13 @@ def proj_main(argv=None, stdin=None, stdout=None):
     stdout = stdout or sys.stdout
     flags, defn, _ = _split_args(argv)
     ll = _latlong_from(defn)
-    if "-I" in flags:
-        t = make_transform(defn, ll)
-    else:
-        t = make_transform(ll, defn)
+    try:
+        if "-I" in flags:
+            t = make_transform(defn, ll)
+        else:
+            t = make_transform(ll, defn)
+    except (ValueError, FileNotFoundError) as exc:
+        return _init_failure("proj", exc)
     for out in _process_lines(stdin, t, flags):
         print(out, file=stdout)
     return 0
@@ -206,7 +226,10 @@ def geod_main(argv=None, stdin=None, stdout=None):
     from .crs import CRS
     from .kernels.geodesic import geod_inverse
 
-    crs = CRS(defn if "proj=" in defn else defn + " +proj=latlong")
+    try:
+        crs = CRS(defn if "proj=" in defn else defn + " +proj=latlong")
+    except (ValueError, FileNotFoundError) as exc:
+        return _init_failure("geod", exc)
     a = crs.a
     f = crs.es / (1 + (1 - crs.es) ** 0.5) if crs.es else 0.0
     fmt = flags.get("-f", "%.3f")

@@ -164,6 +164,26 @@ EPSG_INIT = {
     "4978": "+proj=geocent +datum=WGS84 +units=m +no_defs",
 }
 
+# Mechanical EPSG families (public definitions; curated entries above win)
+for _z in range(1, 61):
+    EPSG_INIT.setdefault(
+        str(32600 + _z), f"+proj=utm +zone={_z} +datum=WGS84 +units=m +no_defs")
+    EPSG_INIT.setdefault(
+        str(32700 + _z),
+        f"+proj=utm +zone={_z} +south +datum=WGS84 +units=m +no_defs")
+for _z in range(28, 39):  # ETRS89 / UTM 25828-25838
+    EPSG_INIT.setdefault(
+        str(25800 + _z),
+        f"+proj=utm +zone={_z} +ellps=GRS80 +towgs84=0,0,0,0,0,0,0 "
+        f"+units=m +no_defs")
+for _z in range(1, 24):  # NAD83 / UTM 26901-26923
+    EPSG_INIT.setdefault(
+        str(26900 + _z), f"+proj=utm +zone={_z} +datum=NAD83 +units=m +no_defs")
+for _z in range(3, 23):  # NAD27 / UTM 26703-26722
+    EPSG_INIT.setdefault(
+        str(26700 + _z), f"+proj=utm +zone={_z} +datum=NAD27 +units=m +no_defs")
+del _z
+
 
 def read_init_file(path: str, section: str) -> str | None:
     """Keyed init-file lookup (src/pj_init.c get_init/get_opt:97-291).

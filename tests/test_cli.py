@@ -54,3 +54,27 @@ def test_proj_inverse_flag():
 def test_geod_equator():
     lines = run(geod_main, ["+ellps=WGS84"], "0d 0d 0d 1d\n")
     assert lines[0].endswith("111319.491")
+
+
+def test_cli_init_failure_diagnostics(capsys):
+    """Init failures print the reference's diagnostic + pj_strerrno
+    message (src/pj_strerrno.c) instead of a traceback, exit 1."""
+    import sys
+
+    rc = proj_main(["+proj=nosuchproj"], stdin=io.StringIO("1 1\n"),
+                   stdout=io.StringIO())
+    err = capsys.readouterr().err
+    assert rc == 1
+    assert "proj: projection initialization failure" in err
+    assert "cause: unknown projection id" in err
+
+    rc = cs2cs_main(["+proj=latlong", "+catalog=missing.csv", "+ellps=WGS84",
+                     "+to", "+proj=latlong", "+datum=WGS84"],
+                    stdin=io.StringIO("0 0\n"), stdout=io.StringIO())
+    err = capsys.readouterr().err
+    assert rc == 1 and "cause: failed to load datum shift file" in err
+
+    rc = geod_main(["+ellps=nosuchell"], stdin=io.StringIO("0d 0d 0d 1d\n"),
+                   stdout=io.StringIO())
+    err = capsys.readouterr().err
+    assert rc == 1 and "geod: projection initialization failure" in err
