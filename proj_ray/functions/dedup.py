@@ -142,3 +142,77 @@ def minhash_bands_batch(batch: pa.Table, text_col="text", id_col="doc_id",
         "band_hash": pa.array(np.concatenate(out_hash), pa.int64()),
         id_col: pa.array(np.concatenate(out_id), pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# Connected components over a duplicate-candidate edge list: min-label
+# propagation.  Edges come from exact-hash groups, LSH buckets, or any
+# pairwise candidate generator; components give dedup cluster ids
+# (cluster = min member id).
+#
+# Scale shape: the edge list of a dedup run is sub-linear in the corpus
+# (only near-duplicate pairs survive banding), so each round is a
+# groupby over edges + a groupby over labels — two key-hash shuffles of
+# SMALL tables, never of the corpus itself.  Rounds needed = graph
+# diameter; dedup graphs are star-like (1-3 rounds).  The corpus join
+# happens ONCE at the end, against the broadcast/shuffled label table.
+
+
+def cc_min_label(edges, max_rounds: int = 10):
+    """Connected components by min-label propagation.
+
+    ``edges`` is a Ray Dataset with int64 columns ``src``/``dst`` (or a
+    pyarrow Table / pandas DataFrame for driver-side use).  Returns a
+    pandas DataFrame (node, label) where label = min node id reachable —
+    the component representative.
+
+    Each round: every node's tentative label flows across every edge in
+    both directions; a groupby-min collapses to the per-node minimum.
+    Converged when no label changed (checked via per-round sum, exact
+    on int64)."""
+    import pandas as pd
+
+    if hasattr(edges, "to_pandas"):
+        df = edges.to_pandas()
+    else:
+        df = pd.DataFrame(edges)
+    if df.empty:  # no duplicate pairs at all -> no labeled nodes
+        return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                             "label": pd.Series(dtype="int64")})
+    src = df["src"].to_numpy(dtype=np.int64)
+    dst = df["dst"].to_numpy(dtype=np.int64)
+    nodes = np.unique(np.concatenate([src, dst]))
+    label = pd.Series(nodes, index=nodes)  # start: own id
+    for _ in range(max_rounds):
+        # candidate labels crossing each edge, both directions
+        cand = pd.DataFrame({
+            "node": np.concatenate([src, dst, nodes]),
+            "lab": np.concatenate([label.loc[dst].to_numpy(),
+                                   label.loc[src].to_numpy(),
+                                   label.to_numpy()]),
+        })
+        new = cand.groupby("node")["lab"].min()
+        if (new.to_numpy() == label.loc[new.index].to_numpy()).all():
+            label = new
+            break
+        label = new
+    out = label.reset_index()
+    out.columns = ["node", "label"]
+    return out
+
+
+def exact_dup_edges(ds, id_col="doc_id", hash_col="text_hash"):
+    """Star edges (member -> group-min id) per equal-hash group:
+    map_batches partial min per hash, tiny groupby-min, then a second
+    pass emits (id, group_min) pairs.  Returns a Ray Dataset of
+    src/dst int64 edges (only for groups of size >= 2)."""
+    import pandas as pd
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g[id_col].to_numpy(dtype=np.int64))
+        if len(ids) < 2:
+            return pd.DataFrame({"src": pd.Series(dtype="int64"),
+                                 "dst": pd.Series(dtype="int64")})
+        return pd.DataFrame({"src": ids[1:], "dst": ids[0]})
+
+    return ds.groupby(hash_col).map_groups(per_group, batch_format="pandas")

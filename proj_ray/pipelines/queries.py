@@ -1670,3 +1670,84 @@ def ann_ivf_topk_query(sf_dir):
     # On clustered real-world embeddings nprobe=2-4 suffices.
     out = _ivf(ds, Q, S, k=10, ncells=16, nprobe=8)
     return out.select(["qid", "vec_id", "rank"])
+
+
+@query(
+    "dedup_clusters",
+    sql="""
+    SELECT d.doc_id,
+           m.cluster
+    FROM documents d
+    JOIN (SELECT substr(text, 1, 40) AS pfx, MIN(doc_id) AS cluster
+          FROM documents GROUP BY pfx) m ON substr(d.text, 1, 40) = m.pfx
+    """,
+)
+def dedup_clusters(sf_dir):
+    """Connected-components dedup clustering: duplicate-key edges
+    (per-hash star edges; key = 40-char prefix fingerprint, which the
+    synthetic corpus actually collides on) -> min-label propagation ->
+    every doc labeled with its component representative (min doc_id).
+    The edge list is sub-linear in the corpus, so propagation shuffles
+    only edges; the corpus is touched once for hashing and once for the
+    final broadcast join.  The same cc_min_label machinery clusters LSH
+    near-dup candidates (rows-only there — SQL cannot express MinHash
+    banding)."""
+    from ..functions.dedup import cc_min_label, exact_dup_edges, text_hash64
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def hash_prefix(t: pa.Table) -> pa.Table:
+        texts = [(s40 or "")[:40] for s40 in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"],
+                         "text_hash": pa.array(text_hash64(texts).astype(np.int64),
+                                               pa.int64())})
+
+    hashed = ds.map_batches(hash_prefix, batch_format="pyarrow",
+                            batch_size=None)
+    edges = exact_dup_edges(hashed)
+    labels = cc_min_label(edges)  # small: only docs with >=1 duplicate
+    lab_map = dict(zip(labels["node"].astype(np.int64),
+                       labels["label"].astype(np.int64)))
+
+    def attach(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # singleton components keep their own id
+        clu = np.array([lab_map.get(i, i) for i in ids], dtype=np.int64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "cluster": pa.array(clu, pa.int64())})
+
+    return ds.map_batches(attach, batch_format="pyarrow", batch_size=None)
+
+
+@query("minhash_dedup_clusters")  # rows-only: MinHash banding not in SQL
+def minhash_dedup_clusters(sf_dir):
+    """Near-dup clustering: LSH band buckets -> same-bucket star edges
+    -> cc_min_label components.  Returns each doc's cluster id (min
+    doc_id of its near-dup component; singletons keep their own id)."""
+    from ..functions.dedup import cc_min_label, minhash_bands_batch
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    bands = ds.map_batches(lambda t: minhash_bands_batch(t),
+                           batch_format="pyarrow", batch_size=None)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].unique().astype(np.int64))
+        if len(ids) < 2:
+            return pd.DataFrame({"src": pd.Series(dtype="int64"),
+                                 "dst": pd.Series(dtype="int64")})
+        return pd.DataFrame({"src": ids[1:], "dst": ids[0]})
+
+    edges = bands.groupby(["band_id", "band_hash"]).map_groups(
+        per_bucket, batch_format="pandas")
+    labels = cc_min_label(edges)
+    lab_map = dict(zip(labels["node"].astype(np.int64),
+                       labels["label"].astype(np.int64)))
+
+    def attach(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        clu = np.array([lab_map.get(i, i) for i in ids], dtype=np.int64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "cluster": pa.array(clu, pa.int64())})
+
+    return ds.select_columns(["doc_id"]).map_batches(
+        attach, batch_format="pyarrow", batch_size=None)
