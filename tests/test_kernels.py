@@ -455,3 +455,27 @@ def test_cc_min_label_propagation():
     e2 = pd.DataFrame({"src": [5, 6, 7], "dst": [6, 7, 5]})
     lab2 = cc_min_label(e2).set_index("node")["label"]
     assert (lab2 == 5).all()
+
+
+def test_histogram_sketch_quantile():
+    """Mergeable histogram quantile: merge exactness + error bound vs
+    np.quantile (one bin width)."""
+    from proj_ray.functions.sketch import HistogramSketch
+
+    rng = np.random.default_rng(5)
+    a = rng.normal(0, 100, 20000)
+    b = rng.uniform(-500, 500, 15000)
+    lo, hi, nbins = -1000.0, 1000.0, 4096
+    s_all = HistogramSketch(lo, hi, nbins).add(np.concatenate([a, b]))
+    s_merged = HistogramSketch(lo, hi, nbins).add(a).merge(
+        HistogramSketch(lo, hi, nbins).add(b))
+    np.testing.assert_array_equal(s_all.counts, s_merged.counts)  # exact merge
+    width = (hi - lo) / nbins
+    both = np.concatenate([a, b])
+    for q in (0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
+        est = s_merged.quantile(q)
+        exact = np.quantile(both, q)
+        assert abs(est - exact) <= width + 1e-9, (q, est, exact)
+    # out-of-range values clamp but preserve rank totals
+    s2 = HistogramSketch(0.0, 1.0, 10).add(np.array([-5.0, 0.5, 99.0]))
+    assert s2.n == 3

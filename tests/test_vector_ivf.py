@@ -48,3 +48,32 @@ def test_ivf_recall_vs_bruteforce(ray_session):
     assert np.mean(recalls) >= 0.8, recalls
     # rank-1 hit must be the query vector itself (sim 1 with itself)
     assert (approx[approx["rank"] == 1].vec_id.to_numpy() == [0, 1, 2]).all()
+
+
+def test_ds_group_quantiles_vs_exact(ray_session):
+    """The sketch-based distributed quantile (100 TB path) agrees with
+    the exact map_groups median within one bin width."""
+    import duckdb
+
+    from proj_ray.functions.sketch import ds_group_quantiles
+    from proj_ray.pipelines.queries import read_table
+
+    sf = "/root/testdata/sf0.001"
+    ds = read_table(sf, "customer", columns=["c_mktsegment", "c_acctbal"])
+    approx = ds_group_quantiles(ds, "c_mktsegment", "c_acctbal", 0.5,
+                                lo=-1000.0, hi=10000.0, nbins=4096)
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT c_mktsegment, list(c_acctbal) "
+        f"FROM '{sf}/customer.parquet' GROUP BY 1").fetchall()
+    con.close()
+    width = 11000.0 / 4096
+    assert set(approx) == {k for k, _ in rows}
+    # the sketch guarantee: the estimate lies within one bin width of
+    # the straddling order statistics (quantile_cont midpoints two
+    # values that may be many bins apart when n is small)
+    for k, vals in rows:
+        v = np.asarray(vals, dtype=np.float64)
+        lo_q = np.quantile(v, 0.5, method="lower") - width
+        hi_q = np.quantile(v, 0.5, method="higher") + width
+        assert lo_q - 1e-9 <= approx[k] <= hi_q + 1e-9, (k, approx[k], lo_q, hi_q)
