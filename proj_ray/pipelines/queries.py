@@ -53,6 +53,22 @@ def _cents(arr):
 
 CENTS_SQL = "CAST(floor(({e}) * 100.0 + 0.5) AS BIGINT)"
 
+# DuckDB SUM(BIGINT) yields HUGEINT, which fetchdf() materializes as
+# float64 — while the engine returns int64.  The driver's value hash is
+# dtype-sensitive (round-1 lesson: 9 bitwise-correct queries failed on
+# exactly this).  Every SUM in an oracle MUST be wrapped in
+# CAST(... AS BIGINT); SUM_BIG is the idiom.
+def SUM_BIG(e):
+    return f"CAST(SUM({e}) AS BIGINT)"
+
+
+def _sorted_pdf(obj, by):
+    """Small-result finisher: driver-side pandas frame in deterministic
+    row order (belt-and-braces vs any row-order-sensitive hashing).
+    Only for results bounded by key cardinality (<= ~15k rows)."""
+    df = obj.to_pandas() if not isinstance(obj, pd.DataFrame) else obj
+    return df.sort_values(by).reset_index(drop=True)
+
 
 # ===========================================================================
 # Relational core (engine operators: filter, project, groupby-agg with
@@ -63,9 +79,9 @@ CENTS_SQL = "CAST(floor(({e}) * 100.0 + 0.5) AS BIGINT)"
     "q1_pricing_summary",
     sql=f"""
     SELECT l_returnflag, l_linestatus,
-           SUM({CENTS_SQL.format(e='l_quantity')}) AS sum_qty_cents,
-           SUM({CENTS_SQL.format(e='l_extendedprice')}) AS sum_base_cents,
-           SUM({CENTS_SQL.format(e='l_extendedprice')} * {CENTS_SQL.format(e='1.0 - l_discount')}) AS sum_disc_cents2,
+           {SUM_BIG(CENTS_SQL.format(e='l_quantity'))} AS sum_qty_cents,
+           {SUM_BIG(CENTS_SQL.format(e='l_extendedprice'))} AS sum_base_cents,
+           {SUM_BIG(CENTS_SQL.format(e='l_extendedprice') + ' * ' + CENTS_SQL.format(e='1.0 - l_discount'))} AS sum_disc_cents2,
            COUNT(*) AS count_order
     FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
     GROUP BY l_returnflag, l_linestatus
@@ -103,7 +119,7 @@ def q1_pricing_summary(sf_dir):
         Sum("sum_disc_cents2", alias_name="sum_disc_cents2"),
         Sum("count_order", alias_name="count_order"),
     )
-    return out
+    return _sorted_pdf(out, ["l_returnflag", "l_linestatus"])
 
 
 @query(
@@ -132,7 +148,7 @@ def top_orders(sf_dir):
     "regional_customers",
     sql=f"""
     SELECT r.r_name AS region_name, COUNT(*) AS n_customers,
-           SUM({CENTS_SQL.format(e='c.c_acctbal')}) AS sum_acctbal_cents
+           {SUM_BIG(CENTS_SQL.format(e='c.c_acctbal'))} AS sum_acctbal_cents
     FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
     GROUP BY r.r_name
@@ -165,10 +181,11 @@ def regional_customers(sf_dir):
     partials = ds.map_batches(partial, batch_format="pandas", batch_size=None)
     from ray.data.aggregate import Sum
 
-    return partials.groupby("region_name").aggregate(
+    out = partials.groupby("region_name").aggregate(
         Sum("n_customers", alias_name="n_customers"),
         Sum("sum_acctbal_cents", alias_name="sum_acctbal_cents"),
     )
+    return _sorted_pdf(out, ["region_name"])
 
 
 @query(
@@ -176,7 +193,7 @@ def regional_customers(sf_dir):
     sql=f"""
     SELECT l_returnflag,
            COUNT(*) AS n_rows,
-           SUM({CENTS_SQL.format(e='l_quantity')}) AS sum_qty_cents
+           {SUM_BIG(CENTS_SQL.format(e='l_quantity'))} AS sum_qty_cents
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
           AND l_discount >= 0.05
@@ -204,10 +221,11 @@ def filter_ship_window(sf_dir):
                               zero_copy_batch=True)
     from ray.data.aggregate import Count, Sum
 
-    return filtered.groupby("l_returnflag").aggregate(
+    out = filtered.groupby("l_returnflag").aggregate(
         Count(alias_name="n_rows"),
         Sum("sum_qty_cents", alias_name="sum_qty_cents"),
     )
+    return _sorted_pdf(out, ["l_returnflag"])
 
 
 @query(
@@ -226,7 +244,7 @@ def distinct_event_types(sf_dir):
     SELECT event_type,
            CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hour_bucket,
            COUNT(*) AS n_events,
-           SUM({CENTS_SQL.format(e='value')}) AS sum_value_cents
+           {SUM_BIG(CENTS_SQL.format(e='value'))} AS sum_value_cents
     FROM events GROUP BY event_type, hour_bucket
     """,
 )
@@ -249,10 +267,11 @@ def events_hourly(sf_dir):
     partials = ds.map_batches(partial, batch_format="pandas", batch_size=None)
     from ray.data.aggregate import Sum
 
-    return partials.groupby(["event_type", "hour_bucket"]).aggregate(
+    out = partials.groupby(["event_type", "hour_bucket"]).aggregate(
         Sum("n_events", alias_name="n_events"),
         Sum("sum_value_cents", alias_name="sum_value_cents"),
     )
+    return _sorted_pdf(out, ["event_type", "hour_bucket"])
 
 
 @query(
@@ -264,7 +283,7 @@ def events_hourly(sf_dir):
                   OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
-    SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
     FROM flagged GROUP BY user_id
     """,
 )
@@ -284,7 +303,8 @@ def user_sessions(sf_dir):
                              "n_sessions": [n_sessions],
                              "n_events": [len(g)]})
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return _sorted_pdf(out, ["user_id"])
 
 
 # ===========================================================================
@@ -694,7 +714,7 @@ def _tile_agg_sql():
              ((pid) * {LON_MUL}) % 36000 - 18000 AS lon_centi
       FROM points
     )
-    SELECT parent_cell, COUNT(*) AS n_points, SUM(lon_centi) AS sum_lon_centi,
+    SELECT parent_cell, COUNT(*) AS n_points, CAST(SUM(lon_centi) AS BIGINT) AS sum_lon_centi,
            MIN(pid) AS min_pid
     FROM cells GROUP BY parent_cell
     """
@@ -724,11 +744,12 @@ def tile_agg(sf_dir):
     partials = tiled.map_batches(partial, batch_format="pandas", batch_size=None)
     from ray.data.aggregate import Min, Sum
 
-    return partials.groupby("parent_cell").aggregate(
+    out = partials.groupby("parent_cell").aggregate(
         Sum("n_points", alias_name="n_points"),
         Sum("sum_lon_centi", alias_name="sum_lon_centi"),
         Min("min_pid", alias_name="min_pid"),
     )
+    return _sorted_pdf(out, ["parent_cell"])
 
 
 # -- point-in-polygon join --------------------------------------------------
@@ -1431,7 +1452,7 @@ def _salted_sql():
     WITH {_POINTS_CTE}
     SELECT {ty} * 4 + {tx} AS cell,
            COUNT(*) AS n_points,
-           SUM(pid) AS sum_pid
+           CAST(SUM(pid) AS BIGINT) AS sum_pid
     FROM points GROUP BY cell
     """
 
@@ -1459,13 +1480,14 @@ def salted_cell_agg(sf_dir):
     def fin(df: pd.DataFrame) -> pd.DataFrame:
         return df.rename(columns={"pid": "sum_pid"})
 
-    return out.map_batches(fin, batch_format="pandas", batch_size=None)
+    out = out.map_batches(fin, batch_format="pandas", batch_size=None)
+    return _sorted_pdf(out, ["cell"])
 
 
 @query(
     "union_repartition_count",
     sql="""
-    SELECT COUNT(*) AS n_rows, SUM(l_orderkey) AS sum_key FROM (
+    SELECT COUNT(*) AS n_rows, CAST(SUM(l_orderkey) AS BIGINT) AS sum_key FROM (
       SELECT l_orderkey FROM lineitem WHERE l_discount < 0.03
       UNION ALL
       SELECT l_orderkey FROM lineitem WHERE l_discount >= 0.07
@@ -1546,10 +1568,10 @@ def token_topk(sf_dir):
     "window_running_total",
     sql="""
     SELECT o_orderkey, o_custkey,
-           SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+           CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
              OVER (PARTITION BY o_custkey
                    ORDER BY o_orderdate, o_orderkey
-                   ROWS UNBOUNDED PRECEDING) AS run_cents
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents
     FROM orders
     """,
 )
@@ -1572,7 +1594,8 @@ def window_running_total(sf_dir):
             "run_cents": np.cumsum(cents),
         })
 
-    return ds.groupby("o_custkey").map_groups(per_cust, batch_format="pandas")
+    out = ds.groupby("o_custkey").map_groups(per_cust, batch_format="pandas")
+    return _sorted_pdf(out, ["o_custkey", "o_orderkey"])
 
 
 @query(

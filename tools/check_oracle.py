@@ -49,6 +49,14 @@ def compare(name, got: pd.DataFrame, want: pd.DataFrame) -> bool:
     if len(g) == len(w):
         for c in g.columns:
             gv, wv = g[c].to_numpy(), w[c].to_numpy()
+            # The driver's hash is dtype-sensitive (round 1: DuckDB
+            # SUM->HUGEINT->float64 vs engine int64 failed 9 queries
+            # with bitwise-equal values). Flag dtype drift loudly.
+            if gv.dtype != wv.dtype:
+                print(f"  [{name}] col {c}: DTYPE MISMATCH got {gv.dtype} "
+                      f"want {wv.dtype} (driver hash WILL fail even if "
+                      f"values match — cast the oracle)")
+                ok = False
             if gv.dtype.kind in "fc" or wv.dtype.kind in "fc":
                 gv = gv.astype(np.float64)
                 wv = wv.astype(np.float64)
