@@ -9,14 +9,24 @@ Scale plan (per ray_guide 'Aggregation at scale'):
   verify Jaccard on the candidate set only.
 All hashing is our own deterministic 64-bit mixing (splitmix64-style
 finalizer) so results are reproducible across engines/workers.
+
+All batch kernels are vectorized ACROSS documents: each batch's texts
+are concatenated into one byte buffer (Arrow's native layout, so the
+concat is free) and every hash — content hash, shingle windows, minhash
+permutations, simhash bit votes — is computed with segmented numpy ops
+(`np.add/minimum.reduceat` at document offsets).  No per-document
+Python loop anywhere in the hot path.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _M = np.uint64(0xFFFFFFFFFFFFFFFF)
+_BASE = np.uint64(1099511628211)
+_EMPTY_HASH = np.uint64(0xCBF29CE484222325)
 
 
 def mix64(x: np.ndarray) -> np.ndarray:
@@ -29,80 +39,186 @@ def mix64(x: np.ndarray) -> np.ndarray:
         return x ^ (x >> np.uint64(31))
 
 
+# ---------------------------------------------------------------------------
+# Zero-copy access to a batch of strings as one byte buffer + offsets
+# ---------------------------------------------------------------------------
+
+def _utf8_buffer(texts):
+    """(data, off): uint8 byte buffer + int64 offsets (len n+1) for a
+    batch of texts.  Arrow string arrays are already stored exactly this
+    way, so the Arrow path is zero-copy; a Python list costs one
+    C-level Arrow conversion (no per-doc Python work)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if not isinstance(texts, pa.Array):
+        texts = pa.array([(t or "") for t in texts], pa.large_utf8())
+    if pa.types.is_string(texts.type) or pa.types.is_binary(texts.type):
+        texts = texts.cast(pa.large_utf8() if pa.types.is_string(texts.type)
+                           else pa.large_binary())
+    texts = pc.fill_null(texts, b"" if pa.types.is_large_binary(texts.type) else "")
+    buffers = texts.buffers()
+    raw_off = np.frombuffer(buffers[1], dtype=np.int64)
+    off = raw_off[texts.offset: texts.offset + len(texts) + 1]
+    data = (np.frombuffer(buffers[2], dtype=np.uint8)
+            if buffers[2] is not None else np.empty(0, np.uint8))
+    return data, off.astype(np.int64)
+
+
+def _ranges(counts: np.ndarray) -> np.ndarray:
+    """[0..c0-1, 0..c1-1, ...] for a vector of segment lengths."""
+    counts = counts.astype(np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    return np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(counts) - counts, counts)
+
+
 def text_hash64(texts) -> np.ndarray:
     """Content hash: polynomial hash of utf-8 bytes mod 2^64 (uint64
-    wraparound), mixed with the length, finalized by mix64. Fully
-    vectorized per doc ((bytes * powers).sum()); the powers table is
-    computed once per batch for the longest doc and sliced.
-    Content-exact: equal strings <=> equal hashes (collisions ~2^-64)."""
-    n = len(texts)
+    wraparound), mixed with the length, finalized by mix64.
+    Content-exact: equal strings <=> equal hashes (collisions ~2^-64).
+    Vectorized across the whole batch: one powers table, one segmented
+    `np.add.reduceat` over the concatenated buffer."""
+    data, off = _utf8_buffer(texts)
+    n = len(off) - 1
+    if n == 0:
+        return np.empty(0, np.uint64)
+    lens = off[1:] - off[:-1]
+    max_len = int(lens.max()) if n else 0
     out = np.empty(n, dtype=np.uint64)
-    encoded = [(t or "").encode("utf-8") for t in texts]
-    max_len = max((len(b) for b in encoded), default=0)
-    BASE = np.uint64(1099511628211)
     with np.errstate(over="ignore"):
-        # powers[i] = BASE^i mod 2^64, highest power first when sliced
         powers = np.ones(max(max_len, 1), dtype=np.uint64)
         if max_len > 1:
-            powers[1:] = BASE
-            powers = np.cumprod(powers)  # wraps mod 2^64 in C
-        for i, raw in enumerate(encoded):
-            b = np.frombuffer(raw, dtype=np.uint8).astype(np.uint64)
-            if b.size == 0:
-                out[i] = np.uint64(0xCBF29CE484222325)
-                continue
-            out[i] = (b * powers[: b.size][::-1]).sum() ^ (np.uint64(b.size) * BASE)
+            powers[1:] = _BASE
+            powers = np.cumprod(powers)  # BASE^i mod 2^64 (wraps in C)
+        lo, hi = int(off[0]), int(off[-1])
+        nonempty = lens > 0
+        sums = np.zeros(n, dtype=np.uint64)
+        if hi > lo:
+            # exponent of global byte g in its doc d: off[d+1]-1-g
+            exp = np.repeat(off[1:], lens) - 1 - np.arange(lo, hi, dtype=np.int64)
+            terms = data[lo:hi].astype(np.uint64) * powers[exp]
+            starts = (off[:-1] - lo)[nonempty]
+            sums[nonempty] = np.add.reduceat(terms, starts)
+        out = sums ^ (lens.astype(np.uint64) * _BASE)
+        out[~nonempty] = _EMPTY_HASH
     return mix64(out)
 
 
-def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Character k-shingle hashes of one document (uint64), vectorized:
-    polynomial rolling hash over a sliding byte window."""
-    b = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-    if b.size < k:
-        return mix64(np.array([b.sum() if b.size else 0], dtype=np.uint64))
+def _window_hashes(data: np.ndarray, off: np.ndarray, k: int):
+    """Per-doc k-shingle window hashes for a whole batch at once.
+
+    Returns (wh, woff): concatenated per-doc window-hash arrays (uint64,
+    mix64-finalized) and int64 offsets (every doc contributes >= 1
+    entry; docs shorter than k get the single degenerate hash
+    mix64(byte_sum), matching the scalar definition)."""
+    n = len(off) - 1
+    lens = off[1:] - off[:-1]
+    lo, hi = int(off[0]), int(off[-1])
+    b = data[lo:hi].astype(np.uint64)
+    long_m = lens >= k
+    out_counts = np.where(long_m, lens - k + 1, 1).astype(np.int64)
+    woff = np.concatenate([np.zeros(1, np.int64), np.cumsum(out_counts)])
+    wh = np.empty(int(woff[-1]), dtype=np.uint64)
     with np.errstate(over="ignore"):
-        # stacked sliding windows as a (n-k+1, k) strided view, then a
-        # vectorized polynomial combine per column
-        n = b.size - k + 1
-        acc = np.zeros(n, dtype=np.uint64)
-        BASE = np.uint64(1099511628211)
-        for j in range(k):
-            acc = (acc * BASE + b[j:j + n]) & _M
-        return mix64(acc)
+        if b.size >= k:
+            n_w = b.size - k + 1
+            acc = np.zeros(n_w, dtype=np.uint64)
+            for j in range(k):
+                acc = (acc * _BASE + b[j:j + n_w]) & _M
+            # valid windows: those fully inside one doc
+            starts_local = (off[:-1] - lo)[long_m]
+            counts_long = out_counts[long_m]
+            src_idx = np.repeat(starts_local, counts_long) + _ranges(counts_long)
+            dest_idx = np.repeat(woff[:-1][long_m], counts_long) + _ranges(counts_long)
+            wh[dest_idx] = mix64(acc[src_idx])
+        if (~long_m).any():
+            # degenerate short-doc hash: mix64(sum of bytes, 0 if empty)
+            sums = np.zeros(n, dtype=np.uint64)
+            nonempty = lens > 0
+            if b.size:
+                seg = np.add.reduceat(b, (off[:-1] - lo)[nonempty])
+                sums[nonempty] = seg
+            short = ~long_m
+            wh[woff[:-1][short]] = mix64(sums[short])
+    return wh, woff
+
+
+def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Character k-shingle hashes of one document (uint64) — the
+    single-doc view of `_window_hashes` (used by the Jaccard verifier)."""
+    data, off = _utf8_buffer([text])
+    wh, _ = _window_hashes(data, off, k)
+    return wh
+
+
+def minhash_signatures(texts, num_perm: int = 64, k: int = 5) -> np.ndarray:
+    """(n_docs, num_perm) MinHash signatures for a batch: min over
+    shingles of num_perm universal hashes h_i(x) = mix64(x ^ seed_i).
+    Mergeable: min of mins.  One `np.minimum.reduceat` per permutation
+    over the batch-wide window-hash array — no per-doc loop."""
+    data, off = _utf8_buffer(texts)
+    n = len(off) - 1
+    wh, woff = _window_hashes(data, off, k)
+    seeds = mix64(np.arange(1, num_perm + 1, dtype=np.uint64))
+    sig = np.empty((n, num_perm), dtype=np.uint64)
+    if n == 0:
+        return sig
+    starts = woff[:-1]  # strictly increasing: every doc has >= 1 window
+    with np.errstate(over="ignore"):
+        for p in range(num_perm):
+            m = mix64(wh ^ seeds[p])
+            sig[:, p] = np.minimum.reduceat(m, starts)
+    return sig
 
 
 def minhash_signature(text: str, num_perm: int = 64, k: int = 5) -> np.ndarray:
-    """MinHash signature: min over shingles of num_perm universal
-    hashes h_i(x) = mix64(x ^ seed_i). Mergeable: min of mins."""
-    sh = shingle_hashes(text, k)
-    seeds = mix64(np.arange(1, num_perm + 1, dtype=np.uint64))
-    # (S, P) xor then mix -> min over S
-    with np.errstate(over="ignore"):
-        m = mix64(sh[:, None] ^ seeds[None, :])
-    return m.min(axis=0)
+    """Single-doc MinHash signature (batch kernel on one doc)."""
+    return minhash_signatures([text], num_perm=num_perm, k=k)[0]
 
 
-def lsh_band_hashes(sig: np.ndarray, bands: int = 16) -> np.ndarray:
-    """Split a signature into bands and hash each band to one uint64."""
-    rows = sig.shape[-1] // bands
-    s = sig[: bands * rows].reshape(bands, rows)
+def lsh_band_hashes_batch(sig: np.ndarray, bands: int = 16) -> np.ndarray:
+    """(n_docs, bands) band hashes: split each signature into bands and
+    polynomial-hash each band to one uint64."""
+    if sig.ndim == 1:
+        sig = sig[None, :]
+    rows = sig.shape[1] // bands
+    s = sig[:, : bands * rows].reshape(sig.shape[0], bands, rows)
     with np.errstate(over="ignore"):
-        acc = np.zeros(bands, dtype=np.uint64)
+        acc = np.zeros((sig.shape[0], bands), dtype=np.uint64)
         for j in range(rows):
-            acc = (acc * np.uint64(0x100000001B3) + s[:, j]) & _M
+            acc = (acc * np.uint64(0x100000001B3) + s[:, :, j]) & _M
     return mix64(acc)
 
 
+def lsh_band_hashes(sig: np.ndarray, bands: int = 16) -> np.ndarray:
+    """Single-signature view of `lsh_band_hashes_batch`."""
+    return lsh_band_hashes_batch(sig[None, :], bands=bands)[0]
+
+
+def simhash64_batch(texts, k: int = 4) -> np.ndarray:
+    """SimHash over character k-shingles for a whole batch: sign-sum of
+    shingle-hash bits, vectorized via `np.unpackbits` + segmented sums."""
+    data, off = _utf8_buffer(texts)
+    n = len(off) - 1
+    if n == 0:
+        return np.empty(0, np.uint64)
+    wh, woff = _window_hashes(data, off, k)
+    # (n_windows, 64) bit matrix; bit j of the uint64 is column j
+    bits = np.unpackbits(wh.view(np.uint8).reshape(-1, 8),
+                         axis=1, bitorder="little")
+    counts = (woff[1:] - woff[:-1]).astype(np.int64)
+    ones = np.add.reduceat(bits.astype(np.int64), woff[:-1], axis=0)
+    votes = ones * 2 - counts[:, None]
+    powers2 = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        return ((votes > 0).astype(np.uint64) * powers2[None, :]).sum(axis=1)
+
+
 def simhash64(text: str, k: int = 4) -> np.uint64:
-    """SimHash over character k-shingles: sign-sum of shingle-hash bits."""
-    sh = shingle_hashes(text, k)
-    bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
-    votes = bits.astype(np.int64).sum(axis=0) * 2 - sh.size
-    out = np.uint64(0)
-    for i in np.flatnonzero(votes > 0):
-        out |= np.uint64(1) << np.uint64(i)
-    return out
+    """SimHash of one document (batch kernel on one doc)."""
+    return simhash64_batch([text], k=k)[0]
 
 
 def jaccard_ngrams(a: str, b: str, k: int = 5) -> float:
@@ -120,27 +236,33 @@ def jaccard_ngrams(a: str, b: str, k: int = 5) -> float:
 # ---------------------------------------------------------------------------
 
 def add_text_hash(batch: pa.Table, text_col="text", out="text_hash") -> pa.Table:
-    h = text_hash64(batch[text_col].to_pylist())
+    h = text_hash64(batch[text_col])
     return batch.append_column(out, pa.array(h.astype(np.int64), pa.int64()))
 
 
 def minhash_bands_batch(batch: pa.Table, text_col="text", id_col="doc_id",
                         num_perm=64, bands=16, k=5) -> pa.Table:
     """Explode each doc into (band_id, band_hash, id) rows — the LSH
-    bucketing shuffle input."""
-    ids = batch[id_col].to_numpy(zero_copy_only=False)
-    texts = batch[text_col].to_pylist()
-    out_band, out_hash, out_id = [], [], []
-    for i, t in enumerate(texts):
-        sig = minhash_signature(t, num_perm=num_perm, k=k)
-        bh = lsh_band_hashes(sig, bands=bands)
-        out_band.append(np.arange(bands, dtype=np.int64))
-        out_hash.append(bh.astype(np.int64))
-        out_id.append(np.full(bands, ids[i], dtype=np.int64))
+    bucketing shuffle input.  Fully vectorized: batch signatures ->
+    batch band hashes -> repeat/tile layout."""
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    sig = minhash_signatures(batch[text_col], num_perm=num_perm, k=k)
+    bh = lsh_band_hashes_batch(sig, bands=bands)  # (n, bands)
+    n = len(ids)
     return pa.table({
-        "band_id": pa.array(np.concatenate(out_band), pa.int64()),
-        "band_hash": pa.array(np.concatenate(out_hash), pa.int64()),
-        id_col: pa.array(np.concatenate(out_id), pa.int64()),
+        "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int64), n)),
+        "band_hash": pa.array(bh.reshape(-1).astype(np.int64), pa.int64()),
+        id_col: pa.array(np.repeat(ids, bands), pa.int64()),
+    })
+
+
+def simhash_batch(batch: pa.Table, text_col="text", id_col="doc_id",
+                  k: int = 4) -> pa.Table:
+    """(doc_id, simhash-as-decimal-string) for a batch."""
+    h = simhash64_batch(batch[text_col], k=k)
+    return pa.table({
+        id_col: batch[id_col],
+        "simhash": pc.cast(pa.array(h, pa.uint64()), pa.string()),
     })
 
 
@@ -151,14 +273,39 @@ def minhash_bands_batch(batch: pa.Table, text_col="text", id_col="doc_id",
 # (cluster = min member id).
 #
 # Scale shape: the edge list of a dedup run is sub-linear in the corpus
-# (only near-duplicate pairs survive banding), so each round is a
-# groupby over edges + a groupby over labels — two key-hash shuffles of
-# SMALL tables, never of the corpus itself.  Rounds needed = graph
-# diameter; dedup graphs are star-like (1-3 rounds).  The corpus join
-# happens ONCE at the end, against the broadcast/shuffled label table.
+# (only near-duplicate pairs survive banding), so each round is two
+# hash joins (edge ends -> current labels) + a groupby-min — key-hash
+# shuffles of SMALL tables, never of the corpus itself.  Rounds needed =
+# graph diameter; dedup graphs are star-like (1-3 rounds).  The corpus
+# join happens ONCE at the end, against the label table.
+#
+# `cc_min_label` dispatches: below `driver_threshold` edges it runs the
+# pandas rounds on the driver (groupby latency dominates tiny inputs);
+# above, `cc_min_label_distributed` runs the same rounds as Ray Dataset
+# joins + groupby-min, so the edge list never has to fit on one machine.
 
 
-def cc_min_label(edges, max_rounds: int = 10):
+def _adaptive_partitions(requested: int) -> int:
+    """Cap hash-shuffle partition counts at the cluster CPU count: each
+    join partition is an aggregator actor, and requesting more actors
+    than CPUs deadlocks a small (test) cluster.  On a big cluster the
+    requested count passes through."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", requested))
+    except Exception:
+        cpus = requested
+    return max(2, min(requested, cpus))
+
+
+class CCNotConverged(RuntimeError):
+    """min-label propagation exhausted max_rounds without reaching a
+    fixpoint (component diameter > max_rounds)."""
+
+
+def cc_min_label(edges, max_rounds: int = 50, driver_threshold: int = 2_000_000,
+                 on_nonconverged: str = "raise"):
     """Connected components by min-label propagation.
 
     ``edges`` is a Ray Dataset with int64 columns ``src``/``dst`` (or a
@@ -166,13 +313,24 @@ def cc_min_label(edges, max_rounds: int = 10):
     pandas DataFrame (node, label) where label = min node id reachable —
     the component representative.
 
-    Each round: every node's tentative label flows across every edge in
-    both directions; a groupby-min collapses to the per-node minimum.
-    Converged when no label changed (checked via per-round sum, exact
-    on int64)."""
+    Dispatch: edge lists under ``driver_threshold`` rows run driver-side
+    (vectorized pandas rounds — distributed groupby latency would
+    dominate); larger ones run through `cc_min_label_distributed`.
+    ``on_nonconverged``: 'raise' (default) raises CCNotConverged when
+    max_rounds is exhausted before the fixpoint; 'warn' returns the
+    partial labels with a warning."""
     import pandas as pd
 
-    if hasattr(edges, "to_pandas"):
+    if hasattr(edges, "groupby") and not isinstance(edges, pd.DataFrame):
+        # Ray Dataset path
+        edges = edges.materialize()
+        n_edges = edges.count()
+        if n_edges > driver_threshold:
+            labels = cc_min_label_distributed(
+                edges, max_rounds=max_rounds, on_nonconverged=on_nonconverged)
+            return labels.to_pandas()
+        df = edges.to_pandas()
+    elif hasattr(edges, "to_pandas"):
         df = edges.to_pandas()
     else:
         df = pd.DataFrame(edges)
@@ -183,6 +341,7 @@ def cc_min_label(edges, max_rounds: int = 10):
     dst = df["dst"].to_numpy(dtype=np.int64)
     nodes = np.unique(np.concatenate([src, dst]))
     label = pd.Series(nodes, index=nodes)  # start: own id
+    converged = False
     for _ in range(max_rounds):
         # candidate labels crossing each edge, both directions
         cand = pd.DataFrame({
@@ -194,11 +353,119 @@ def cc_min_label(edges, max_rounds: int = 10):
         new = cand.groupby("node")["lab"].min()
         if (new.to_numpy() == label.loc[new.index].to_numpy()).all():
             label = new
+            converged = True
             break
         label = new
+    if not converged:
+        _handle_nonconverged(max_rounds, on_nonconverged)
     out = label.reset_index()
     out.columns = ["node", "label"]
     return out
+
+
+def _handle_nonconverged(max_rounds: int, on_nonconverged: str):
+    msg = (f"min-label propagation did not converge in {max_rounds} rounds "
+           f"(component diameter exceeds max_rounds); labels are partial")
+    if on_nonconverged == "raise":
+        raise CCNotConverged(msg)
+    import warnings
+
+    warnings.warn(msg, RuntimeWarning)
+
+
+def cc_min_label_distributed(edges, max_rounds: int = 25,
+                             num_partitions: int = 16,
+                             on_nonconverged: str = "raise"):
+    """Distributed min-label propagation over a Ray Dataset of
+    src/dst int64 edges.  Returns a Ray Dataset (node, label).
+
+    Per round: hash-join current labels onto each edge end (two
+    Dataset.join shuffles of the SMALL edge/label tables), union with
+    the self-labels, groupby('node').min().  Labels per node decrease
+    monotonically, so an unchanged label sum == fixpoint (the
+    convergence check is one tiny aggregate per round)."""
+    from ray.data.aggregate import Min
+
+    # two joins run concurrently in each round's DAG; halve so their
+    # combined aggregator-actor demand still fits the cluster
+    num_partitions = max(2, _adaptive_partitions(num_partitions * 2) // 2)
+
+    def ends(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nodes = np.concatenate([s, d])
+        return pa.table({"node": pa.array(nodes, pa.int64()),
+                         "label": pa.array(nodes, pa.int64())})
+
+    labels = (edges.map_batches(ends, batch_format="pyarrow", batch_size=None)
+              .groupby("node").aggregate(Min("label", alias_name="label"))
+              .materialize())
+    prev_sum = labels.sum("label")
+
+    def from_dst(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["src"], "label": t["label"]})
+
+    def from_src(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["dst"], "label": t["label"]})
+
+    converged = False
+    for _ in range(max_rounds):
+        c1 = (edges.join(labels, join_type="inner",
+                         num_partitions=num_partitions,
+                         on=("dst",), right_on=("node",))
+              .map_batches(from_dst, batch_format="pyarrow", batch_size=None))
+        c2 = (edges.join(labels, join_type="inner",
+                         num_partitions=num_partitions,
+                         on=("src",), right_on=("node",))
+              .map_batches(from_src, batch_format="pyarrow", batch_size=None))
+        new_labels = (c1.union(c2).union(labels)
+                      .groupby("node").aggregate(Min("label", alias_name="label"))
+                      .materialize())
+        s = new_labels.sum("label")
+        labels = new_labels
+        if s == prev_sum:
+            converged = True
+            break
+        prev_sum = s
+    if not converged:
+        _handle_nonconverged(max_rounds, on_nonconverged)
+    return labels
+
+
+def attach_labels(ids: np.ndarray, labels) -> np.ndarray:
+    """Map node ids -> component labels (vectorized searchsorted over
+    the sorted label table); ids without a label keep their own id
+    (singleton components)."""
+    ids = np.asarray(ids, dtype=np.int64)
+    nodes = labels["node"].to_numpy().astype(np.int64)
+    labs = labels["label"].to_numpy().astype(np.int64)
+    order = np.argsort(nodes, kind="mergesort")
+    nodes, labs = nodes[order], labs[order]
+    out = ids.copy()
+    if nodes.size:
+        pos = np.searchsorted(nodes, ids)
+        pos_c = np.minimum(pos, nodes.size - 1)
+        hit = nodes[pos_c] == ids
+        out[hit] = labs[pos_c[hit]]
+    return out
+
+
+def attach_labels_join(ds, labels_ds, id_col: str = "doc_id",
+                       num_partitions: int = 16):
+    """Distributed label attach: left-join the corpus id column against
+    the (node, label) Dataset; unmatched ids (singletons) keep their own
+    id.  This is the 100 TB path — the corpus streams through one hash
+    join, the label table is never collected."""
+    joined = ds.join(labels_ds, join_type="left_outer",
+                     num_partitions=_adaptive_partitions(num_partitions),
+                     on=(id_col,), right_on=("node",))
+
+    def fin(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t[id_col], pa.int64())
+        lab = pc.coalesce(pc.cast(t["label"], pa.int64()), ids)
+        return pa.table({id_col: ids, "cluster": lab})
+
+    return joined.map_batches(fin, batch_format="pyarrow", batch_size=None)
 
 
 def exact_dup_edges(ds, id_col="doc_id", hash_col="text_hash"):

@@ -57,9 +57,9 @@ def quality_batch(batch: pa.Table, text_col="text", id_col="doc_id") -> pa.Table
     safe_tok = pc.max_element_wise(tokf, pa.scalar(1.0))
     return pa.table({
         id_col: batch[id_col],
-        "n_chars_seen": n_len,
-        "n_tokens": n_tok,
-        "n_stopwords": n_stop,
+        "n_chars_seen": pc.cast(n_len, pa.int64()),
+        "n_tokens": pc.cast(n_tok, pa.int64()),
+        "n_stopwords": pc.cast(n_stop, pa.int64()),
         "alpha_ratio": pc.divide(pc.cast(n_alpha, pa.float64()), safe_len),
         "digit_ratio": pc.divide(pc.cast(n_digit, pa.float64()), safe_len),
         "punct_ratio": pc.divide(pc.cast(n_punct, pa.float64()), safe_len),

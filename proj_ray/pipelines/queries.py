@@ -1070,7 +1070,7 @@ def geoparse_extract(sf_dir):
 # ===========================================================================
 
 from ..functions.dedup import (  # noqa: E402
-    add_text_hash, minhash_bands_batch, minhash_signature, simhash64,
+    add_text_hash, minhash_bands_batch,
 )
 from ..functions.text import (  # noqa: E402
     LANG_MARKERS, STOPWORDS_EN, TOKEN_RE, fingerprint_batch, lang_id_batch,
@@ -1205,42 +1205,58 @@ def doc_fingerprint(sf_dir):
     return out.map_batches(tostr, batch_format="pyarrow")
 
 
+def lsh_partner_counts(bands, num_partitions: int = 16):
+    """Per-doc LSH collision-partner counts, fully distributed: one
+    groupby(band_id, band_hash) Count over the band rows, hash-joined
+    back onto the band rows, then a per-doc groupby.  No driver-side
+    structure is ever proportional to the corpus — at 100 TB the band
+    rows (16/doc) only ever move through two key-hash shuffles."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    from ..functions.dedup import _adaptive_partitions
+
+    sizes = bands.groupby(["band_id", "band_hash"]).aggregate(
+        Count(alias_name="bucket_size"))
+    joined = bands.join(sizes, join_type="inner",
+                        num_partitions=_adaptive_partitions(num_partitions),
+                        on=("band_id", "band_hash"))
+
+    def partners(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "partners": pc.cast(pc.subtract(t["bucket_size"], 1), pa.int64()),
+        })
+
+    per_band = joined.map_batches(partners, batch_format="pyarrow",
+                                  batch_size=None)
+    return per_band.groupby("doc_id").aggregate(
+        Sum("partners", alias_name="collision_partners"),
+        Max("partners", alias_name="max_bucket_partners"),
+    )
+
+
 @query("minhash_lsh_candidates")  # rows-only: own 64-bit hashing
 def minhash_lsh_candidates(sf_dir):
-    """MinHash+LSH near-dup detection: signature per doc -> explode to
-    (band_id, band_hash, doc) rows -> groupby band buckets -> per-doc
-    candidate-partner count. The classic shingle->minhash->band shuffle."""
+    """MinHash+LSH near-dup detection: signature per doc (vectorized
+    across the batch) -> explode to (band_id, band_hash, doc) rows ->
+    distributed bucket-size groupby + join back -> per-doc partner
+    counts. The classic shingle->minhash->band shuffle, driver-free."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     bands = ds.map_batches(lambda t: minhash_bands_batch(t), batch_format="pyarrow",
                            batch_size=None)
-    # the distributed work is the signature computation (map_batches);
-    # band rows are a mergeable sketch 16x smaller than the corpus, so
-    # the bucket logic is a driver-side sketch merge here. At a scale
-    # where band rows exceed driver memory, swap the merge for
-    # groupby(band_id, band_hash).aggregate(Count) + broadcast — same
-    # semantics, one small shuffle.
-    bands = bands.materialize()  # tiny; avoids recomputing signatures
-    parts = [b for b in bands.iter_batches(batch_size=None, batch_format="pandas")]
-    allb = pd.concat(parts, ignore_index=True)
-    sizes = allb.groupby(["band_id", "band_hash"], as_index=False).size()
-    merged = allb.merge(sizes, on=["band_id", "band_hash"])
-    merged["partners"] = merged["size"] - 1
-    return (merged.groupby("doc_id", as_index=False)
-            .agg(collision_partners=("partners", "sum"),
-                 max_bucket_partners=("partners", "max")))
+    out = lsh_partner_counts(bands)
+    return _sorted_pdf(out, ["doc_id"])
 
 
 @query("simhash_docs")  # rows-only
 def simhash_docs(sf_dir):
-    """SimHash-64 per document (sign-sum of shingle-hash bits)."""
+    """SimHash-64 per document (sign-sum of shingle-hash bits),
+    vectorized across each batch (unpackbits + segmented sums)."""
+    from ..functions.dedup import simhash_batch
+
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def fn(t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pylist()
-        hs = [str(simhash64(x)) for x in texts]
-        return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(hs, pa.string())})
-
-    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+    return ds.map_batches(lambda t: simhash_batch(t), batch_format="pyarrow",
+                          batch_size=None)
 
 
 @query("ann_cosine_topk")  # rows-only: float reduction order differs in SQL
@@ -1533,23 +1549,17 @@ def union_repartition_count(sf_dir):
 def token_topk(sf_dir):
     """Top-k token frequency: per-batch partial counts -> groupby(token)
     -> small final sort (the wordcount shape)."""
-    import re as _re
-
     ds = read_table(sf_dir, "documents", columns=["text"])
-    tok_re = _re.compile(TOKEN_RE)
 
     def partial(t: pa.Table) -> pa.Table:
-        from collections import Counter
-
-        c = Counter()
-        for txt in t["text"].to_pylist():
-            c.update(tok_re.findall(txt or ""))
-        if not c:
-            return pa.table({"token": pa.array([], pa.string()),
-                             "n": pa.array([], pa.int64())})
-        toks, ns = zip(*c.items())
-        return pa.table({"token": pa.array(list(toks), pa.string()),
-                         "n": pa.array(list(ns), pa.int64())})
+        # tokens([A-Za-z0-9]+) == split on the complement, drop empties;
+        # all Arrow C kernels (split/flatten/value_counts), no row loop.
+        txt = pc.fill_null(t["text"], "")
+        flat = pc.list_flatten(pc.split_pattern_regex(txt, "[^A-Za-z0-9]+"))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = pc.value_counts(flat)
+        return pa.table({"token": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
 
     parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
     from ray.data.aggregate import Sum
@@ -1715,27 +1725,26 @@ def dedup_clusters(sf_dir):
     final broadcast join.  The same cc_min_label machinery clusters LSH
     near-dup candidates (rows-only there — SQL cannot express MinHash
     banding)."""
-    from ..functions.dedup import cc_min_label, exact_dup_edges, text_hash64
+    from ..functions.dedup import (attach_labels, cc_min_label,
+                                   exact_dup_edges, text_hash64)
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def hash_prefix(t: pa.Table) -> pa.Table:
-        texts = [(s40 or "")[:40] for s40 in t["text"].to_pylist()]
+        pfx = pc.utf8_slice_codeunits(pc.fill_null(t["text"], ""), 0, 40)
         return pa.table({"doc_id": t["doc_id"],
-                         "text_hash": pa.array(text_hash64(texts).astype(np.int64),
+                         "text_hash": pa.array(text_hash64(pfx).astype(np.int64),
                                                pa.int64())})
 
     hashed = ds.map_batches(hash_prefix, batch_format="pyarrow",
                             batch_size=None)
     edges = exact_dup_edges(hashed)
     labels = cc_min_label(edges)  # small: only docs with >=1 duplicate
-    lab_map = dict(zip(labels["node"].astype(np.int64),
-                       labels["label"].astype(np.int64)))
 
     def attach(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        # singleton components keep their own id
-        clu = np.array([lab_map.get(i, i) for i in ids], dtype=np.int64)
+        # singleton components keep their own id (vectorized lookup)
+        clu = attach_labels(ids, labels)
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "cluster": pa.array(clu, pa.int64())})
 
@@ -1747,7 +1756,7 @@ def minhash_dedup_clusters(sf_dir):
     """Near-dup clustering: LSH band buckets -> same-bucket star edges
     -> cc_min_label components.  Returns each doc's cluster id (min
     doc_id of its near-dup component; singletons keep their own id)."""
-    from ..functions.dedup import cc_min_label, minhash_bands_batch
+    from ..functions.dedup import attach_labels, cc_min_label, minhash_bands_batch
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     bands = ds.map_batches(lambda t: minhash_bands_batch(t),
@@ -1763,12 +1772,10 @@ def minhash_dedup_clusters(sf_dir):
     edges = bands.groupby(["band_id", "band_hash"]).map_groups(
         per_bucket, batch_format="pandas")
     labels = cc_min_label(edges)
-    lab_map = dict(zip(labels["node"].astype(np.int64),
-                       labels["label"].astype(np.int64)))
 
     def attach(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        clu = np.array([lab_map.get(i, i) for i in ids], dtype=np.int64)
+        clu = attach_labels(ids, labels)
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "cluster": pa.array(clu, pa.int64())})
 

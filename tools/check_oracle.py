@@ -49,11 +49,12 @@ def compare(name, got: pd.DataFrame, want: pd.DataFrame) -> bool:
     if len(g) == len(w):
         for c in g.columns:
             gv, wv = g[c].to_numpy(), w[c].to_numpy()
-            # The driver's hash is dtype-sensitive (round 1: DuckDB
-            # SUM->HUGEINT->float64 vs engine int64 failed 9 queries
-            # with bitwise-equal values). Flag dtype drift loudly.
-            if gv.dtype != wv.dtype:
-                print(f"  [{name}] col {c}: DTYPE MISMATCH got {gv.dtype} "
+            # The driver's hash is dtype-KIND-sensitive (round 1: DuckDB
+            # SUM->HUGEINT->float64 vs engine int64 failed 9 queries with
+            # bitwise-equal values, while int32-vs-int64 passed). Flag
+            # kind drift (int vs float vs object) loudly.
+            if gv.dtype.kind != wv.dtype.kind:
+                print(f"  [{name}] col {c}: DTYPE KIND MISMATCH got {gv.dtype} "
                       f"want {wv.dtype} (driver hash WILL fail even if "
                       f"values match — cast the oracle)")
                 ok = False
