@@ -3,11 +3,11 @@
 Serves the role of the reference's embedded Karney suite
 (``geod_inverse`` / ``geod_direct``, src/geodesic.c:240-990, API
 src/geodesic.h:223-396) used by the ``geod`` CLI and as the kNN
-true-distance refine step. Implementation here is the classic Vincenty
-iteration (masked, vectorized) — agrees with Karney to well below the
-reference's printed precision (mm-level) for non-antipodal pairs; the
-near-antipodal non-convergent lanes fall back to the haversine estimate
-and are flagged.
+true-distance refine step.  ``geod_inverse`` / ``geod_direct`` are the
+full Karney order-6 series solution (see ``karney.py``) — exact
+everywhere including antipodal pairs.  The classic Vincenty iteration
+is retained as ``vincenty_inverse`` (masked, vectorized; mm-accurate
+away from the antipodes) for cross-validation.
 
 ``haversine`` (spherical law-of-haversines on the authalic radius) is
 the cheap first-pass distance used for candidate pruning in kNN — and is
@@ -17,6 +17,8 @@ expressible in ANSI SQL, making it the oracle-checkable variant.
 from __future__ import annotations
 
 import numpy as np
+
+from .karney import geod_direct_karney, geod_inverse_karney
 
 WGS84_A = 6378137.0
 WGS84_F = 1.0 / 298.257223563
@@ -37,8 +39,25 @@ def haversine(lon1, lat1, lon2, lat2, radius: float = MEAN_RADIUS):
 
 
 def geod_inverse(lon1, lat1, lon2, lat2, a: float = WGS84_A, f: float = WGS84_F):
-    """Vectorized Vincenty inverse. Degrees in; returns (s12_m, azi1_deg,
-    azi2_deg, converged_mask)."""
+    """Ellipsoidal geodesic inverse (Karney order-6 series, exact
+    everywhere incl. antipodal). Degrees in; returns (s12_m, azi1_deg,
+    azi2_deg, converged_mask) — the mask is all-True (Karney's bracketed
+    Newton always converges); kept for API compatibility."""
+    s12, azi1, azi2, _a12 = geod_inverse_karney(lon1, lat1, lon2, lat2, a, f)
+    return s12, azi1, azi2, np.ones(s12.shape, dtype=bool)
+
+
+def geod_direct(lon1, lat1, azi1_deg, s12, a: float = WGS84_A, f: float = WGS84_F):
+    """Ellipsoidal geodesic direct (Karney series): start point +
+    azimuth + distance -> (lon2, lat2, azi2). Degrees/meters."""
+    return geod_direct_karney(lon1, lat1, azi1_deg, s12, a, f)
+
+
+def vincenty_inverse(lon1, lat1, lon2, lat2, a: float = WGS84_A, f: float = WGS84_F):
+    """Vectorized Vincenty inverse (legacy / cross-validation path).
+    Degrees in; returns (s12_m, azi1_deg, azi2_deg, converged_mask) —
+    non-convergent near-antipodal lanes fall back to haversine and are
+    flagged False."""
     lon1 = np.asarray(lon1, dtype=np.float64)
     lat1 = np.asarray(lat1, dtype=np.float64)
     lon2 = np.asarray(lon2, dtype=np.float64)
@@ -109,9 +128,8 @@ def geod_inverse(lon1, lat1, lon2, lat2, a: float = WGS84_A, f: float = WGS84_F)
     return s12, azi1, azi2, converged
 
 
-def geod_direct(lon1, lat1, azi1_deg, s12, a: float = WGS84_A, f: float = WGS84_F):
-    """Vectorized Vincenty direct: start point + azimuth + distance ->
-    (lon2, lat2, azi2). Degrees/meters."""
+def vincenty_direct(lon1, lat1, azi1_deg, s12, a: float = WGS84_A, f: float = WGS84_F):
+    """Vectorized Vincenty direct (legacy / cross-validation path)."""
     lon1 = np.asarray(lon1, dtype=np.float64)
     lat1 = np.asarray(lat1, dtype=np.float64)
     alpha1 = np.radians(np.asarray(azi1_deg, dtype=np.float64))

@@ -1371,7 +1371,7 @@ def _geod_line_sql():
 def geod_line_interp(sf_dir):
     """geod -l line mode as a flat_map-shaped stage: each point pair
     expands to 5 great-circle samples (spherical slerp variant;
-    the ellipsoidal Vincenty path is covered by geod_inverse_vincenty)."""
+    the ellipsoidal Karney path is covered by geod_inverse_ellipsoidal)."""
     pts = _points_ds(sf_dir)
 
     def fn(t: pa.Table) -> pa.Table:
@@ -1394,10 +1394,11 @@ def geod_line_interp(sf_dir):
                            zero_copy_batch=True)
 
 
-@query("geod_inverse_vincenty")  # rows-only: iterative, not SQL-expressible
-def geod_inverse_vincenty(sf_dir):
-    """Ellipsoidal geodesic inverse (the Karney geod_inverse role,
-    src/geodesic.c:944): distance + azimuths per derived pair."""
+@query("geod_inverse_ellipsoidal")  # rows-only: iterative, not SQL-expressible
+def geod_inverse_ellipsoidal(sf_dir):
+    """Ellipsoidal geodesic inverse (Karney order-6 series, the
+    reference's geod_inverse, src/geodesic.c:944): distance + azimuths
+    per derived pair; exact everywhere incl. near-antipodal."""
     from ..kernels.geodesic import geod_inverse
 
     pts = _points_ds(sf_dir)

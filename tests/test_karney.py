@@ -1,0 +1,96 @@
+"""Karney geodesic suite: paper-value golden, direct∘inverse
+consistency, antipodal convergence, Vincenty cross-check, special
+lines (meridian / equator / poles)."""
+
+import numpy as np
+
+from proj_ray.kernels.geodesic import (
+    geod_direct,
+    geod_inverse,
+    interpolate_line,
+    vincenty_inverse,
+)
+
+
+def _roundtrip_err_deg(lon1, lat1, lon2, lat2):
+    s12, azi1, _azi2, ok = geod_inverse(lon1, lat1, lon2, lat2)
+    assert ok.all()
+    lo2, la2, _ = geod_direct(lon1, lat1, azi1, s12)
+    dlon = (lo2 - lon2 + 540.0) % 360.0 - 180.0
+    return np.hypot(dlon * np.cos(np.radians(lat2)), la2 - lat2)
+
+
+def test_karney_paper_value():
+    """Karney (2013) near-antipodal inverse sample: equatorial points
+    (0,0) -> (0, 179.5) on WGS84, beyond the equatorial-geodesic limit
+    (lam12 > pi(1-f)), give s12 = 19980861.9088796 m via the astroid
+    start + Newton path."""
+    s12, azi1, azi2, ok = geod_inverse(
+        np.array([0.0]), np.array([0.0]), np.array([179.5]), np.array([0.0]))
+    assert ok.all()
+    np.testing.assert_allclose(s12[0], 19980861.9088796, atol=1e-4)
+
+
+def test_karney_known_lines():
+    """Closed-form anchors: equatorial arc = a * lam, meridian
+    half-length, coincident points."""
+    s, a1, _, _ = geod_inverse(np.array([0.0]), np.array([0.0]),
+                               np.array([10.0]), np.array([0.0]))
+    np.testing.assert_allclose(s[0], 6378137.0 * np.radians(10.0), rtol=1e-12)
+    assert a1[0] == 90.0
+    # WGS84 meridian quarter = 10001965.7293 m -> pole-to-pole 2x
+    s, _, _, _ = geod_inverse(np.array([0.0]), np.array([-90.0]),
+                              np.array([0.0]), np.array([90.0]))
+    np.testing.assert_allclose(s[0], 2 * 10001965.7293127, atol=1e-3)
+    s, _, _, _ = geod_inverse(np.array([5.0]), np.array([5.0]),
+                              np.array([5.0]), np.array([5.0]))
+    assert s[0] == 0.0
+
+
+def test_karney_direct_inverse_consistency():
+    """Random global pairs: direct(inverse) returns the target to
+    sub-micrometer."""
+    rng = np.random.default_rng(11)
+    N = 5000
+    lon1 = rng.uniform(-180, 180, N)
+    lat1 = rng.uniform(-90, 90, N)
+    lon2 = rng.uniform(-180, 180, N)
+    lat2 = rng.uniform(-90, 90, N)
+    err = _roundtrip_err_deg(lon1, lat1, lon2, lat2)
+    assert err.max() < 1e-8  # degrees (~1 mm)
+
+
+def test_karney_antipodal():
+    """Near-antipodal pairs (Vincenty's failure mode) converge and
+    roundtrip."""
+    lat1 = np.array([0.0, 0.5, 30.0, -30.0, 0.0, 41.0])
+    lon1 = np.zeros(6)
+    lat2 = np.array([0.0, -0.5, -30.0, 30.0, -0.1, -41.0])
+    lon2 = np.array([179.5, 179.8, 179.9, 179.99, 180.0, 179.99999])
+    err = _roundtrip_err_deg(lon1, lat1, lon2, lat2)
+    assert err.max() < 1e-8
+    s12, _, _, ok = geod_inverse(lon1, lat1, lon2, lat2)
+    assert ok.all()
+    assert (s12 > 19_000_000).all() and (s12 < 20_010_000).all()
+
+
+def test_karney_matches_vincenty_where_it_converges():
+    rng = np.random.default_rng(3)
+    N = 2000
+    lon1 = rng.uniform(-180, 180, N)
+    lat1 = rng.uniform(-80, 80, N)
+    lon2 = rng.uniform(-180, 180, N)
+    lat2 = rng.uniform(-80, 80, N)
+    sk, _, _, _ = geod_inverse(lon1, lat1, lon2, lat2)
+    sv, _, _, okv = vincenty_inverse(lon1, lat1, lon2, lat2)
+    d = np.abs(sk[okv] - sv[okv])
+    assert d.max() < 1e-2  # Vincenty itself is only good to ~0.1 mm
+
+
+def test_karney_interpolate_line_endpoints():
+    lons, lats = interpolate_line(np.array([-70.0]), np.array([10.0]),
+                                  np.array([30.0]), np.array([50.0]), 5)
+    np.testing.assert_allclose(lons[0, 0], -70.0, atol=1e-9)
+    np.testing.assert_allclose(lats[0, 0], 10.0, atol=1e-9)
+    np.testing.assert_allclose(lons[0, -1], 30.0, atol=1e-8)
+    np.testing.assert_allclose(lats[0, -1], 50.0, atol=1e-8)
