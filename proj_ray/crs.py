@@ -185,6 +185,32 @@ for _z in range(3, 23):  # NAD27 / UTM 26703-26722
 del _z
 
 
+_INIT_DB: dict | None = None
+
+
+def init_db_lookup(fname: str, key: str) -> str | None:
+    """Bundled keyed-init lookup: the reference's public init databases
+    (nad/epsg 5,006 codes, IGNF, esri(+extra), nad27/nad83 state
+    planes, world, GL27, CH) parsed into proj_ray/data/init_db.parquet
+    by tools/build_init_db.py and loaded lazily into one dict.  Serves
+    the role of pj_open_lib+get_init (src/pj_init.c:97-291) when no
+    PROJ_LIB override is present."""
+    global _INIT_DB
+    if _INIT_DB is None:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "data", "init_db.parquet")
+        db: dict = {}
+        if os.path.isfile(path):
+            import pyarrow.parquet as _pq
+
+            t = _pq.read_table(path)
+            for f, k, d in zip(t["file"].to_pylist(), t["key"].to_pylist(),
+                               t["defn"].to_pylist()):
+                db[(f, k)] = d
+        _INIT_DB = db
+    return _INIT_DB.get((fname, key))
+
+
 def read_init_file(path: str, section: str) -> str | None:
     """Keyed init-file lookup (src/pj_init.c get_init/get_opt:97-291).
 
@@ -399,6 +425,11 @@ class CRS:
                 fpath = os.path.join(proj_lib, fname)
                 if os.path.isfile(fpath):
                     defn_str = read_init_file(fpath, key)
+            if defn_str is None:
+                # bundled init DB (full epsg/IGNF/esri/nad27/nad83/world
+                # keyed files, parsed at build time by
+                # tools/build_init_db.py) — PROJ_LIB wins if present
+                defn_str = init_db_lookup(fname, key)
             if defn_str is None and fname == "epsg":
                 defn_str = EPSG_INIT.get(key)
             if defn_str is None:
