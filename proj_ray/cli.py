@@ -43,6 +43,9 @@ def _split_args(argv):
             if a in ("-f", "-b"):  # flags with value
                 flags[a] = argv[i + 1]
                 i += 1
+            elif a.startswith("-w") and a[2:].isdigit():
+                # -w<n>: DMS seconds precision (proj.c/cs2cs.c -w)
+                flags["-w"] = int(a[2:])
             else:
                 flags[a] = True
         i += 1
@@ -56,14 +59,88 @@ def _parse_coord(tok: str) -> float:
         return float("nan")
 
 
-def _fmt(v: float, fmt: str | None, as_dms: bool, pos: str, neg: str) -> str:
+def _fmt(v: float, fmt: str | None, as_dms: bool, pos: str, neg: str,
+         prec: int = 3) -> str:
     if not np.isfinite(v):
         return "*"
     if fmt:
         return fmt % v
     if as_dms:
-        return rtodms(v, pos, neg)
+        return rtodms(v, pos, neg, prec)
     return "%.2f" % v
+
+
+def _process_proj_lines(lines, transform: Transform, flags):
+    """proj.c-style line processing (src/proj.c:60-150): consume exactly
+    two coordinate fields, echo ONLY the consumed text under -E, print
+    x TAB y (no z — proj is 2-D), then the unconsumed remainder verbatim
+    (which is how test27/test83 carry expected values + labels through).
+    Unprojectable input emits the "*\\t*" oterr sentinel (proj.c:43)."""
+    import re
+
+    echo = "-E" in flags
+    fmt = flags.get("-f")
+    rev_in = "-r" in flags
+    rev_out = "-s" in flags
+    src_ll = transform.src.is_latlong
+    dst_ll = transform.dst.is_latlong
+    two_fields = re.compile(r"\s*\S+\s+\S+")
+
+    batch, tails, consumed = [], [], []
+
+    def flush():
+        if not batch:
+            return
+        arr = np.asarray(batch, dtype=np.float64)
+        x, y, _z = transform(arr[:, 0], arr[:, 1], arr[:, 2])
+        for i in range(len(batch)):
+            if not (np.isfinite(x[i]) and np.isfinite(y[i])):
+                body = "*\t*"
+            elif dst_ll and fmt is None:
+                prec = flags.get("-w", 3)
+                ox = rtodms(x[i] * DEG_TO_RAD, "E", "W", prec)
+                oy = rtodms(y[i] * DEG_TO_RAD, "N", "S", prec)
+                body = f"{oy}\t{ox}" if rev_out else f"{ox}\t{oy}"
+            else:
+                f = fmt or "%.2f"
+                ox, oy = f % x[i], f % y[i]
+                body = f"{oy}\t{ox}" if rev_out else f"{ox}\t{oy}"
+            pre = consumed[i] + "\t" if echo else ""
+            yield pre + body + tails[i]
+        batch.clear()
+        tails.clear()
+        consumed.clear()
+
+    for line in lines:
+        line = line.rstrip("\n")
+        if not line or line.lstrip().startswith("#"):
+            yield from flush()
+            yield line
+            continue
+        m = two_fields.match(line)
+        if m is None:
+            yield from flush()
+            yield line
+            continue
+        toks = m.group(0).split()
+        t1, t2 = toks[0], toks[1]
+        if rev_in:
+            t1, t2 = t2, t1
+        if src_ll:
+            x = _parse_coord(t1) * RAD_TO_DEG
+            y = _parse_coord(t2) * RAD_TO_DEG
+        else:
+            try:
+                x = float(t1)
+                y = float(t2)
+            except ValueError:
+                x = y = float("nan")
+        batch.append((x, y, 0.0))
+        consumed.append(m.group(0))
+        tails.append(line[m.end():])
+        if len(batch) >= 8192:
+            yield from flush()
+    yield from flush()
 
 
 def _process_lines(lines, transform: Transform, flags):
@@ -133,8 +210,9 @@ def _flush(batch, tails, raw, transform, flags, echo, fmt, rev_out, dst_ll):
     x, y, z = transform(arr[:, 0], arr[:, 1], arr[:, 2])
     for i in range(len(batch)):
         if dst_ll:
-            ox = _fmt(x[i] * DEG_TO_RAD, fmt, fmt is None, "E", "W")
-            oy = _fmt(y[i] * DEG_TO_RAD, fmt, fmt is None, "N", "S")
+            prec = flags.get("-w", 3)
+            ox = _fmt(x[i] * DEG_TO_RAD, fmt, fmt is None, "E", "W", prec)
+            oy = _fmt(y[i] * DEG_TO_RAD, fmt, fmt is None, "N", "S", prec)
             if fmt:
                 ox = _fmt(x[i], fmt, False, "", "")
                 oy = _fmt(y[i], fmt, False, "", "")
@@ -143,7 +221,7 @@ def _flush(batch, tails, raw, transform, flags, echo, fmt, rev_out, dst_ll):
             oy = _fmt(y[i], fmt, False, "", "")
         if rev_out:
             ox, oy = oy, ox
-        zs = ("%.3f" % z[i]) if np.isfinite(z[i]) else "*"
+        zs = ((fmt or "%.3f") % z[i]) if np.isfinite(z[i]) else "*"
         out = f"{ox}\t{oy} {zs}"
         if tails[i]:
             out += " " + tails[i]
@@ -211,7 +289,7 @@ def proj_main(argv=None, stdin=None, stdout=None):
             t = make_transform(ll, defn)
     except (ValueError, FileNotFoundError) as exc:
         return _init_failure("proj", exc)
-    for out in _process_lines(stdin, t, flags):
+    for out in _process_proj_lines(stdin, t, flags):
         print(out, file=stdout)
     return 0
 

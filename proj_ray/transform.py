@@ -112,6 +112,33 @@ def _load_catalog(catalog_name, grid_loader=None):
     return read_catalog_csv(path, loader)
 
 
+_GRID_FILE_CACHE: dict = {}
+
+
+def default_grid_loader(name):
+    """pj_open_lib-style grid resolution (src/pj_open_lib.c): the name
+    as given (absolute / cwd-relative) if it exists, else relative to
+    $PROJ_LIB.  Parsed grids are cached per path (the reference caches
+    per-ctx gridinfo the same way, src/pj_gridinfo.c).  Returns None
+    for missing files — gridlist_from_nadgrids turns that into the
+    -38 error unless the grid was marked '@optional'."""
+    import os
+
+    from .sources.grids import read_any_grid
+
+    candidates = [name]
+    proj_lib = os.environ.get("PROJ_LIB")
+    if proj_lib:
+        candidates.append(os.path.join(proj_lib, name))
+    for path in candidates:
+        if os.path.isfile(path):
+            key = os.path.abspath(path)
+            if key not in _GRID_FILE_CACHE:
+                _GRID_FILE_CACHE[key] = read_any_grid(path)[0]
+            return _GRID_FILE_CACHE[key]
+    return None
+
+
 class Transform:
     """Compiled (src, dst) transform. Call with float64 arrays.
 
@@ -127,6 +154,10 @@ class Transform:
         self._dst_grids = None
         self._src_catalog = self._dst_catalog = None
         self._grid_loader = grid_loader
+        # injected loaders (fixtures) stay exclusive; otherwise fall
+        # back to pj_open_lib-style PROJ_LIB resolution
+        vgrid_loader = vgrid_loader or grid_loader or default_grid_loader
+        grid_loader = grid_loader or default_grid_loader
         if self.src.datum_type == PJD_GRIDSHIFT:
             if getattr(self.src, "catalog_name", None):
                 self._src_catalog = _load_catalog(self.src.catalog_name, grid_loader)

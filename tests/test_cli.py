@@ -39,7 +39,8 @@ def test_cs2cs_tail_passthrough():
                 ["+proj=latlong", "+datum=WGS84", "+to", "+proj=merc",
                  "+datum=WGS84", "-f", "%.2f"],
                 "10 45 7.5 site42 extra words\n")
-    assert lines[0].endswith("7.500 site42 extra words")
+    # z is printed with oform when -f is given (cs2cs.c:151-155)
+    assert lines[0].endswith("7.50 site42 extra words")
 
 
 def test_proj_inverse_flag():

@@ -1,0 +1,96 @@
+"""Golden tests through the reference's REAL grid files: the
+ntf_r93.gsb edge-epsilon cases of nad/testdatumfile (#141, expected
+values nad/td_out.dist) and the NTv1 fallback cases of nad/testntv2
+(expected values nad/ntv2_out.dist), run through our cs2cs CLI with
+PROJ_LIB pointing at the reference's nad directory."""
+
+import io
+import os
+
+import pytest
+
+from proj_ray.cli import cs2cs_main
+
+NAD = "/root/reference/nad"
+
+
+@pytest.fixture()
+def proj_lib_nad():
+    old = os.environ.get("PROJ_LIB")
+    os.environ["PROJ_LIB"] = NAD
+    yield
+    if old is None:
+        os.environ.pop("PROJ_LIB", None)
+    else:
+        os.environ["PROJ_LIB"] = old
+
+
+def _run(argv, input_lines):
+    buf = io.StringIO()
+    rc = cs2cs_main(argv, stdin=iter([ln + "\n" for ln in input_lines]),
+                    stdout=buf)
+    assert rc == 0
+    return buf.getvalue().splitlines()
+
+
+def _tokens(lines):
+    return [ln.split() for ln in lines]
+
+
+EDGE_POINTS = ["-5.5 52.0",
+               "-5.5000000000001 52.0000000000001",
+               "-5.4999 51.9999",
+               "-5.5001 52.0"]
+
+# nad/td_out.dist lines for the #141 block (forward: WGS84+ntf_r93.gsb
+# -> WGS84; i.e. applying the NTF->RGF93 shift in the 'inverse' datum
+# direction), 12-decimal degrees
+TD_FWD = [
+    "-5.5 52.0\t-5.501106465528\t51.999890470284 0.000000000000",
+    "-5.5000000000001 52.0000000000001\t-5.501106465529\t51.999890470284 0.000000000000",
+    "-5.4999 51.9999\t-5.501006458305\t51.999790470257 0.000000000000",
+    "-5.5001 52.0\t-5.500100000000\t52.000000000000 0.000000000000",
+]
+TD_INV = [
+    "-5.5 52.0\t-5.498893534472\t52.000109529716 0.000000000000",
+    "-5.5000000000001 52.0000000000001\t-5.498893534472\t52.000109529717 0.000000000000",
+    "-5.4999 51.9999\t-5.498793541695\t52.000009529743 0.000000000000",
+    "-5.5001 52.0\t-5.500100000000\t52.000000000000 0.000000000000",
+]
+
+
+def test_ntf_r93_edge_cases_forward(proj_lib_nad):
+    """Grid used even right on the mesh corner / within epsilon outside
+    (pj_apply_gridshift.c:131-254 + NTv2 subgrid reader), matching
+    td_out.dist to all 12 printed decimals."""
+    got = _run(["+proj=latlong", "+ellps=WGS84", "+nadgrids=ntf_r93.gsb",
+                "+to", "+proj=latlong", "+datum=WGS84", "-E", "-f", "%.12f"],
+               EDGE_POINTS)
+    assert _tokens(got) == _tokens(TD_FWD)
+
+
+def test_ntf_r93_edge_cases_inverse(proj_lib_nad):
+    got = _run(["+proj=latlong", "+datum=WGS84",
+                "+to", "+proj=latlong", "+ellps=WGS84",
+                "+nadgrids=ntf_r93.gsb", "-E", "-f", "%.12f"],
+               EDGE_POINTS)
+    assert _tokens(got) == _tokens(TD_INV)
+
+
+# nad/td_out.dist block 1: "1st through ntv1" — 111W 44N is inside
+# ntv1_can.dat coverage, so this is a true golden for the NTv1 reader
+# (the second point, 39N, routed through the unshipped 'conus' file and
+# is therefore not reproducible here; likewise ntv2_out.dist's
+# "falls back to NTv1" block actually flowed through the unshipped
+# ntv2_0.gsb, which precedes ntv1 in first-match list order —
+# pj_apply_gridshift.c:143-156).
+def test_ntv1_real_grid_golden(proj_lib_nad):
+    """NAD27->NAD83 through the real ntv1_can.dat (NTv1 reader +
+    bilinear + gridlist @optional handling), matching td_out.dist."""
+    got = _run(["+proj=latlong", "+ellps=clrk66",
+                "+nadgrids=ntv1_can.dat,@conus",
+                "+to", "+proj=latlong", "+datum=NAD83", "-E"],
+               ['111d00\'00.000"W 44d00\'00.000"N 0.0'])
+    want = ['111d00\'00.000"W 44d00\'00.000"N 0.0\t'
+            '111d0\'3.085"W\t43d59\'59.756"N 0.000']
+    assert _tokens(got) == _tokens(want)
