@@ -40,11 +40,11 @@ def _split_args(argv):
         elif a.startswith("+"):
             cur.append(a)
         elif a.startswith("-"):
-            if a in ("-f", "-b"):  # flags with value
+            if a in ("-f", "-b", "-F", "-T"):  # flags with value
                 flags[a] = argv[i + 1]
                 i += 1
-            elif a.startswith("-w") and a[2:].isdigit():
-                # -w<n>: DMS seconds precision (proj.c/cs2cs.c -w)
+            elif (a.startswith("-w") or a.startswith("-W")) and a[2:].isdigit():
+                # -w<n>/-W<n>: DMS seconds precision (proj.c/cs2cs.c)
                 flags["-w"] = int(a[2:])
             else:
                 flags[a] = True
@@ -276,33 +276,247 @@ def _latlong_from(defn: str) -> str:
     return " ".join(toks)
 
 
+def _print_listings(flags, stdout) -> bool:
+    """proj -l / -lp / -lP / -l=id / -le / -lu / -ld registry listings
+    (src/proj.c:296-360 formats).  Returns True if one was printed."""
+    from .crs import (DATUM_COMMENTS, DATUMS, ELLPS, ELLPS_NAMES, UNITS,
+                      UNITS_NAMES)
+    from .kernels import projections2  # noqa: F401 (fill the registry)
+    from .kernels.projections import PROJ_REGISTRY
+    from .crs import CRS as _CRS  # noqa: F401 (triggers wave imports)
+
+    eq = next((k[3:] for k in flags if k.startswith("-l=")), None)
+    if eq is not None:
+        entry = PROJ_REGISTRY.get(eq)
+        if entry:
+            print("%9s : %s" % (eq, entry[1]), file=stdout)
+        return True
+    if "-le" in flags:
+        for eid, (major, ell) in ELLPS.items():
+            print("%9s %-16s %-16s %s" % (eid, major, ell,
+                                          ELLPS_NAMES.get(eid, "")),
+                  file=stdout)
+        return True
+    if "-lu" in flags:
+        for uid, to_m in UNITS.items():
+            print("%12s %-20s %s" % (uid, to_m, UNITS_NAMES.get(uid, "")),
+                  file=stdout)
+        return True
+    if "-ld" in flags:
+        print("__datum_id__ __ellipse___ "
+              "__definition/comments______________________________",
+              file=stdout)
+        for did, (dfn, eid) in DATUMS.items():
+            print("%12s %-12s %-30s" % (did, eid, dfn), file=stdout)
+            comment = DATUM_COMMENTS.get(did, "")
+            if comment:
+                print("%25s %s" % (" ", comment), file=stdout)
+        return True
+    if "-l" in flags or "-lp" in flags or "-lP" in flags:
+        for pid, (_fn, desc) in sorted(PROJ_REGISTRY.items()):
+            if pid in ("latlong", "longlat", "geocent"):
+                continue
+            print("%s : %s" % (pid, desc.split("\n")[0]), file=stdout)
+        return True
+    return False
+
+
+def _vprocess_lines(lines, t_fwd, t_inv, P, flags, stdout):
+    """proj -V verbose per-point factor report (src/proj.c:152-244)."""
+    from .kernels.factors import factors
+
+    oform = flags.get("-f") or "%.3f"
+    inv_default = "-I" in flags
+    for line in lines:
+        line = line.rstrip("\n")
+        if not line:
+            continue
+        if line.lstrip().startswith("#"):
+            print(line, file=stdout)
+            continue
+        s = line
+        linvers = inv_default
+        if s[:1] in ("I", "i"):
+            linvers = True
+            s = s[1:]
+        toks = s.split()
+        if len(toks) < 2:
+            print(s, file=stdout)
+            continue
+        if linvers:
+            try:
+                x, y = float(toks[0]), float(toks[1])
+            except ValueError:
+                print("lon-lat input conversion failure", file=stdout)
+                continue
+            lon, lat, _ = t_inv(np.array([x]), np.array([y]))
+            lon_d, lat_d = lon[0], lat[0]
+            px, py = x, y
+        else:
+            lon_d = _parse_coord(toks[0]) * RAD_TO_DEG
+            lat_d = _parse_coord(toks[1]) * RAD_TO_DEG
+            if not (np.isfinite(lon_d) and np.isfinite(lat_d)):
+                print("lon-lat input conversion failure", file=stdout)
+                continue
+            xx, yy, _ = t_fwd(np.array([lon_d]), np.array([lat_d]))
+            px, py = xx[0], yy[0]
+        fac = factors(P, np.array([lon_d]), np.array([lat_d]))
+        print("Longitude: %s [ %.11g ]" % (
+            rtodms(lon_d * DEG_TO_RAD, "E", "W"), lon_d), file=stdout)
+        print("Latitude:  %s [ %.11g ]" % (
+            rtodms(lat_d * DEG_TO_RAD, "N", "S"), lat_d), file=stdout)
+        print("Easting (x):   " + (oform % px), file=stdout)
+        print("Northing (y):  " + (oform % py), file=stdout)
+        h, k = fac["h"][0], fac["k"][0]
+        s_ = fac["s"][0]
+        print("Meridian scale (h) : %.8f  ( %.4g %% error )"
+              % (h, (h - 1.0) * 100.0), file=stdout)
+        print("Parallel scale (k) : %.8f  ( %.4g %% error )"
+              % (k, (k - 1.0) * 100.0), file=stdout)
+        print("Areal scale (s):     %.8f  ( %.4g %% error )"
+              % (s_, (s_ - 1.0) * 100.0), file=stdout)
+        print("Angular distortion (w): %.3f"
+              % (fac["omega"][0] * RAD_TO_DEG), file=stdout)
+        print("Meridian/Parallel angle: %.5f"
+              % (fac["thetap"][0] * RAD_TO_DEG), file=stdout)
+        print("Convergence : %s [ %.8f ]" % (
+            rtodms(fac["conv"][0]), fac["conv"][0] * RAD_TO_DEG), file=stdout)
+        print("Max-min (Tissot axis a-b) scale error: %.5f %.5f"
+              % (fac["a"][0], fac["b"][0]), file=stdout)
+        print("", file=stdout)
+
+
+def _gen_cheby(flags, defn, stdout):
+    """proj -T lon_min,lon_max,lat_min,lat_max[,res[,NU[,NV]]]:
+    Chebyshev surrogate generation (src/proj.c:435-440 + gen_cheb.c).
+    Header/audit format follows gen_cheb; the coefficient dump is a
+    row-major '%d %d / u v c' table rather than p_series' packed text."""
+    from .kernels.cheby import ChebyshevSurrogate
+    from .transform import make_transform
+
+    spec = flags["-T"]
+    parts = spec.split(",")
+    if len(parts) < 4:
+        print("proj: null or absent -T parameters", file=sys.stderr)
+        return 1
+    lon_min, lon_max = float(parts[0]), float(parts[1])
+    lat_min, lat_max = float(parts[2]), float(parts[3])
+    res = int(parts[4]) if len(parts) > 4 and parts[4] else -1
+    nu = int(parts[5]) if len(parts) > 5 and parts[5] else 15
+    nv = int(parts[6]) if len(parts) > 6 and parts[6] else 15
+    print("#proj_Chebyshev\n#    run-line:", file=stdout)
+    print("# projection parameters", file=stdout)
+    print("# " + defn, file=stdout)
+    ll = _latlong_from(defn)
+    t = make_transform(ll, defn)
+    f = lambda lo, la: t(lo, la)[:2]  # noqa: E731
+    sur = ChebyshevSurrogate.fit(
+        f, (lon_min, lon_max, lat_min, lat_max), deg=(nu - 1, nv - 1),
+        tol=(10.0 ** -res if res > 0 else 0.0))
+    err = sur.max_error(f)
+    print("# max approximation error over region: %g" % err, file=stdout)
+    for name, C in (("u", sur.cx), ("v", sur.cy)):
+        nz = np.argwhere(np.abs(C) > 0.0)
+        print("%s %d" % (name, len(nz)), file=stdout)
+        for i, j in nz:
+            print("%d %d %.12g" % (i, j, C[i, j]), file=stdout)
+    return 0
+
+
 def proj_main(argv=None, stdin=None, stdout=None):
     argv = sys.argv[1:] if argv is None else argv
     stdin = stdin or sys.stdin
     stdout = stdout or sys.stdout
     flags, defn, _ = _split_args(argv)
+    if _print_listings(flags, stdout):
+        return 0
     ll = _latlong_from(defn)
     try:
+        if "-T" in flags:
+            return _gen_cheby(flags, defn, stdout)
         if "-I" in flags:
             t = make_transform(defn, ll)
         else:
             t = make_transform(ll, defn)
     except (ValueError, FileNotFoundError) as exc:
         return _init_failure("proj", exc)
+    if "-V" in flags:
+        from .crs import CRS
+
+        P = CRS(defn)
+        t_fwd = make_transform(ll, defn)
+        t_inv = make_transform(defn, ll)
+        _vprocess_lines(stdin, t_fwd, t_inv, P, flags, stdout)
+        return 0
+    if "-S" in flags:
+        from .crs import CRS
+
+        return _process_S(stdin, t, CRS(defn), flags, "-I" in flags, stdout)
     for out in _process_proj_lines(stdin, t, flags):
         print(out, file=stdout)
     return 0
 
 
+def _process_S(lines, t, P, flags, inverse, stdout):
+    """proj -S: normal output plus '\\t<h k s omega a b>' scale-factor
+    annotations (src/proj.c:104-108,213-218)."""
+    from .kernels.factors import factors
+
+    import re
+
+    two_fields = re.compile(r"\s*\S+\s+\S+")
+    for line in lines:
+        line = line.rstrip("\n")
+        if not line or line.lstrip().startswith("#"):
+            print(line, file=stdout)
+            continue
+        m = two_fields.match(line)
+        if m is None:
+            print(line, file=stdout)
+            continue
+        base = next(iter(_process_proj_lines([line], t, flags)))
+        toks = m.group(0).split()
+        if inverse:
+            try:
+                x, y = float(toks[0]), float(toks[1])
+                lon, lat, _ = t(np.array([x]), np.array([y]))[:3]
+                lon_d, lat_d = lon[0], lat[0]
+            except ValueError:
+                lon_d = lat_d = float("nan")
+        else:
+            lon_d = _parse_coord(toks[0]) * RAD_TO_DEG
+            lat_d = _parse_coord(toks[1]) * RAD_TO_DEG
+        if np.isfinite(lon_d) and np.isfinite(lat_d):
+            fac = factors(P, np.array([lon_d]), np.array([lat_d]))
+            ann = "\t<%g %g %g %g %g %g>" % (
+                fac["h"][0], fac["k"][0], fac["s"][0],
+                fac["omega"][0] * RAD_TO_DEG, fac["a"][0], fac["b"][0])
+        else:
+            ann = "\t<* * * * * *>"
+        print(base + ann, file=stdout)
+    return 0
+
+
 def geod_main(argv=None, stdin=None, stdout=None):
-    """geod: inverse problem per line 'lat1 lon1 lat2 lon2' ->
-    'azi1 azi2 s12' (src/geod.c:58-121)."""
+    """geod filter (src/geod.c): per-line inverse ('lat1 lon1 lat2
+    lon2' -> al12 al21 s12, -I) or direct ('lat1 lon1 az12 s12' ->
+    lat2 lon2 al21, the default), plus +lat_1/+lon_1 line/arc
+    expansion modes (geod_set.c:37-59, do_geod/do_arc geod.c:34-57).
+    al21 is the BACK azimuth (azi2 +/- 180, geod_interface.c:19,32);
+    -a fullout, -p positive azimuths, -f/-F formats, -le/-lu lists."""
     argv = sys.argv[1:] if argv is None else argv
     stdin = stdin or sys.stdin
     stdout = stdout or sys.stdout
     flags, defn, _ = _split_args(argv)
-    from .crs import CRS
-    from .kernels.geodesic import geod_inverse
+    if "-le" in flags or "-lu" in flags or "-l" in flags:
+        lf = dict(flags)
+        if "-l" in lf:  # bare geod -l lists ellipsoids (geod.c:176)
+            lf["-le"] = True
+            lf.pop("-l")
+        _print_listings(lf, stdout)
+        return 0
+    from .crs import UNITS, CRS
+    from .kernels.geodesic import geod_direct, geod_inverse
 
     try:
         crs = CRS(defn if "proj=" in defn else defn + " +proj=latlong")
@@ -310,20 +524,132 @@ def geod_main(argv=None, stdin=None, stdout=None):
         return _init_failure("geod", exc)
     a = crs.a
     f = crs.es / (1 + (1 - crs.es) ** 0.5) if crs.es else 0.0
-    fmt = flags.get("-f", "%.3f")
+    unit = crs.pl.get_s("units")
+    to_meter = 1.0
+    if unit:
+        if unit not in UNITS:
+            print(f"geod: {unit} unknown unit conversion id", file=sys.stderr)
+            return 1
+        expr = UNITS[unit]
+        to_meter = (float(expr.split("/")[0]) / float(expr.split("/")[1])
+                    if "/" in expr else float(expr))
+    fr_meter = 1.0 / to_meter
+    oform = flags.get("-f")
+    osform = flags.get("-F", "%.3f")
+    prec = flags.get("-w", 3)
+    inverse = "-I" in flags
+    fullout = "-a" in flags
+    pos_azi = "-p" in flags
+
+    def az(v_deg):
+        if pos_azi and v_deg < 0.0:
+            v_deg += 360.0
+        return (oform % v_deg) if oform else rtodms(np.radians(v_deg),
+                                                    "", "", prec)
+
+    def pll(lat_deg, lon_deg):
+        if oform:
+            return f"{oform % lat_deg}\t{oform % lon_deg}"
+        return (f"{rtodms(np.radians(lat_deg), 'N', 'S', prec)}\t"
+                f"{rtodms(np.radians(lon_deg), 'E', 'W', prec)}")
+
+    def back(azi2_deg):
+        return azi2_deg + (-180.0 if azi2_deg >= 0 else 180.0)
+
+    pl = crs.pl
+    if pl.has("lat_1"):
+        # line / arc mode (geod_set.c:37-59)
+        lat1 = pl.get_r("lat_1") * RAD_TO_DEG
+        lon1 = pl.get_r("lon_1", 0.0) * RAD_TO_DEG
+        if pl.has("lat_2"):
+            lat2 = pl.get_r("lat_2") * RAD_TO_DEG
+            lon2 = pl.get_r("lon_2", 0.0) * RAD_TO_DEG
+            s12, al12, azi2, _ = geod_inverse(
+                np.array([lon1]), np.array([lat1]),
+                np.array([lon2]), np.array([lat2]), a=a, f=f)
+            S, al12 = s12[0], al12[0]
+        else:
+            S = pl.get_f("S", 0.0)
+            al12 = pl.get_r("A", 0.0) * RAD_TO_DEG
+            if S == 0.0:
+                print("geod: incomplete geodesic/arc info", file=sys.stderr)
+                return 1
+            lo2, la2, a2 = geod_direct(np.array([lon1]), np.array([lat1]),
+                                       np.array([al12]), np.array([S]),
+                                       a=a, f=f)
+            lat2, lon2 = la2[0], lo2[0]
+        n_alpha = pl.get_i("n_A", 0)
+        del_alpha = pl.get_r("del_A", 0.0) * RAD_TO_DEG
+        del_S = abs(pl.get_f("del_S", 0.0))
+        if n_alpha > 0:
+            if del_alpha == 0.0:
+                print("geod: del azimuth == 0", file=sys.stderr)
+                return 1
+            # do_arc (geod.c:34-44): sweep azimuth from al12
+            print(pll(lat2, lon2), file=stdout)
+            azv = al12
+            for _ in range(n_alpha):
+                azv = ((azv + del_alpha + 180.0) % 360.0) - 180.0
+                lo2, la2, _ = geod_direct(np.array([lon1]), np.array([lat1]),
+                                          np.array([azv]), np.array([S]),
+                                          a=a, f=f)
+                print(pll(la2[0], lo2[0]), file=stdout)
+            return 0
+        n_S = int(S / del_S + 0.5) if del_S else pl.get_i("n_S", 0)
+        if n_S <= 0:
+            print("geod: no interval divisor selected", file=sys.stderr)
+            return 1
+        # do_geod (geod.c:46-57): n_S+1 points along the line
+        print(pll(lat1, lon1), file=stdout)
+        ks = np.arange(1, n_S)
+        if len(ks):
+            lo, la, _ = geod_direct(np.full(len(ks), lon1),
+                                    np.full(len(ks), lat1),
+                                    np.full(len(ks), al12),
+                                    S * ks / n_S, a=a, f=f)
+            for i in range(len(ks)):
+                print(pll(la[i], lo[i]), file=stdout)
+        print(pll(lat2, lon2), file=stdout)
+        return 0
+
     for line in stdin:
         line = line.rstrip("\n")
         if not line or line.lstrip().startswith("#"):
             print(line, file=stdout)
             continue
         toks = line.split()
-        if len(toks) < 4:
+        need = 4 if inverse else 4
+        if len(toks) < need:
             print(line, file=stdout)
             continue
-        lat1, lon1, lat2, lon2 = (np.degrees(_parse_coord(tk)) for tk in toks[:4])
-        s12, azi1, azi2, _ok = geod_inverse(
-            np.array([lon1]), np.array([lat1]), np.array([lon2]), np.array([lat2]),
-            a=a, f=f)
-        print(f"{rtodms(np.radians(azi1[0]))}\t{rtodms(np.radians(azi2[0]))}\t"
-              f"{fmt % s12[0]}", file=stdout)
+        lat1 = np.degrees(_parse_coord(toks[0]))
+        lon1 = np.degrees(_parse_coord(toks[1]))
+        tail = " ".join(toks[4:])
+        tail = (" " + tail) if tail else ""
+        if inverse:
+            lat2 = np.degrees(_parse_coord(toks[2]))
+            lon2 = np.degrees(_parse_coord(toks[3]))
+            s12, al12, azi2, _ = geod_inverse(
+                np.array([lon1]), np.array([lat1]),
+                np.array([lon2]), np.array([lat2]), a=a, f=f)
+            al12, al21, S = al12[0], back(azi2[0]), s12[0]
+        else:
+            al12 = np.degrees(_parse_coord(toks[2]))
+            try:
+                S = float(toks[3]) * to_meter
+            except ValueError:
+                print(line, file=stdout)
+                continue
+            lo2, la2, azi2 = geod_direct(np.array([lon1]), np.array([lat1]),
+                                         np.array([al12]), np.array([S]),
+                                         a=a, f=f)
+            lat2, lon2, al21 = la2[0], lo2[0], back(azi2[0])
+        if fullout:
+            out = (f"{pll(lat1, lon1)}\t{pll(lat2, lon2)}\t{az(al12)}\t"
+                   f"{az(al21)}\t{osform % (S * fr_meter)}")
+        elif inverse:
+            out = f"{az(al12)}\t{az(al21)}\t{osform % (S * fr_meter)}"
+        else:
+            out = f"{pll(lat2, lon2)}\t{az(al21)}"
+        print(out + tail, file=stdout)
     return 0

@@ -133,6 +133,58 @@ UNITS = {
     "ind-ch": "20.11669506",
 }
 
+# Display names for the -le / -lu / -ld CLI listings (src/pj_ellps.c,
+# src/pj_units.c, src/pj_datums.c — published registry data)
+ELLPS_NAMES = {
+    "MERIT": "MERIT 1983", "SGS85": "Soviet Geodetic System 85",
+    "GRS80": "GRS 1980(IUGG, 1980)", "IAU76": "IAU 1976",
+    "airy": "Airy 1830", "APL4.9": "Appl. Physics. 1965",
+    "NWL9D": "Naval Weapons Lab., 1965", "mod_airy": "Modified Airy",
+    "andrae": "Andrae 1876 (Den., Iclnd.)",
+    "aust_SA": "Australian Natl & S. Amer. 1969",
+    "GRS67": "GRS 67(IUGG 1967)", "bessel": "Bessel 1841",
+    "bess_nam": "Bessel 1841 (Namibia)", "clrk66": "Clarke 1866",
+    "clrk80": "Clarke 1880 mod.", "clrk80ign": "Clarke 1880 (IGN).",
+    "CPM": "Comm. des Poids et Mesures 1799",
+    "delmbr": "Delambre 1810 (Belgium)", "engelis": "Engelis 1985",
+    "evrst30": "Everest 1830", "evrst48": "Everest 1948",
+    "evrst56": "Everest 1956", "evrst69": "Everest 1969",
+    "evrstSS": "Everest (Sabah & Sarawak)",
+    "fschr60": "Fischer (Mercury Datum) 1960",
+    "fschr60m": "Modified Fischer 1960", "fschr68": "Fischer 1968",
+    "helmert": "Helmert 1906", "hough": "Hough",
+    "intl": "International 1909 (Hayford)", "krass": "Krassovsky, 1942",
+    "kaula": "Kaula 1961", "lerch": "Lerch 1979",
+    "mprts": "Maupertius 1738", "new_intl": "New International 1967",
+    "plessis": "Plessis 1817 (France)", "SEasia": "Southeast Asia",
+    "walbeck": "Walbeck", "WGS60": "WGS 60", "WGS66": "WGS 66",
+    "WGS72": "WGS 72", "WGS84": "WGS 84",
+    "sphere": "Normal Sphere (r=6370997)",
+}
+
+UNITS_NAMES = {
+    "km": "Kilometer", "m": "Meter", "dm": "Decimeter",
+    "cm": "Centimeter", "mm": "Millimeter",
+    "kmi": "International Nautical Mile", "in": "International Inch",
+    "ft": "International Foot", "yd": "International Yard",
+    "mi": "International Statute Mile", "fath": "International Fathom",
+    "ch": "International Chain", "link": "International Link",
+    "us-in": "U.S. Surveyor's Inch", "us-ft": "U.S. Surveyor's Foot",
+    "us-yd": "U.S. Surveyor's Yard", "us-ch": "U.S. Surveyor's Chain",
+    "us-mi": "U.S. Surveyor's Statute Mile", "ind-yd": "Indian Yard",
+    "ind-ft": "Indian Foot", "ind-ch": "Indian Chain",
+}
+
+DATUM_COMMENTS = {
+    "WGS84": "", "GGRS87": "Greek_Geodetic_Reference_System_1987",
+    "NAD83": "North_American_Datum_1983",
+    "NAD27": "North_American_Datum_1927",
+    "potsdam": "Potsdam Rauenberg 1950 DHDN",
+    "carthage": "Carthage 1934 Tunisia", "hermannskogel": "Hermannskogel",
+    "ire65": "Ireland 1965", "nzgd49": "New Zealand Geodetic Datum 1949",
+    "OSGB36": "Airy 1830",
+}
+
 # Per-projection + general defaults (nad/proj_def.dat)
 PROJ_DEFAULTS = {
     "aea": ["lat_1=29.5", "lat_2=45.5"],

@@ -45,8 +45,12 @@ def factors(P, lon_deg, lat_deg, h: float = DEFAULT_H):
     x_mm, y_mm = P.fwd(lam - h, phi - h)
     x_mp, y_mp = P.fwd(lam - h, phi + h)
     h4 = 4.0 * h
+    # pj_deriv.c sign convention: x_l = +dx/dlam, y_p = +dy/dphi, but
+    # x_p = -dx/dphi and y_l = -dy/dlam (the corner-accumulation signs
+    # at pj_deriv.c:14-27).  conv and the areal determinant below
+    # consume exactly this convention.
     x_l = (x_pp + x_pm - x_mm - x_mp) / h4
-    y_l = (y_pp + y_pm - y_mm - y_mp) / h4
+    y_l = (-y_pp - y_pm + y_mm + y_mp) / h4
     x_p = (-x_pp + x_pm + x_mm - x_mp) / h4
     y_p = (y_pp - y_pm - y_mm + y_mp) / h4
     bad = bad | ~np.isfinite(x_l) | ~np.isfinite(y_p)

@@ -53,8 +53,41 @@ def test_proj_inverse_flag():
 
 
 def test_geod_equator():
-    lines = run(geod_main, ["+ellps=WGS84"], "0d 0d 0d 1d\n")
+    # inverse mode (-I): lat1 lon1 lat2 lon2 -> al12 al21 s12
+    lines = run(geod_main, ["+ellps=WGS84", "-I"], "0d 0d 0d 1d\n")
     assert lines[0].endswith("111319.491")
+    # al21 is the BACK azimuth (geod_interface.c:32): -90 for an
+    # east-going equatorial line
+    assert lines[0].split("\t")[1].startswith("-90d")
+
+
+def test_geod_direct_roundtrip():
+    # direct (default) mode: lat1 lon1 az12 s12 -> lat2 lon2 al21
+    lines = run(geod_main, ["+ellps=WGS84"], "0d 0d 90d 111319.491\n")
+    lat2, lon2, al21 = lines[0].split("\t")
+    assert lon2.startswith("1d") and lat2.startswith("0d")
+    assert al21.startswith("-90d")
+
+
+def test_geod_fullout_and_oform():
+    lines = run(geod_main, ["+ellps=WGS84", "-I", "-a", "-f", "%.6f"],
+                "0d 0d 0d 1d\n")
+    toks = lines[0].split("\t")
+    # lat1 lon1 lat2 lon2 al12 al21 s12
+    assert len(toks) == 7
+    assert toks[4] == "90.000000" and toks[5] == "-90.000000"
+
+
+def test_geod_line_mode():
+    """+lat_1/+lon_1/+lat_2/+lon_2 +n_S expands the geodesic into
+    n_S+1 intermediate points (do_geod, src/geod.c:46-57)."""
+    lines = run(geod_main,
+                ["+ellps=WGS84", "+lat_1=0", "+lon_1=0",
+                 "+lat_2=0", "+lon_2=10", "+n_S=5", "-f", "%.6f"], "")
+    assert len(lines) == 6
+    assert lines[0].split("\t")[1] == "0.000000"
+    assert lines[-1].split("\t")[1] == "10.000000"
+    assert lines[3].split("\t")[1] == "6.000000"
 
 
 def test_cli_init_failure_diagnostics(capsys):
@@ -79,3 +112,55 @@ def test_cli_init_failure_diagnostics(capsys):
                    stdout=io.StringIO())
     err = capsys.readouterr().err
     assert rc == 1 and "geod: projection initialization failure" in err
+
+
+def test_proj_S_factors_annotation():
+    """-S appends '\\t<h k s omega a b>' (src/proj.c:104-108,213-218)."""
+    lines = run(proj_main, ["+proj=merc", "+ellps=WGS84", "-S"], "0 45\n")
+    assert "<" in lines[0] and lines[0].endswith(">")
+    vals = lines[0].split("<")[1].rstrip(">").split()
+    h, k, s, omega, a, b = map(float, vals)
+    # values are %g-printed (6 significant digits, proj.c:213)
+    assert abs(h - k) < 1e-5          # merc is conformal
+    assert abs(s - h * k) < 1e-4
+    assert abs(omega) < 1e-3
+
+
+def test_proj_V_verbose_factors():
+    """-V verbose block (src/proj.c:152-244): conformal tmerc shows
+    h == k, s == h*k, omega == 0, and the textbook convergence
+    (~ sin(phi) * dlam = 1.4630 deg at 2E 47N)."""
+    lines = run(proj_main, ["+proj=tmerc", "+lon_0=0", "+ellps=WGS84", "-V"],
+                "2 47\n")
+    txt = "\n".join(lines)
+    assert "Meridian scale (h) : 1.00028426" in txt
+    assert "Parallel scale (k) : 1.00028426" in txt
+    assert "Areal scale (s):     1.00056860" in txt
+    assert "Angular distortion (w): 0.000" in txt
+    assert "Meridian/Parallel angle: 90.00000" in txt
+    assert "Convergence : 1d27'46.751\" [ 1.46298636 ]" in txt
+
+
+def test_proj_listings():
+    for fl, minlen, probe in [(["-lp"], 130, "aea : Albers Equal Area"),
+                              (["-le"], 43, "WGS 84"),
+                              (["-lu"], 21, "U.S. Surveyor's Foot"),
+                              (["-ld"], 11, "North_American_Datum_1927"),
+                              (["-l=stere"], 1, "stere : Stereographic")]:
+        lines = run(proj_main, fl, "")
+        assert len(lines) >= minlen, fl
+        assert any(probe in ln for ln in lines), (fl, probe)
+
+
+def test_proj_T_chebyshev():
+    """-T emits a Chebyshev coefficient dump whose recorded max error
+    meets the requested 10^-res resolution (gen_cheb role)."""
+    lines = run(proj_main,
+                ["+proj=utm", "+zone=31", "+ellps=WGS84",
+                 "-T", "0,6,40,50,8,12,12"], "")
+    assert lines[0] == "#proj_Chebyshev"
+    err = float([ln for ln in lines if "max approximation error" in ln][0]
+                .split(":")[1])
+    assert err < 1e-2  # sub-cm over a UTM zone at degree 11
+    assert any(ln.startswith("u ") for ln in lines)
+    assert any(ln.startswith("v ") for ln in lines)
