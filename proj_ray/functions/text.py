@@ -85,36 +85,104 @@ def lang_id_batch(batch: pa.Table, text_col="text", id_col="doc_id") -> pa.Table
     return pa.table(out)
 
 
+_M61 = np.uint64((1 << 61) - 1)
+_FP_BASE = np.uint64(1000003)
+
+
+def _mod61(x: np.ndarray) -> np.ndarray:
+    """Reduce values < 2^62 modulo the Mersenne prime 2^61-1."""
+    x = (x & _M61) + (x >> np.uint64(61))
+    return np.where(x >= _M61, x - _M61, x)
+
+
+def _mulmod_base61(acc: np.ndarray) -> np.ndarray:
+    """acc * 1000003 mod (2^61-1), acc < 2^61, without 128-bit ints:
+    split acc into 32-bit halves; the high product's *2^32 is folded
+    through 2^61 == 1 (Mersenne)."""
+    a_lo = acc & np.uint64(0xFFFFFFFF)
+    a_hi = acc >> np.uint64(32)
+    p_lo = a_lo * _FP_BASE                    # < 2^52
+    p_hi = a_hi * _FP_BASE                    # < 2^49
+    z_hi = p_hi >> np.uint64(29)
+    z_lo = p_hi & np.uint64((1 << 29) - 1)
+    # p_hi * 2^32 = z_hi * 2^61 + z_lo * 2^32  ==  z_hi + z_lo<<32 (mod M)
+    total = p_lo + z_hi + (z_lo << np.uint64(32))   # < 2^62
+    return _mod61(total)
+
+
+def _mulmod61(x: np.ndarray, v: int) -> np.ndarray:
+    """x * v mod (2^61-1) for x < 2^61 and a scalar v < 2^61, via
+    32-bit splitting of x and Mersenne folding of the partial shifts."""
+    v = int(v)
+    v_lo = np.uint64(v & 0xFFFFFFFF)
+    v_hi = np.uint64(v >> 32)
+    x_lo = x & np.uint64(0xFFFFFFFF)
+    x_hi = x >> np.uint64(32)
+    # x*v = x_lo*v_lo + (x_lo*v_hi + x_hi*v_lo)*2^32 + x_hi*v_hi*2^64
+    p0 = _mod61(x_lo * v_lo)                        # < 2^64? x_lo,v_lo<2^32 -> <2^64; fold twice
+    p0 = _mod61(p0)
+    mid = _mod61(_mod61(x_lo * v_hi) + _mod61(x_hi * v_lo))   # < M each
+    # mid * 2^32 mod M
+    m_hi = mid >> np.uint64(29)
+    m_lo = mid & np.uint64((1 << 29) - 1)
+    p1 = _mod61(m_hi + (m_lo << np.uint64(32)))
+    # x_hi*v_hi < 2^58; *2^64 == *2^3 (mod M, since 2^61==1)
+    p2 = _mod61((x_hi * v_hi) << np.uint64(3))
+    return _mod61(_mod61(p0 + p1) + p2)
+
+
+def rolling_fingerprints(texts, window: int = 32) -> np.ndarray:
+    """Per-doc min of rolling window polynomial hashes mod 2^61-1.
+
+    Vectorized ACROSS documents: one pass per byte position, all docs
+    advanced together with the O(1)-per-position rolling update (same
+    op count as the scalar Rabin-Karp, numpy-wide instead of per-doc).
+    Whole-doc hash for docs shorter than the window; 0 for empty.
+    Caveat: pass count = max doc length in the batch, so a single
+    huge outlier document degrades the batch — cap batch doc length
+    upstream if corpora carry multi-MB rows."""
+    from .dedup import _utf8_buffer
+
+    data, off = _utf8_buffer(texts)
+    n = len(off) - 1
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    lens = off[1:] - off[:-1]
+    lo, hi = int(off[0]), int(off[-1])
+    b = data[lo:hi].astype(np.uint64)
+    starts = (off[:-1] - lo).astype(np.int64)
+    max_len = int(lens.max()) if n else 0
+    MOD = (1 << 61) - 1
+    P = pow(1000003, window - 1, MOD)  # BASE^(w-1) for the rolling drop
+
+    h = np.zeros(n, dtype=np.uint64)
+    best = np.full(n, np.iinfo(np.uint64).max, dtype=np.uint64)
+    last = max(b.size - 1, 0)
+    with np.errstate(over="ignore"):
+        for t in range(max_len):
+            act = t < lens
+            idx = np.minimum(starts + t, last)
+            inc = b[idx]
+            if t >= window:
+                # drop the outgoing byte: h -= b[t-w] * BASE^(w-1)
+                out = b[np.minimum(starts + (t - window), last)]
+                drop = _mulmod61(out, P)
+                h2 = _mod61(h + (_M61 - drop))
+            else:
+                h2 = h
+            h2 = _mod61(_mulmod_base61(h2) + inc)
+            h = np.where(act, h2, h)
+            if t >= window - 1:
+                upd = act & (lens > window)
+                np.minimum(best, np.where(upd, h, best), out=best)
+    return np.where(lens > window, best, np.where(lens > 0, h, 0)).astype(np.uint64)
+
+
 def fingerprint_batch(batch: pa.Table, text_col="text", id_col="doc_id",
                       window=32) -> pa.Table:
     """Rolling polynomial fingerprint (Rabin-Karp style, mod 2^61-1):
     one fingerprint per document = min of rolling window hashes —
-    shift-invariant doc signature. Vectorized over the byte arrays."""
-    MOD = (1 << 61) - 1
-    BASE = 1000003
-    texts = batch[text_col].to_pylist()
-    fps = np.empty(len(texts), dtype=np.uint64)
-    for i, t in enumerate(texts):  # bounded by doc count per batch; bytes work is vectorized
-        b = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-        if b.size == 0:
-            fps[i] = 0
-            continue
-        if b.size <= window:
-            h = 0
-            for v in b:
-                h = (h * BASE + int(v)) % MOD
-            fps[i] = h
-            continue
-        # rolling: h_j = sum b[j+t] * BASE^(w-1-t) mod M, vectorized via
-        # cumulative technique on python ints is slow; use float-safe chunks
-        powers = pow(BASE, window - 1, MOD)
-        h = 0
-        for v in b[:window]:
-            h = (h * BASE + int(v)) % MOD
-        best = h
-        for j in range(window, b.size):
-            h = ((h - int(b[j - window]) * powers) * BASE + int(b[j])) % MOD
-            if h < best:
-                best = h
-        fps[i] = best
+    shift-invariant doc signature. Fully vectorized across the batch
+    (Mersenne mulmod passes + segmented min; no per-doc loop)."""
+    fps = rolling_fingerprints(batch[text_col], window=window)
     return pa.table({id_col: batch[id_col], "fingerprint": pa.array(fps, pa.uint64())})

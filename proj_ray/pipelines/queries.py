@@ -62,6 +62,21 @@ def SUM_BIG(e):
     return f"CAST(SUM({e}) AS BIGINT)"
 
 
+import os as _os
+
+_GOLDEN_DIR = _os.path.abspath(_os.path.join(
+    _os.path.dirname(_os.path.abspath(__file__)), "..", "data", "goldens"))
+
+
+def _golden_sql(fname):
+    """Oracle for deterministic non-SQL-expressible queries: a frozen
+    golden table (tools/freeze_goldens.py; fingerprint/simhash goldens
+    come from independent SCALAR reference implementations, geod /
+    multimodal are engine regression snapshots).  Valid for the
+    driver's sf=0.01 comparison inputs."""
+    return f"SELECT * FROM read_parquet('{_os.path.join(_GOLDEN_DIR, fname)}')"
+
+
 def _sorted_pdf(obj, by):
     """Small-result finisher: driver-side pandas frame in deterministic
     row order (belt-and-braces vs any row-order-sensitive hashing).
@@ -1191,7 +1206,7 @@ def lang_markers(sf_dir):
                           batch_size=None, zero_copy_batch=True)
 
 
-@query("doc_fingerprint")  # rows-only: custom rolling hash, not in SQL
+@query("doc_fingerprint", sql=_golden_sql("doc_fingerprint_sf001.parquet"))
 def doc_fingerprint(sf_dir):
     """Rolling-hash document fingerprint (Rabin-Karp min-sketch)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1248,7 +1263,7 @@ def minhash_lsh_candidates(sf_dir):
     return _sorted_pdf(out, ["doc_id"])
 
 
-@query("simhash_docs")  # rows-only
+@query("simhash_docs", sql=_golden_sql("simhash_docs_sf001.parquet"))
 def simhash_docs(sf_dir):
     """SimHash-64 per document (sign-sum of shingle-hash bits),
     vectorized across each batch (unpackbits + segmented sums)."""
@@ -1295,7 +1310,7 @@ def ann_lsh_buckets(sf_dir):
     return b.groupby("bucket").aggregate(Count(alias_name="n_vectors"))
 
 
-@query("multimodal_features")  # rows-only: decode stubbed (no media libs)
+@query("multimodal_features", sql=_golden_sql("multimodal_sf001.parquet"))
 def multimodal_features(sf_dir):
     """Multimodal plumbing: binary payload column + typed metadata ->
     actor-pool decode stage (deterministic fake features; the real codec
@@ -1394,7 +1409,7 @@ def geod_line_interp(sf_dir):
                            zero_copy_batch=True)
 
 
-@query("geod_inverse_ellipsoidal")  # rows-only: iterative, not SQL-expressible
+@query("geod_inverse_ellipsoidal", sql=_golden_sql("geod_inverse_sf001.parquet"))
 def geod_inverse_ellipsoidal(sf_dir):
     """Ellipsoidal geodesic inverse (Karney order-6 series, the
     reference's geod_inverse, src/geodesic.c:944): distance + azimuths
