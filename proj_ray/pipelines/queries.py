@@ -1220,29 +1220,67 @@ def doc_fingerprint(sf_dir):
     return out.map_batches(tostr, batch_format="pyarrow")
 
 
-def lsh_partner_counts(bands, num_partitions: int = 16):
-    """Per-doc LSH collision-partner counts, fully distributed: one
-    groupby(band_id, band_hash) Count over the band rows, hash-joined
-    back onto the band rows, then a per-doc groupby.  No driver-side
-    structure is ever proportional to the corpus — at 100 TB the band
-    rows (16/doc) only ever move through two key-hash shuffles."""
+def lsh_partner_counts(bands, num_partitions: int = 16,
+                       broadcast_threshold: int = 2_000_000):
+    """Per-doc LSH collision-partner counts, fully distributed.
+
+    Bucket sizes come from one groupby(band_id, band_hash) Count.  Only
+    buckets of size >= 2 contribute partners, and that COLLIDING-bucket
+    table is usually tiny relative to the corpus — when it is under
+    ``broadcast_threshold`` rows it is broadcast (ray.put-style closure)
+    and looked up inside map_batches; above the threshold (heavily
+    duplicated corpora) the scale-safe hash join runs instead.  Either
+    way no driver-side structure grows with the corpus — only with the
+    number of colliding buckets, and only below the threshold."""
     from ray.data.aggregate import Count, Max, Sum
 
     from ..functions.dedup import _adaptive_partitions
 
-    sizes = bands.groupby(["band_id", "band_hash"]).aggregate(
-        Count(alias_name="bucket_size"))
-    joined = bands.join(sizes, join_type="inner",
+    bands = bands.materialize()  # consumed twice (sizes + partner scan)
+
+    def only_colliding(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["bucket_size"], pa.scalar(2)))
+
+    sizes = (bands.groupby(["band_id", "band_hash"])
+             .aggregate(Count(alias_name="bucket_size"))
+             .map_batches(only_colliding, batch_format="pyarrow",
+                          batch_size=None)
+             .materialize())
+    n_dup_buckets = sizes.count()
+
+    if n_dup_buckets <= broadcast_threshold:
+        dup = sizes.to_pandas()  # only COLLIDING buckets, broadcast
+
+        # each doc's band rows are emitted contiguously into ONE block
+        # by minhash_bands_batch, so the per-doc SUM/MAX combines rows
+        # that are already co-located — the whole reduction happens
+        # inside map_batches with NO per-doc shuffle at all.
+        def partners(df: pd.DataFrame) -> pd.DataFrame:
+            m = df.merge(dup, on=["band_id", "band_hash"], how="left")
+            m["partners"] = m["bucket_size"].fillna(1).astype(np.int64) - 1
+            g = m.groupby("doc_id", as_index=False).agg(
+                collision_partners=("partners", "sum"),
+                max_bucket_partners=("partners", "max"))
+            return g.astype({"doc_id": np.int64,
+                             "collision_partners": np.int64,
+                             "max_bucket_partners": np.int64})
+
+        return bands.map_batches(partners, batch_format="pandas",
+                                 batch_size=None)
+
+    # heavily-duplicated corpora: scale-safe hash join (the join
+    # shuffle destroys doc locality, so a per-doc groupby follows)
+    joined = bands.join(sizes, join_type="left_outer",
                         num_partitions=_adaptive_partitions(num_partitions),
                         on=("band_id", "band_hash"))
 
-    def partners(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "doc_id": t["doc_id"],
-            "partners": pc.cast(pc.subtract(t["bucket_size"], 1), pa.int64()),
-        })
+    def partners_joined(t: pa.Table) -> pa.Table:
+        sz = pc.coalesce(pc.cast(t["bucket_size"], pa.int64()),
+                         pa.scalar(1, pa.int64()))
+        return pa.table({"doc_id": t["doc_id"],
+                         "partners": pc.subtract(sz, 1)})
 
-    per_band = joined.map_batches(partners, batch_format="pyarrow",
+    per_band = joined.map_batches(partners_joined, batch_format="pyarrow",
                                   batch_size=None)
     return per_band.groupby("doc_id").aggregate(
         Sum("partners", alias_name="collision_partners"),
