@@ -40,7 +40,7 @@ def _split_args(argv):
         elif a.startswith("+"):
             cur.append(a)
         elif a.startswith("-"):
-            if a in ("-f", "-b", "-F", "-T"):  # flags with value
+            if a in ("-f", "-F", "-T", "-e"):  # flags with value
                 flags[a] = argv[i + 1]
                 i += 1
             elif (a.startswith("-w") or a.startswith("-W")) and a[2:].isdigit():
@@ -423,6 +423,88 @@ def _gen_cheby(flags, defn, stdout):
     return 0
 
 
+def _pr_list(P, stdout, oform=None, very_verby=False):
+    """-v monitor dump (pj_pr_list, src/pj_pr_list.c:6-45 + the
+    very-verby Earth-figure block of proj.c:442-458): '#'-prefixed
+    projection description, the used parameter list wrapped at 72
+    columns, and (for -V) the final ellipsoid figure."""
+    from .kernels.projections import PROJ_REGISTRY
+
+    entry = PROJ_REGISTRY.get(P.proj_name)
+    print("#" + (entry[1] if entry else P.proj_name), file=stdout)
+    line = "#"
+    for k in P.pl.keys():
+        if k not in P.pl.used:
+            continue
+        v = P.pl._d[k]
+        tok = " +" + (f"{k}={v}" if v else k)
+        if len(line) + len(tok) > 72:
+            print(line, file=stdout)
+            line = "#"
+        line += tok
+    if line != "#":
+        print(line, file=stdout)
+    if very_verby:
+        f = oform or "%.3f"
+        if P.es:
+            print("#Final Earth figure: ellipsoid", file=stdout)
+            print("#  Major axis (a): " + (f % P.a), file=stdout)
+            print("#  1/flattening: %.6f"
+                  % (1.0 / (1.0 - np.sqrt(1.0 - P.es))), file=stdout)
+            print("#  squared eccentricity: %.12f" % P.es, file=stdout)
+        else:
+            print("#Final Earth figure: sphere", file=stdout)
+            print("#  Radius: " + (f % P.a), file=stdout)
+
+
+def _process_proj_binary(stdin, stdout, t, flags, bin_in, bin_out):
+    """proj -b/-i/-o binary pair I/O (src/proj.c:66-68,112-114):
+    records are little-endian float64 (u, v) pairs — radians on the
+    geographic side, meters on the projected side.  Streams in 8192-
+    record chunks through the vectorized transform."""
+    import struct
+
+    inverse = "-I" in flags
+    fmt = flags.get("-f") or "%.2f"
+    rbuf = stdin.buffer if hasattr(stdin, "buffer") else stdin
+    wbuf = stdout.buffer if hasattr(stdout, "buffer") else stdout
+    rec = struct.Struct("<dd")
+    while True:
+        raw = rbuf.read(rec.size * 8192) if bin_in else None
+        if bin_in:
+            if not raw:
+                break
+            n = len(raw) // rec.size
+            arr = np.frombuffer(raw[: n * rec.size], dtype="<f8").reshape(n, 2)
+            u, v = arr[:, 0].copy(), arr[:, 1].copy()
+        else:
+            # ascii in, binary out: read text lines once
+            lines = [ln for ln in stdin
+                     if ln.strip() and not ln.lstrip().startswith("#")]
+            pairs = [(_parse_coord(ln.split()[0]), _parse_coord(ln.split()[1]))
+                     for ln in lines if len(ln.split()) >= 2]
+            u = np.array([p[0] for p in pairs])
+            v = np.array([p[1] for p in pairs])
+        if not inverse:
+            # geographic input is radians in binary mode, text dmstor
+            # already yields radians too
+            x, y, _ = t(u * RAD_TO_DEG, v * RAD_TO_DEG)
+        else:
+            x, y, _ = t(u, v)
+            x, y = x * DEG_TO_RAD, y * DEG_TO_RAD
+        if bin_out:
+            out = np.empty((len(x), 2), dtype="<f8")
+            out[:, 0] = x
+            out[:, 1] = y
+            wbuf.write(out.tobytes())
+        else:
+            for i in range(len(x)):
+                print((fmt % x[i]) + "\t" + (fmt % y[i]), file=stdout)
+        if not bin_in:
+            break
+    return 0
+
+
 def proj_main(argv=None, stdin=None, stdout=None):
     argv = sys.argv[1:] if argv is None else argv
     stdin = stdin or sys.stdin
@@ -440,6 +522,15 @@ def proj_main(argv=None, stdin=None, stdout=None):
             t = make_transform(ll, defn)
     except (ValueError, FileNotFoundError) as exc:
         return _init_failure("proj", exc)
+    if "-v" in flags or "-V" in flags:
+        from .crs import CRS
+
+        _pr_list(CRS(defn), stdout, flags.get("-f"),
+                 very_verby="-V" in flags)
+    if "-b" in flags or "-i" in flags or "-o" in flags:
+        bin_in = "-b" in flags or "-i" in flags
+        bin_out = "-b" in flags or "-o" in flags
+        return _process_proj_binary(stdin, stdout, t, flags, bin_in, bin_out)
     if "-V" in flags:
         from .crs import CRS
 

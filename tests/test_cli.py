@@ -164,3 +164,44 @@ def test_proj_T_chebyshev():
     assert err < 1e-2  # sub-cm over a UTM zone at degree 11
     assert any(ln.startswith("u ") for ln in lines)
     assert any(ln.startswith("v ") for ln in lines)
+
+
+def test_proj_v_monitor():
+    """-v prints the pj_pr_list monitor dump (src/pj_pr_list.c)."""
+    lines = run(proj_main, ["+proj=utm", "+zone=31", "+ellps=WGS84", "-v"], "")
+    assert lines[0] == "#Universal Transverse Mercator (UTM)"
+    assert any(ln.startswith("# +proj=utm") for ln in lines)
+
+
+def test_proj_binary_pair_io():
+    """-b/-i/-o binary pair records (proj.c:66-68,112-114): little-
+    endian float64 (u, v), radians on the geographic side."""
+    import struct
+
+    import numpy as np
+
+    lon, lat = np.radians(3.0), np.radians(46.5)
+    inb = io.BytesIO(struct.pack("<dd", lon, lat))
+    outb = io.BytesIO()
+    rc = proj_main(["+proj=utm", "+zone=31", "+ellps=WGS84", "-b"],
+                   stdin=inb, stdout=outb)
+    assert rc == 0
+    x, y = struct.unpack("<dd", outb.getvalue())
+    assert abs(x - 500000.0) < 1e-5   # central meridian of zone 31
+    # binary inverse roundtrip
+    outb2 = io.BytesIO()
+    proj_main(["+proj=utm", "+zone=31", "+ellps=WGS84", "-b", "-I"],
+              stdin=io.BytesIO(struct.pack("<dd", x, y)), stdout=outb2)
+    lo, la = struct.unpack("<dd", outb2.getvalue())
+    assert abs(np.degrees(lo) - 3.0) < 1e-9
+    assert abs(np.degrees(la) - 46.5) < 1e-9
+    # -i: binary in, text out
+    class _S:
+        pass
+
+    s = _S()
+    s.buffer = io.BytesIO(struct.pack("<dd", lon, lat))
+    outs = io.StringIO()
+    proj_main(["+proj=utm", "+zone=31", "+ellps=WGS84", "-i", "-f", "%.3f"],
+              stdin=s, stdout=outs)
+    assert outs.getvalue().startswith("500000.000\t")
