@@ -236,9 +236,12 @@ def _init_failure(prog, exc, stderr=None):
     <prog>: projection initialization failure\ncause: <pj_strerrno>."""
     from .errors import errno_from_exception, pj_strerrno
 
+    from .log import PJ_LOG_ERROR, pj_log
+
     stderr = stderr or sys.stderr
     code = errno_from_exception(exc)
     cause = pj_strerrno(code) if code is not None else str(exc)
+    pj_log(PJ_LOG_ERROR, f"{prog} initialization failure: {cause}")
     print(f"{prog}: projection initialization failure", file=stderr)
     print(f"cause: {cause}", file=stderr)
     return 1

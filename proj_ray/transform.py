@@ -130,12 +130,16 @@ def default_grid_loader(name):
     proj_lib = os.environ.get("PROJ_LIB")
     if proj_lib:
         candidates.append(os.path.join(proj_lib, name))
+    from .log import PJ_LOG_DEBUG_MAJOR, pj_log
+
     for path in candidates:
         if os.path.isfile(path):
             key = os.path.abspath(path)
             if key not in _GRID_FILE_CACHE:
                 _GRID_FILE_CACHE[key] = read_any_grid(path)[0]
+                pj_log(PJ_LOG_DEBUG_MAJOR, f"loaded grid {path}")
             return _GRID_FILE_CACHE[key]
+    pj_log(PJ_LOG_DEBUG_MAJOR, f"grid {name!r} not found in search path")
     return None
 
 

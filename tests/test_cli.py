@@ -205,3 +205,31 @@ def test_proj_binary_pair_io():
     proj_main(["+proj=utm", "+zone=31", "+ellps=WGS84", "-i", "-f", "%.3f"],
               stdin=s, stdout=outs)
     assert outs.getvalue().startswith("500000.000\t")
+
+
+def test_logger_hook():
+    """pj_log hook surface (src/pj_log.c): custom sinks receive error
+    and (level-gated) debug messages; app_data is threaded through."""
+    from proj_ray.log import (PJ_LOG_DEBUG_MAJOR, PJ_LOG_ERROR, pj_log,
+                              set_log_level, set_logger)
+
+    got = []
+    set_logger(lambda app, lvl, msg: got.append((app, lvl, msg)), app_data="A")
+    old = set_log_level(0)
+    try:
+        pj_log(PJ_LOG_ERROR, "boom")
+        pj_log(PJ_LOG_DEBUG_MAJOR, "hidden")       # gated out at level 0
+        set_log_level(PJ_LOG_DEBUG_MAJOR)
+        pj_log(PJ_LOG_DEBUG_MAJOR, "visible")
+        assert got == [("A", PJ_LOG_ERROR, "boom"),
+                       ("A", PJ_LOG_DEBUG_MAJOR, "visible")]
+        # library emission points route through the hook: a failing CLI
+        # init logs an error
+        got.clear()
+        proj_main(["+proj=nosuchproj"], stdin=io.StringIO(""),
+                  stdout=io.StringIO())
+        assert any(lvl == PJ_LOG_ERROR and "unknown projection id" in msg
+                   for _, lvl, msg in got)
+    finally:
+        set_logger(None)
+        set_log_level(old)
