@@ -975,6 +975,41 @@ def grid_shift_fwd(sf_dir):
     return out.select_columns(["pid", "lon_shifted", "lat_shifted"])
 
 
+_NTF_GRID = "/root/reference/nad/ntf_r93.gsb"
+
+
+@query("grid_shift_real",
+       sql=_golden_sql("grid_shift_real_sf001.parquet")
+       if _os.path.isfile(_NTF_GRID) else None)
+def grid_shift_real(sf_dir):
+    """Datum grid shift through the reference's REAL ntf_r93.gsb NTv2
+    file (France NTF->RGF93): derived points inside the grid's
+    coverage, shifted via the full NTv2 reader + subgrid selection +
+    bilinear path (pj_gridinfo.c:424-621, pj_apply_gridshift.c:131-254).
+    Oracle = frozen engine golden (tools/freeze_goldens.py); the same
+    machinery is independently golden-tested against td_out.dist in
+    tests/test_grid_golden.py."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        pid = pid_numpy(t["l_orderkey"].to_numpy(zero_copy_only=False),
+                        t["l_linenumber"].to_numpy(zero_copy_only=False))
+        # deterministic points inside the ntf_r93 coverage (France):
+        # lon in [-4.0, 7.99], lat in [42.5, 50.99]
+        lon = (pid * LON_MUL % 1200 - 400) / 1.0e2
+        lat = (4250 + pid * LAT_MUL % 850) / 1.0e2
+        return pa.table({"pid": pa.array(pid, pa.int64()),
+                         "lon": pa.array(lon), "lat": pa.array(lat)})
+
+    pts = ds.map_batches(mk, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True)
+    out = transform_points_stage(
+        pts, f"+proj=latlong +ellps=WGS84 +nadgrids={_NTF_GRID}",
+        "+proj=latlong +datum=WGS84",
+        out_x="lon_shifted", out_y="lat_shifted")
+    return out.select_columns(["pid", "lon_shifted", "lat_shifted"])
+
+
 # -- prime meridian ---------------------------------------------------------
 
 def _pm_sql():

@@ -128,7 +128,8 @@ def main():
     from proj_ray.pipelines.queries import QUERIES
 
     for name, fname in [("geod_inverse_ellipsoidal", "geod_inverse_sf001.parquet"),
-                        ("multimodal_features", "multimodal_sf001.parquet")]:
+                        ("multimodal_features", "multimodal_sf001.parquet"),
+                        ("grid_shift_real", "grid_shift_real_sf001.parquet")]:
         res = QUERIES[name]["fn"](SF_DIR)
         tbl = (res if isinstance(res, pa.Table)
                else pa.Table.from_pandas(res.to_pandas(), preserve_index=False))
