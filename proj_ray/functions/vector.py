@@ -183,3 +183,107 @@ def ann_ivf_topk(ds, queries: np.ndarray, sample: np.ndarray, k: int = 10,
         rows["rank"].extend(range(1, len(order) + 1))
         rows["sim"].extend(sims[m][order].tolist())
     return pa.table({k2: pa.array(v) for k2, v in rows.items()})
+
+
+# ---------------------------------------------------------------------------
+# Partitioned IVF layout — the 100 TB path: the index is embeddings
+# written as one parquet partition per coarse cell, so a query with
+# nprobe cells READS only nprobe/ncells of the corpus from storage
+# (partition pruning at the I/O layer, not post-read filtering).
+# ---------------------------------------------------------------------------
+
+def ivf_build_index(ds, out_dir: str, centroids: np.ndarray,
+                    id_col="vec_id", vec_col="embedding") -> None:
+    """Write an IVF-partitioned index: assign each row its coarse cell
+    (argmax cosine vs the broadcast centroids) and write parquet
+    partitioned by ``ivf_cell`` (one directory per cell — also the
+    resumable-output layout: a failed build re-runs only missing
+    cells).  Centroids are stored alongside as centroids.npy."""
+    import os
+
+    C = np.ascontiguousarray(centroids, dtype=np.float32)
+
+    def assign(t: pa.Table) -> pa.Table:
+        M = batch_matrix(t, vec_col)
+        return t.append_column(
+            "ivf_cell", pa.array(ivf_assign(M, C), pa.int64()))
+
+    os.makedirs(out_dir, exist_ok=True)
+    np.save(os.path.join(out_dir, "centroids.npy"), C)
+    (ds.map_batches(assign, batch_format="pyarrow", batch_size=None,
+                    zero_copy_batch=True)
+     .write_parquet(os.path.join(out_dir, "cells"),
+                    partition_cols=["ivf_cell"]))
+
+
+def ivf_search_partitioned(index_dir: str, queries: np.ndarray, k: int = 10,
+                           nprobe: int = 4, id_col="vec_id",
+                           vec_col="embedding") -> pa.Table:
+    """Search an ivf_build_index layout: compute each query's nprobe
+    nearest cells, then ``read_parquet`` ONLY those partitions — the
+    unprobed share of the corpus never leaves storage.  Scoring follows
+    ann_ivf_topk (per-batch matmul + partial top-k)."""
+    import os
+
+    import ray.data as rd
+
+    C = np.load(os.path.join(index_dir, "centroids.npy"))
+    Qn = _normalize_rows(queries.astype(np.float32))
+    probe = np.argsort(-(Qn @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    cells_union = sorted({int(c) for row in probe for c in row})
+    paths = []
+    for c in cells_union:
+        d = os.path.join(index_dir, "cells", f"ivf_cell={c}")
+        if os.path.isdir(d):  # only probed partitions are ever listed
+            paths.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
+                         if f.endswith(".parquet"))
+    probe_sets = [set(p.tolist()) for p in probe]
+
+    def part(b: pa.Table) -> pa.Table:
+        M = batch_matrix(b, vec_col)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cells = ivf_assign(M, C)
+        norms = np.linalg.norm(M, axis=1)
+        norms = np.where(norms == 0, 1.0, norms)
+        out_q, out_id, out_s = [], [], []
+        for j in range(Qn.shape[0]):
+            m = np.isin(cells, list(probe_sets[j]))
+            if not m.any():
+                continue
+            s = (M[m] @ Qn[j]) / norms[m]
+            kk = min(k, s.shape[0])
+            top = np.lexsort((ids[m], -s))[:kk]
+            out_q.append(np.full(kk, j, dtype=np.int64))
+            out_id.append(ids[m][top])
+            out_s.append(s[top].astype(np.float64))
+        if not out_q:
+            return pa.table({"qj": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        return pa.table({"qj": pa.array(np.concatenate(out_q), pa.int64()),
+                         "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
+                         "sim": pa.array(np.concatenate(out_s), pa.float64())})
+
+    cand = (rd.read_parquet(paths, columns=[id_col, vec_col])
+            .map_batches(part, batch_format="pyarrow", batch_size=None)
+            if paths else None)
+    schema = pa.schema([("qj", pa.int64()), ("vec_id", pa.int64()),
+                        ("sim", pa.float64())])
+    if cand is None:
+        tb = schema.empty_table()
+    else:
+        chunks = list(cand.iter_batches(batch_size=1 << 20,
+                                        batch_format="pyarrow"))
+        tb = pa.concat_tables(chunks) if chunks else schema.empty_table()
+    qj = tb["qj"].to_numpy()
+    ids = tb["vec_id"].to_numpy()
+    sims = tb["sim"].to_numpy()
+    rows = {"qid": [], "vec_id": [], "rank": [], "sim": []}
+    for j in range(Qn.shape[0]):
+        m = qj == j
+        order = np.lexsort((ids[m], -sims[m]))[:k]
+        rows["qid"].extend([j] * len(order))
+        rows["vec_id"].extend(ids[m][order].tolist())
+        rows["rank"].extend(range(1, len(order) + 1))
+        rows["sim"].extend(sims[m][order].tolist())
+    return pa.table({k2: pa.array(v) for k2, v in rows.items()})
