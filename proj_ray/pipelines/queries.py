@@ -1697,6 +1697,74 @@ def window_running_total(sf_dir):
     return _sorted_pdf(out, ["o_custkey", "o_orderkey"])
 
 
+_WM_DELAY_US = 360 * 3600_000_000  # 15-day allowed lateness
+_WM_MOD = 33554467  # prime > any event_id range => arrival key is unique
+
+
+@query(
+    "windowed_watermark_agg",
+    sql=f"""
+    WITH a AS (
+      SELECT event_type, (event_id * 104729) % {_WM_MOD} AS arr,
+             epoch_us(ts) AS tu
+      FROM events
+    ), w AS (
+      SELECT event_type, tu,
+             max(tu) OVER (ORDER BY arr
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS wm
+      FROM a
+    )
+    SELECT event_type,
+           CAST(floor(tu / 3600000000) AS BIGINT) AS hour_bucket,
+           COUNT(*) AS n_events
+    FROM w WHERE wm IS NULL OR tu >= wm - {_WM_DELAY_US}
+    GROUP BY event_type, hour_bucket
+    """,
+)
+def windowed_watermark_agg(sf_dir):
+    """Event-time tumbling-window aggregate with a watermark: events
+    'arrive' in a deterministic permuted order; rows older than the
+    running-max event time minus 15 days at their arrival are dropped
+    as late, the rest aggregate into hourly windows.  The watermark is
+    a distributed prefix-scan (sort + per-block partials + O(#blocks)
+    driver carry + second pass — stages/watermark.py); the oracle
+    expresses the identical semantics with one SQL window function."""
+    from ..stages.watermark import watermark_filter
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        tu = t["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        return pa.table({
+            "event_type": t["event_type"],
+            "arr": pa.array(eid * 104729 % _WM_MOD, pa.int64()),
+            "tu": pa.array(tu, pa.int64()),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+    on_time = watermark_filter(prepped, ts_col="tu", arrival_col="arr",
+                               delay_us=_WM_DELAY_US)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        tmp = pd.DataFrame({
+            "event_type": df["event_type"].to_numpy(),
+            "hour_bucket": np.floor_divide(df["tu"].to_numpy(), 3600_000_000),
+            "n_events": 1,
+        })
+        return tmp.groupby(["event_type", "hour_bucket"], as_index=False).sum()
+
+    partials = on_time.map_batches(partial, batch_format="pandas",
+                                   batch_size=None)
+    from ray.data.aggregate import Sum
+
+    out = partials.groupby(["event_type", "hour_bucket"]).aggregate(
+        Sum("n_events", alias_name="n_events"))
+    return _sorted_pdf(out, ["event_type", "hour_bucket"])
+
+
 @query(
     "interval_join_purchases",
     sql="""
