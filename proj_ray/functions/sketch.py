@@ -97,3 +97,113 @@ def ds_group_quantiles(ds, key_col: str, val_col: str, q: float,
             sk = HistogramSketch(lo, hi, nbins, np.asarray(c, dtype=np.int64))
             merged[k] = merged[k].merge(sk) if k in merged else sk
     return {k: sk.quantile(q) for k, sk in merged.items()}
+
+
+# ---------------------------------------------------------------------------
+# t-digest (Dunning & Ertl, "Computing extremely accurate quantiles
+# using t-digests") — a mergeable quantile sketch with NO fixed value
+# range (removes HistogramSketch's lo/hi requirement) and relative
+# accuracy concentrated at the tails via the k1 scale function.
+# Deterministic: the merging-digest formulation (sort + single sweep),
+# so identical inputs (in any partitioning) produce identical digests
+# after the same merge tree.
+# ---------------------------------------------------------------------------
+
+class TDigest:
+    """Mergeable t-digest. ``add`` batches of values, ``merge``
+    partial digests (map_batches partials -> tree reduce), then
+    ``quantile(q)``.  Compression parameter delta bounds the centroid
+    count (~2*delta)."""
+
+    def __init__(self, delta: int = 200, means=None, weights=None):
+        self.delta = int(delta)
+        self.means = (np.asarray(means, dtype=np.float64)
+                      if means is not None else np.empty(0))
+        self.weights = (np.asarray(weights, dtype=np.float64)
+                        if weights is not None else np.empty(0))
+
+    # k1 scale function: k(q) = delta/(2*pi) * asin(2q - 1)
+    def _k(self, q):
+        return self.delta / (2.0 * np.pi) * np.arcsin(
+            np.clip(2.0 * q - 1.0, -1.0, 1.0))
+
+    def _compress(self, means, weights):
+        """Vectorized k-space binning: sort by mean, map each point's
+        mid-cumulative quantile through the scale function, and merge
+        runs falling in the same unit k-bin (np.add.reduceat) — each
+        output centroid spans k-width <= 1, the t-digest invariant."""
+        order = np.argsort(means, kind="mergesort")
+        means = means[order]
+        weights = weights[order]
+        total = weights.sum()
+        if len(means) == 0 or total == 0:
+            return np.empty(0), np.empty(0)
+        q = (np.cumsum(weights) - weights / 2.0) / total
+        bins = np.floor(self._k(q))
+        starts = np.flatnonzero(
+            np.concatenate([[True], bins[1:] != bins[:-1]]))
+        w_out = np.add.reduceat(weights, starts)
+        m_out = np.add.reduceat(weights * means, starts) / w_out
+        return m_out, w_out
+
+    def add(self, values) -> "TDigest":
+        v = np.asarray(values, dtype=np.float64)
+        v = v[np.isfinite(v)]
+        if v.size == 0:
+            return self
+        m = np.concatenate([self.means, v])
+        w = np.concatenate([self.weights, np.ones(v.size)])
+        self.means, self.weights = self._compress(m, w)
+        return self
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        m = np.concatenate([self.means, other.means])
+        w = np.concatenate([self.weights, other.weights])
+        mm, ww = self._compress(m, w)
+        return TDigest(self.delta, mm, ww)
+
+    @property
+    def count(self) -> float:
+        return float(self.weights.sum())
+
+    def quantile(self, q: float) -> float:
+        """Interpolated quantile: centroid i covers the cumulative-
+        weight interval centered at C_i = sum(w[:i]) + w[i]/2."""
+        if len(self.means) == 0:
+            return float("nan")
+        if len(self.means) == 1:
+            return float(self.means[0])
+        total = self.weights.sum()
+        target = np.clip(q, 0.0, 1.0) * total
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        if target <= cum[0]:
+            return float(self.means[0])
+        if target >= cum[-1]:
+            return float(self.means[-1])
+        j = np.searchsorted(cum, target) - 1
+        f = (target - cum[j]) / (cum[j + 1] - cum[j])
+        return float(self.means[j] + f * (self.means[j + 1] - self.means[j]))
+
+    def to_arrays(self):
+        return self.means.copy(), self.weights.copy()
+
+
+def ds_quantile_tdigest(ds, val_col: str, qs, delta: int = 200):
+    """Distributed quantiles via t-digest: per-batch partial digests
+    inside map_batches (each shipped as (means, weights) arrays — a
+    few KB), merged on the driver; the corpus itself is never
+    collected.  Works with no prior knowledge of the value range."""
+    import pyarrow as _pa
+
+    def partial(t):
+        d = TDigest(delta).add(t[val_col].to_numpy(zero_copy_only=False))
+        m, w = d.to_arrays()
+        return _pa.table({"means": _pa.array([m.tolist()]),
+                          "weights": _pa.array([w.tolist()])})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    acc = TDigest(delta)
+    for b in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for m, w in zip(b["means"].to_pylist(), b["weights"].to_pylist()):
+            acc = acc.merge(TDigest(delta, m, w))
+    return [acc.quantile(q) for q in np.atleast_1d(qs)]
