@@ -143,49 +143,91 @@ def _process_proj_lines(lines, transform: Transform, flags):
     yield from flush()
 
 
+def _STRTOD_RE():
+    import re
+
+    return re.compile(r"\s*[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?")
+
+
 def _process_lines(lines, transform: Transform, flags):
-    """Yield output lines. Input coords for latlong CRS are DMS/decimal
-    degrees (dmstor); projected input is plain floats."""
+    """cs2cs.c-exact line processing (src/cs2cs.c:60-160): consume two
+    coordinate fields + an optional numeric z (strtod semantics), echo
+    ONLY the consumed text under -E, transform, print x TAB y SPACE z
+    then the unconsumed remainder verbatim.  Without -f, projected /
+    geocentric output defaults to oform %.2f (applied to z as well);
+    latlong output is trimmed rtodms DMS with z at %.3f."""
+    import re
+
     echo = "-E" in flags
     fmt = flags.get("-f")
     rev_in = "-r" in flags
     rev_out = "-s" in flags
     src_ll = transform.src.is_latlong
     dst_ll = transform.dst.is_latlong
+    # cs2cs.c main: oform defaults to %.2f unless the output is latlong
+    eff_fmt = fmt if (fmt or dst_ll) else "%.2f"
+    z_fmt = eff_fmt or "%.3f"
+    two_fields = re.compile(r"\s*\S+\s+\S+")
+    znum = _STRTOD_RE()
 
-    batch, tails, raw = [], [], []
+    batch, tails, consumed = [], [], []
+
+    def flush():
+        if not batch:
+            return
+        arr = np.asarray(batch, dtype=np.float64)
+        x, y, z = transform(arr[:, 0], arr[:, 1], arr[:, 2])
+        for i in range(len(batch)):
+            if dst_ll:
+                prec = flags.get("-w", 3)
+                ox = _fmt(x[i] * DEG_TO_RAD, eff_fmt, eff_fmt is None,
+                          "E", "W", prec)
+                oy = _fmt(y[i] * DEG_TO_RAD, eff_fmt, eff_fmt is None,
+                          "N", "S", prec)
+                if eff_fmt:
+                    ox = _fmt(x[i], eff_fmt, False, "", "")
+                    oy = _fmt(y[i], eff_fmt, False, "", "")
+            else:
+                ox = _fmt(x[i], eff_fmt, False, "", "")
+                oy = _fmt(y[i], eff_fmt, False, "", "")
+            if not (np.isfinite(x[i]) and np.isfinite(y[i])):
+                body = "*\t*"
+            elif rev_out:
+                body = f"{oy}\t{ox}"
+            else:
+                body = f"{ox}\t{oy}"
+            zs = (z_fmt % z[i]) if np.isfinite(z[i]) else "*"
+            pre = consumed[i] + "\t" if echo else ""
+            yield pre + body + " " + zs + tails[i]
+        batch.clear()
+        tails.clear()
+        consumed.clear()
+
     for line in lines:
         line = line.rstrip("\n")
         if not line or line.lstrip().startswith("#"):
-            yield from _flush(batch, tails, raw, transform, flags, echo, fmt,
-                              rev_out, dst_ll)
-            batch, tails, raw = [], [], []
+            yield from flush()
             yield line
             continue
-        parts = line.split(None, 2)
-        if len(parts) < 2:
+        m = two_fields.match(line)
+        if m is None:
+            yield from flush()
             yield line
             continue
-        t1, t2 = parts[0], parts[1]
-        rest = parts[2] if len(parts) > 2 else ""
-        # optional z as the first token of the rest
+        toks = m.group(0).split()
+        t1, t2 = toks[0], toks[1]
+        end = m.end()
         z = 0.0
-        if rest:
-            ztoks = rest.split(None, 1)
-            try:
-                z = float(ztoks[0])
-                rest = ztoks[1] if len(ztoks) > 1 else ""
-            except ValueError:
-                pass
+        mz = znum.match(line, end)
+        if mz:  # strtod: consume z only when a numeric prefix parses
+            z = float(mz.group(0))
+            end = mz.end()
         if rev_in:
             t1, t2 = t2, t1
         if src_ll:
-            x = _parse_coord(t1) * (1.0 / 1.0)
-            y = _parse_coord(t2)
-            # dmstor returns radians; the Transform expects degrees when
-            # degrees=True — convert (cs2cs parses straight to radians)
-            x *= RAD_TO_DEG
-            y *= RAD_TO_DEG
+            # dmstor returns radians; the Transform expects degrees
+            x = _parse_coord(t1) * RAD_TO_DEG
+            y = _parse_coord(t2) * RAD_TO_DEG
         else:
             try:
                 x = float(t1)
@@ -193,42 +235,11 @@ def _process_lines(lines, transform: Transform, flags):
             except ValueError:
                 x = y = float("nan")
         batch.append((x, y, z))
-        tails.append(rest)
-        raw.append(line)
+        consumed.append(line[:end])
+        tails.append(line[end:])
         if len(batch) >= 8192:
-            yield from _flush(batch, tails, raw, transform, flags, echo, fmt,
-                              rev_out, dst_ll)
-            batch, tails, raw = [], [], []
-    yield from _flush(batch, tails, raw, transform, flags, echo, fmt,
-                      rev_out, dst_ll)
-
-
-def _flush(batch, tails, raw, transform, flags, echo, fmt, rev_out, dst_ll):
-    if not batch:
-        return
-    arr = np.asarray(batch, dtype=np.float64)
-    x, y, z = transform(arr[:, 0], arr[:, 1], arr[:, 2])
-    for i in range(len(batch)):
-        if dst_ll:
-            prec = flags.get("-w", 3)
-            ox = _fmt(x[i] * DEG_TO_RAD, fmt, fmt is None, "E", "W", prec)
-            oy = _fmt(y[i] * DEG_TO_RAD, fmt, fmt is None, "N", "S", prec)
-            if fmt:
-                ox = _fmt(x[i], fmt, False, "", "")
-                oy = _fmt(y[i], fmt, False, "", "")
-        else:
-            ox = _fmt(x[i], fmt, False, "", "")
-            oy = _fmt(y[i], fmt, False, "", "")
-        if rev_out:
-            ox, oy = oy, ox
-        zs = ((fmt or "%.3f") % z[i]) if np.isfinite(z[i]) else "*"
-        out = f"{ox}\t{oy} {zs}"
-        if tails[i]:
-            out += " " + tails[i]
-        if echo:
-            out = raw[i] + "\t" + out
-        yield out
-
+            yield from flush()
+    yield from flush()
 
 
 def _init_failure(prog, exc, stderr=None):
@@ -256,6 +267,8 @@ def cs2cs_main(argv=None, stdin=None, stdout=None):
         # no +to: destination = base geographic CRS of source
         # (pj_latlong_from_proj semantics, src/cs2cs.c:357-369)
         to_def = _latlong_from(from_def)
+    if "-I" in flags:  # inverse: swap source and destination (cs2cs -I)
+        from_def, to_def = to_def, from_def
     try:
         t = make_transform(from_def, to_def)
     except (ValueError, FileNotFoundError) as exc:

@@ -356,26 +356,39 @@ def dmstor(s: str) -> float:
 
 
 def rtodms(r: float, pos: str = "", neg: str = "", prec: int = 3) -> str:
-    """Radians -> DMS string (src/rtodms.c semantics, simplified)."""
-    RAD_TO_DEG = 57.29577951308232
-    sign = ""
+    """Radians -> DMS string (src/rtodms.c, exact semantics): round to
+    ``prec`` fractional second digits via floor(r*CONV+0.5); when the
+    seconds are zero print "DdM'<sfx>", when minutes are zero too print
+    "Dd<sfx>", and strip trailing zeros (and a bare '.') from the
+    seconds fraction — '0dE', '79d58'W', '44d59'59.983"N'."""
+    import math
+
+    RES = 10.0 ** prec
+    CONV = 180.0 * 3600.0 * RES / math.pi
     if r < 0:
-        if neg:
-            sign = ""
-            suffix = neg
-        else:
+        r = -r
+        if not pos:
             sign = "-"
             suffix = ""
-        r = -r
+        else:
+            sign = ""
+            suffix = neg
     else:
+        sign = ""
         suffix = pos
-    deg_total = r * RAD_TO_DEG
-    # round at the seconds precision first (reference rounds via +0.5ulp)
-    sec_total = round(deg_total * 3600.0, prec)
-    d = int(sec_total // 3600)
-    m = int((sec_total - d * 3600) // 60)
-    sec = sec_total - d * 3600 - m * 60
-    return f"{sign}{d}d{m}'{sec:.{prec}f}\"{suffix}"
+    rr = math.floor(r * CONV + 0.5)
+    sec = math.fmod(rr / RES, 60.0)
+    rr = math.floor(rr / (RES * 60.0))
+    minute = int(math.fmod(rr, 60.0))
+    deg = int(math.floor(rr / 60.0))
+    if sec:
+        sec_str = f"{sec:.{prec}f}"
+        if "." in sec_str:
+            sec_str = sec_str.rstrip("0").rstrip(".")
+        return f"{sign}{deg}d{minute}'{sec_str}\"{suffix}"
+    if minute:
+        return f"{sign}{deg}d{minute}'{suffix}"
+    return f"{sign}{deg}d{suffix}"
 
 
 def _parse_tokens(defn: str):

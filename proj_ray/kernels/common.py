@@ -145,14 +145,23 @@ def inv_mlfn(arg: np.ndarray, es: float, en: np.ndarray) -> np.ndarray:
     return phi
 
 
+_ONE_TOL = 1.00000000000001  # aasincos.c:3
+
+
 def aasin(v: np.ndarray) -> np.ndarray:
-    """Clamped arcsin. src/aasincos.c:7-17."""
-    return np.arcsin(np.clip(v, -1.0, 1.0))
+    """arcsin clamped within ONE_TOL; beyond it the lane is an error
+    (reference sets errno -19 -> HUGE_VAL result; batch engines mark
+    the lane NaN instead). src/aasincos.c:7-17."""
+    v = np.asarray(v, dtype=np.float64)
+    out = np.arcsin(np.clip(v, -1.0, 1.0))
+    return np.where(np.abs(v) > _ONE_TOL, np.nan, out)
 
 
 def aacos(v: np.ndarray) -> np.ndarray:
-    """Clamped arccos. src/aasincos.c:19-28."""
-    return np.arccos(np.clip(v, -1.0, 1.0))
+    """arccos with the same ONE_TOL error semantics. aasincos.c:19-28."""
+    v = np.asarray(v, dtype=np.float64)
+    out = np.arccos(np.clip(v, -1.0, 1.0))
+    return np.where(np.abs(v) > _ONE_TOL, np.nan, out)
 
 
 def asqrt(v: np.ndarray) -> np.ndarray:

@@ -18,8 +18,9 @@ def test_cs2cs_golden_line():
                  "+to", "+proj=latlong", "+ellps=bessel", "+towgs84=1,0,0", "-E"],
                 "0d00'00.000\"W 0d00'00.000\"N 0.0\n"
                 "79d00'00.000\"W 45d00'00.000\"N 0.0\n")
-    # golden: nad/tv_out.dist:10-11
-    assert lines[0].endswith("0d0'0.000\"E\t0d0'0.000\"N 4.000")
+    # golden: nad/tv_out.dist:10-11 (exact, incl. rtodms zero-field
+    # trimming: '0dE', not '0d0\'0.000"E')
+    assert lines[0].endswith("0dE\t0dN 4.000")
     assert "78d59'59.821\"W" in lines[1] and "44d59'59.983\"N" in lines[1]
     assert lines[1].endswith("0.540")
 
