@@ -468,6 +468,69 @@ def attach_labels_join(ds, labels_ds, id_col: str = "doc_id",
     return joined.map_batches(fin, batch_format="pyarrow", batch_size=None)
 
 
+def jaccard_pairs(texts_a, texts_b, k: int = 5) -> np.ndarray:
+    """Exact k-shingle Jaccard for a batch of candidate pairs.
+
+    Shingle hashes for both sides are computed batch-wide (the
+    vectorized _window_hashes path); the per-pair set intersection is
+    a loop over PAIRS — by construction the verify stage only ever
+    sees the LSH-pruned candidate set, orders of magnitude smaller
+    than the corpus, so per-pair cost is the intended budget."""
+    da, oa = _utf8_buffer(texts_a)
+    db, ob = _utf8_buffer(texts_b)
+    wa, woa = _window_hashes(da, oa, k)
+    wb, wob = _window_hashes(db, ob, k)
+    n = len(oa) - 1
+    out = np.empty(n, dtype=np.float64)
+    for i in range(n):
+        sa = np.unique(wa[woa[i]:woa[i + 1]])
+        sb = np.unique(wb[wob[i]:wob[i + 1]])
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        union = sa.size + sb.size - inter
+        out[i] = 1.0 if union == 0 else inter / union
+    return out
+
+
+def lsh_candidate_pairs(bands, num_partitions: int = 16):
+    """Distinct candidate pairs (doc_a < doc_b) from LSH band
+    collisions: restrict the band rows to COLLIDING buckets (size>=2,
+    broadcast — the same small table lsh_partner_counts uses), emit
+    each bucket's pairs via groupby over that pruned subset, and
+    dedupe pairs that collide in several bands with one tiny groupby.
+    Returns a Dataset (doc_a, doc_b, n_bands)."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    def only_colliding(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["bucket_size"], pa.scalar(2)))
+
+    sizes = (bands.groupby(["band_id", "band_hash"])
+             .aggregate(Count(alias_name="bucket_size"))
+             .map_batches(only_colliding, batch_format="pyarrow",
+                          batch_size=None)
+             .to_pandas())
+
+    def in_colliding(df: pd.DataFrame) -> pd.DataFrame:
+        return df.merge(sizes[["band_id", "band_hash"]],
+                        on=["band_id", "band_hash"])
+
+    colliding = bands.map_batches(in_colliding, batch_format="pandas",
+                                  batch_size=None)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].unique().astype(np.int64))
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                                 "doc_b": pd.Series(dtype="int64")})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+
+    pairs = colliding.groupby(["band_id", "band_hash"]).map_groups(
+        per_bucket, batch_format="pandas")
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Count(alias_name="n_bands"))
+
+
 def exact_dup_edges(ds, id_col="doc_id", hash_col="text_hash"):
     """Star edges (member -> group-min id) per equal-hash group:
     map_batches partial min per hash, tiny groupby-min, then a second

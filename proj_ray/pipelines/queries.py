@@ -1336,6 +1336,47 @@ def minhash_lsh_candidates(sf_dir):
     return _sorted_pdf(out, ["doc_id"])
 
 
+@query("minhash_verified_pairs",
+       sql=_golden_sql("minhash_verified_pairs_sf001.parquet"))
+def minhash_verified_pairs(sf_dir):
+    """The full LSH near-dup pipeline with the VERIFY stage: band
+    collisions -> distinct candidate pairs -> hash-join both texts
+    back on (scale-safe; candidates are a pruned subset) -> exact
+    k-shingle Jaccard per pair (micro-int for determinism).  Only the
+    candidate set is ever pairwise-verified — never all pairs."""
+    from ..functions.dedup import (_adaptive_partitions, jaccard_pairs,
+                                   lsh_candidate_pairs, minhash_bands_batch)
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    bands = ds.map_batches(lambda t: minhash_bands_batch(t),
+                           batch_format="pyarrow", batch_size=None)
+    pairs = lsh_candidate_pairs(bands)
+    np_ = _adaptive_partitions(8)
+    j1 = pairs.join(ds, join_type="inner", num_partitions=np_,
+                    on=("doc_a",), right_on=("doc_id",))
+
+    def ren_a(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["text_a" if c == "text" else c for c in t.column_names])
+
+    j1 = j1.map_batches(ren_a, batch_format="pyarrow", batch_size=None)
+    j2 = j1.join(ds, join_type="inner", num_partitions=np_,
+                 on=("doc_b",), right_on=("doc_id",))
+
+    def verify(t: pa.Table) -> pa.Table:
+        jac = jaccard_pairs(t["text_a"], t["text"])
+        return pa.table({
+            "doc_a": pc.cast(t["doc_a"], pa.int64()),
+            "doc_b": pc.cast(t["doc_b"], pa.int64()),
+            "n_bands": pc.cast(t["n_bands"], pa.int64()),
+            "jaccard_micro": pa.array(
+                np.floor(jac * 1e6 + 0.5).astype(np.int64)),
+        })
+
+    out = j2.map_batches(verify, batch_format="pyarrow", batch_size=None)
+    return _sorted_pdf(out, ["doc_a", "doc_b"])
+
+
 @query("simhash_docs", sql=_golden_sql("simhash_docs_sf001.parquet"))
 def simhash_docs(sf_dir):
     """SimHash-64 per document (sign-sum of shingle-hash bits),

@@ -129,10 +129,18 @@ def main():
 
     for name, fname in [("geod_inverse_ellipsoidal", "geod_inverse_sf001.parquet"),
                         ("multimodal_features", "multimodal_sf001.parquet"),
-                        ("grid_shift_real", "grid_shift_real_sf001.parquet")]:
+                        ("grid_shift_real", "grid_shift_real_sf001.parquet"),
+                        ("minhash_verified_pairs",
+                         "minhash_verified_pairs_sf001.parquet")]:
+        import pandas as pd
+
         res = QUERIES[name]["fn"](SF_DIR)
-        tbl = (res if isinstance(res, pa.Table)
-               else pa.Table.from_pandas(res.to_pandas(), preserve_index=False))
+        if isinstance(res, pa.Table):
+            tbl = res
+        elif isinstance(res, pd.DataFrame):
+            tbl = pa.Table.from_pandas(res, preserve_index=False)
+        else:
+            tbl = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
         pq.write_table(tbl, os.path.join(OUT_DIR, fname))
         print(f"{name} golden written ({tbl.num_rows} rows)")
     ray.shutdown()
