@@ -1323,7 +1323,8 @@ def lsh_partner_counts(bands, num_partitions: int = 16,
     )
 
 
-@query("minhash_lsh_candidates")  # rows-only: own 64-bit hashing
+@query("minhash_lsh_candidates",
+       sql=_golden_sql("minhash_lsh_candidates_sf001.parquet"))
 def minhash_lsh_candidates(sf_dir):
     """MinHash+LSH near-dup detection: signature per doc (vectorized
     across the batch) -> explode to (band_id, band_hash, doc) rows ->
@@ -1388,7 +1389,7 @@ def simhash_docs(sf_dir):
                           batch_size=None)
 
 
-@query("ann_cosine_topk")  # rows-only: float reduction order differs in SQL
+@query("ann_cosine_topk", sql=_golden_sql("ann_cosine_topk_sf001.parquet"))
 def ann_cosine_topk(sf_dir):
     """Brute-force cosine top-k over the embeddings table against 3
     broadcast query vectors (per-batch matmul + partial top-k)."""
@@ -1404,7 +1405,7 @@ def ann_cosine_topk(sf_dir):
     return out.select(["qid", "vec_id", "rank"])
 
 
-@query("ann_lsh_buckets")  # rows-only
+@query("ann_lsh_buckets", sql=_golden_sql("ann_lsh_buckets_sf001.parquet"))
 def ann_lsh_buckets(sf_dir):
     """Random-hyperplane LSH bucketing (the 100 TB ANN path): bucket
     histogram proves the partitioner; same planes broadcast everywhere."""
@@ -1875,7 +1876,7 @@ def segment_acctbal_median(sf_dir):
     return ds.groupby("c_mktsegment").map_groups(per_seg, batch_format="pandas")
 
 
-@query("ann_ivf_topk")  # rows-only: approximate by construction
+@query("ann_ivf_topk", sql=_golden_sql("ann_ivf_topk_sf001.parquet"))
 def ann_ivf_topk_query(sf_dir):
     """IVF-bucketed ANN (second scale path next to ann_lsh_buckets):
     spherical k-means coarse quantizer on a deterministic sample, probe
@@ -1949,7 +1950,8 @@ def dedup_clusters(sf_dir):
     return ds.map_batches(attach, batch_format="pyarrow", batch_size=None)
 
 
-@query("minhash_dedup_clusters")  # rows-only: MinHash banding not in SQL
+@query("minhash_dedup_clusters",
+       sql=_golden_sql("minhash_dedup_clusters_sf001.parquet"))
 def minhash_dedup_clusters(sf_dir):
     """Near-dup clustering: LSH band buckets -> same-bucket star edges
     -> cc_min_label components.  Returns each doc's cluster id (min

@@ -131,7 +131,14 @@ def main():
                         ("multimodal_features", "multimodal_sf001.parquet"),
                         ("grid_shift_real", "grid_shift_real_sf001.parquet"),
                         ("minhash_verified_pairs",
-                         "minhash_verified_pairs_sf001.parquet")]:
+                         "minhash_verified_pairs_sf001.parquet"),
+                        ("minhash_lsh_candidates",
+                         "minhash_lsh_candidates_sf001.parquet"),
+                        ("minhash_dedup_clusters",
+                         "minhash_dedup_clusters_sf001.parquet"),
+                        ("ann_cosine_topk", "ann_cosine_topk_sf001.parquet"),
+                        ("ann_lsh_buckets", "ann_lsh_buckets_sf001.parquet"),
+                        ("ann_ivf_topk", "ann_ivf_topk_sf001.parquet")]:
         import pandas as pd
 
         res = QUERIES[name]["fn"](SF_DIR)
