@@ -119,16 +119,33 @@ def _write_one_partition(table, out_dir, pid, input_fragment, cfg_hash,
 
 
 def write_partitioned(ds, out_dir: str, config, partition_col: str = None,
-                      error_cols=("x", "y")):
-    """Consume a Dataset into resumable partitioned parquet.
+                      error_cols=("x", "y"), allow_resume: bool = False):
+    """Consume a Dataset into partitioned parquet, SINGLE RUN ONLY.
 
-    Each Ray block becomes one partition (partition id = stable hash of
-    the block's id column range + row count, or of ``partition_col``
-    bounds when given). Writing happens INSIDE map_batches tasks — the
-    stream never materializes on the driver. Returns the manifest
+    Each Ray block becomes one partition (partition id = hash of the
+    block's content bounds). Writing happens INSIDE map_batches tasks —
+    the stream never materializes on the driver. Returns the manifest
     metrics summary.
+
+    NOT resumable across runs: Ray does not guarantee deterministic
+    block boundaries, so a re-run over a directory holding a previous
+    attempt would write OVERLAPPING data under fresh partition ids next
+    to the stale files.  This function therefore refuses to write into
+    a directory whose manifest already has completed partitions for the
+    same config (pass ``allow_resume=True`` only when the caller
+    guarantees identical blocking).  Resumable multi-run jobs belong in
+    :func:`run_resumable_shards`, whose shard ids derive from the
+    explicit work plan (input fragment identity), not from blocking.
     """
     cfg_hash = config_hash(config)
+    prior = LineageManifest(out_dir).completed(cfg_hash)
+    if prior and not allow_resume:
+        raise RuntimeError(
+            f"{out_dir} already holds {len(prior)} completed partitions "
+            f"for this config; write_partitioned partition ids depend on "
+            f"Ray block boundaries and are not stable across runs — use "
+            f"run_resumable_shards for resumable jobs, or pass "
+            f"allow_resume=True if blocking is guaranteed identical")
 
     import pyarrow as pa
 

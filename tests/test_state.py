@@ -85,3 +85,21 @@ def test_manifest_tolerates_torn_tail(tmp_path):
         f.write('{"partition_id": "b", "config_ha')  # crash mid-write
     loaded = man.load()
     assert "a" in loaded and "b" not in loaded
+
+
+def test_write_partitioned_refuses_second_run(ray_session, tmp_path):
+    """Partition ids derive from Ray block content, which is not stable
+    across runs — a second run into the same dir must be refused
+    (resume belongs to run_resumable_shards)."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    out = str(tmp_path / "wp")
+    ds = rd.from_arrow(pa.table({"x": [1.0, 2.0], "k": [1, 2]}))
+    write_partitioned(ds, out, {"cfg": 9}, error_cols=("x",))
+    ds2 = rd.from_arrow(pa.table({"x": [3.0], "k": [3]}))
+    with pytest.raises(RuntimeError, match="run_resumable_shards"):
+        write_partitioned(ds2, out, {"cfg": 9}, error_cols=("x",))
+    # different config => fresh manifest namespace, allowed
+    write_partitioned(ds2, out, {"cfg": 10}, error_cols=("x",))
