@@ -40,7 +40,7 @@ def _split_args(argv):
         elif a.startswith("+"):
             cur.append(a)
         elif a.startswith("-"):
-            if a in ("-f", "-F", "-T", "-e"):  # flags with value
+            if a in ("-f", "-F", "-T", "-e", "-m"):  # flags with value
                 flags[a] = argv[i + 1]
                 i += 1
             elif (a.startswith("-w") or a.startswith("-W")) and a[2:].isdigit():
@@ -85,6 +85,20 @@ def _process_proj_lines(lines, transform: Transform, flags):
     src_ll = transform.src.is_latlong
     dst_ll = transform.dst.is_latlong
     two_fields = re.compile(r"\s*\S+\s+\S+")
+    # -m cartesian multiplier (proj.c:364-377): '1:x'/'1/x' -> 1/x;
+    # applied post-projection forward, pre-projection (inverted) inverse
+    fscale = None
+    if "-m" in flags:
+        mtxt = flags["-m"]
+        if mtxt.startswith(("1/", "1:")):
+            fscale = 1.0 / float(mtxt[2:])
+        else:
+            fscale = float(mtxt)
+    inverse = "-I" in flags
+    prescale = fscale is not None and inverse
+    postscale = fscale is not None and not inverse
+    if prescale:
+        fscale = 1.0 / fscale
 
     batch, tails, consumed = [], [], []
 
@@ -92,7 +106,12 @@ def _process_proj_lines(lines, transform: Transform, flags):
         if not batch:
             return
         arr = np.asarray(batch, dtype=np.float64)
-        x, y, _z = transform(arr[:, 0], arr[:, 1], arr[:, 2])
+        u, v = arr[:, 0], arr[:, 1]
+        if prescale:
+            u, v = u * fscale, v * fscale
+        x, y, _z = transform(u, v, arr[:, 2])
+        if postscale:
+            x, y = x * fscale, y * fscale
         for i in range(len(batch)):
             if not (np.isfinite(x[i]) and np.isfinite(y[i])):
                 body = "*\t*"

@@ -234,3 +234,21 @@ def test_logger_hook():
     finally:
         set_logger(None)
         set_log_level(old)
+
+
+def test_proj_m_multiplier():
+    """-m cartesian multiplier (proj.c:364-377): '1:25000' scales the
+    projected output by 1/25000; with -I the input is prescaled by the
+    inverse factor."""
+    base = run(proj_main, ["+proj=merc", "+ellps=WGS84", "-f", "%.4f"],
+               "10 45\n")
+    x0, y0 = map(float, base[0].split("\t"))
+    scaled = run(proj_main, ["+proj=merc", "+ellps=WGS84", "-f", "%.4f",
+                             "-m", "1:25000"], "10 45\n")
+    x1, y1 = map(float, scaled[0].split("\t"))
+    assert abs(x1 - x0 / 25000.0) < 1e-3 and abs(y1 - y0 / 25000.0) < 1e-3
+    # inverse roundtrip through the same scale
+    back = run(proj_main, ["+proj=merc", "+ellps=WGS84", "-I", "-m",
+                           "1:25000", "-f", "%.8f"], f"{x1} {y1}\n")
+    lon, lat = map(float, back[0].split("\t"))
+    assert abs(lon - 10.0) < 1e-5 and abs(lat - 45.0) < 1e-5
