@@ -126,14 +126,15 @@ def q1_pricing_summary(sf_dir):
         return tmp.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
 
     partials = ds.map_batches(partial, batch_format="pandas", batch_size=None)
-    from ray.data.aggregate import Sum
-
-    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("sum_qty_cents", alias_name="sum_qty_cents"),
-        Sum("sum_base_cents", alias_name="sum_base_cents"),
-        Sum("sum_disc_cents2", alias_name="sum_disc_cents2"),
-        Sum("count_order", alias_name="count_order"),
-    )
+    # final combine on the driver: the partial stream is bounded by
+    # (#blocks x 6 flag/status groups) — never corpus-proportional —
+    # and skips the distributed groupby's fixed shuffle latency (the
+    # same bounded-combine pattern as pipelines/flagship.py)
+    parts = pd.concat(partials.iter_batches(batch_size=None,
+                                            batch_format="pandas"),
+                      ignore_index=True)
+    out = parts.groupby(["l_returnflag", "l_linestatus"],
+                        as_index=False).sum()
     return _sorted_pdf(out, ["l_returnflag", "l_linestatus"])
 
 
@@ -757,13 +758,14 @@ def tile_agg(sf_dir):
             min_pid=("min_pid", "min"))
 
     partials = tiled.map_batches(partial, batch_format="pandas", batch_size=None)
-    from ray.data.aggregate import Min, Sum
-
-    out = partials.groupby("parent_cell").aggregate(
-        Sum("n_points", alias_name="n_points"),
-        Sum("sum_lon_centi", alias_name="sum_lon_centi"),
-        Min("min_pid", alias_name="min_pid"),
-    )
+    # bounded driver combine: <= 256 zoom-4 parent cells per block row
+    # (see q1_pricing_summary for the rationale)
+    parts = pd.concat(partials.iter_batches(batch_size=None,
+                                            batch_format="pandas"),
+                      ignore_index=True)
+    out = parts.groupby("parent_cell", as_index=False).agg(
+        n_points=("n_points", "sum"), sum_lon_centi=("sum_lon_centi", "sum"),
+        min_pid=("min_pid", "min"))
     return _sorted_pdf(out, ["parent_cell"])
 
 
