@@ -1339,6 +1339,82 @@ def minhash_lsh_candidates(sf_dir):
     return _sorted_pdf(out, ["doc_id"])
 
 
+@query(
+    "dedup_keep_first",
+    sql="""
+    SELECT doc_id FROM documents
+    WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)
+    """,
+)
+def dedup_keep_first(sf_dir):
+    """The dedup FILTER itself (not just group counts): survivors =
+    min doc_id per exact content group.  Two passes: hash + tiny
+    groupby-min produces the keeper set (one small int64 column),
+    which broadcasts back into a vectorized membership filter — the
+    corpus streams through twice, no driver text."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def hash_ids(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "text_hash": pa.array(text_hash64(t["text"]).astype(np.int64),
+                                  pa.int64()),
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+        })
+
+    from ray.data.aggregate import Min
+
+    from ..functions.dedup import text_hash64
+
+    hashed = ds.map_batches(hash_ids, batch_format="pyarrow", batch_size=None)
+    keepers = (hashed.groupby("text_hash")
+               .aggregate(Min("doc_id", alias_name="doc_id"))
+               .to_pandas()["doc_id"].to_numpy(np.int64))
+    keepers.sort()
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(keepers, ids)
+        pos_c = np.minimum(pos, keepers.size - 1)
+        m = keepers[pos_c] == ids
+        return pa.table({"doc_id": pa.array(ids[m], pa.int64())})
+
+    return ds.select_columns(["doc_id"]).map_batches(
+        keep, batch_format="pyarrow", batch_size=None)
+
+
+@query(
+    "quality_filter",
+    sql=f"""
+    WITH c AS (
+      SELECT doc_id,
+        len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+        length(text) AS n_len,
+        len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tok
+      FROM documents
+    )
+    SELECT doc_id FROM c
+    WHERE n_tok >= 20
+      AND CAST(n_alpha AS DOUBLE) / greatest(CAST(n_len AS DOUBLE), 1.0) >= 0.6
+    """,
+)
+def quality_filter(sf_dir):
+    """Quality FILTER: keep documents with >= 20 tokens and >= 60%
+    alphabetic characters (the standard web-corpus gate) — one
+    streaming Arrow-kernel pass, identical RE2 semantics as the SQL."""
+    from ..functions.text import quality_batch
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        q = quality_batch(t)
+        keep = pc.and_(pc.greater_equal(q["n_tokens"], pa.scalar(20)),
+                       pc.greater_equal(q["alpha_ratio"], pa.scalar(0.6)))
+        return q.filter(keep).select(["doc_id"])
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None,
+                          zero_copy_batch=True)
+
+
 @query("minhash_verified_pairs",
        sql=_golden_sql("minhash_verified_pairs_sf001.parquet"))
 def minhash_verified_pairs(sf_dir):
