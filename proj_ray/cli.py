@@ -43,9 +43,13 @@ def _split_args(argv):
             if a in ("-f", "-F", "-T", "-e", "-m"):  # flags with value
                 flags[a] = argv[i + 1]
                 i += 1
-            elif (a.startswith("-w") or a.startswith("-W")) and a[2:].isdigit():
-                # -w<n>/-W<n>: DMS seconds precision (proj.c/cs2cs.c)
+            elif a.startswith("-w") and a[2:].isdigit():
+                # -w<n>: DMS seconds precision (proj.c/cs2cs.c)
                 flags["-w"] = int(a[2:])
+            elif a.startswith("-W") and a[2:].isdigit():
+                # -W<n>: constant-width DMS fields (set_rtodms con_w)
+                flags["-w"] = int(a[2:])
+                flags["-Wfixed"] = True
             else:
                 flags[a] = True
         i += 1
@@ -60,13 +64,13 @@ def _parse_coord(tok: str) -> float:
 
 
 def _fmt(v: float, fmt: str | None, as_dms: bool, pos: str, neg: str,
-         prec: int = 3) -> str:
+         prec: int = 3, fixed: bool = False) -> str:
     if not np.isfinite(v):
         return "*"
     if fmt:
         return fmt % v
     if as_dms:
-        return rtodms(v, pos, neg, prec)
+        return rtodms(v, pos, neg, prec, fixed)
     return "%.2f" % v
 
 
@@ -117,8 +121,9 @@ def _process_proj_lines(lines, transform: Transform, flags):
                 body = "*\t*"
             elif dst_ll and fmt is None:
                 prec = flags.get("-w", 3)
-                ox = rtodms(x[i] * DEG_TO_RAD, "E", "W", prec)
-                oy = rtodms(y[i] * DEG_TO_RAD, "N", "S", prec)
+                fx = flags.get("-Wfixed", False)
+                ox = rtodms(x[i] * DEG_TO_RAD, "E", "W", prec, fx)
+                oy = rtodms(y[i] * DEG_TO_RAD, "N", "S", prec, fx)
                 body = f"{oy}\t{ox}" if rev_out else f"{ox}\t{oy}"
             else:
                 f = fmt or "%.2f"
@@ -199,10 +204,11 @@ def _process_lines(lines, transform: Transform, flags):
         for i in range(len(batch)):
             if dst_ll:
                 prec = flags.get("-w", 3)
+                fx = flags.get("-Wfixed", False)
                 ox = _fmt(x[i] * DEG_TO_RAD, eff_fmt, eff_fmt is None,
-                          "E", "W", prec)
+                          "E", "W", prec, fx)
                 oy = _fmt(y[i] * DEG_TO_RAD, eff_fmt, eff_fmt is None,
-                          "N", "S", prec)
+                          "N", "S", prec, fx)
                 if eff_fmt:
                     ox = _fmt(x[i], eff_fmt, False, "", "")
                     oy = _fmt(y[i], eff_fmt, False, "", "")
@@ -671,13 +677,15 @@ def geod_main(argv=None, stdin=None, stdout=None):
         if pos_azi and v_deg < 0.0:
             v_deg += 360.0
         return (oform % v_deg) if oform else rtodms(np.radians(v_deg),
-                                                    "", "", prec)
+                                                    "", "", prec,
+                                                    flags.get("-Wfixed", False))
 
     def pll(lat_deg, lon_deg):
         if oform:
             return f"{oform % lat_deg}\t{oform % lon_deg}"
-        return (f"{rtodms(np.radians(lat_deg), 'N', 'S', prec)}\t"
-                f"{rtodms(np.radians(lon_deg), 'E', 'W', prec)}")
+        fx = flags.get("-Wfixed", False)
+        return (f"{rtodms(np.radians(lat_deg), 'N', 'S', prec, fx)}\t"
+                f"{rtodms(np.radians(lon_deg), 'E', 'W', prec, fx)}")
 
     def back(azi2_deg):
         return azi2_deg + (-180.0 if azi2_deg >= 0 else 180.0)

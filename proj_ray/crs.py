@@ -355,7 +355,8 @@ def dmstor(s: str) -> float:
     return sign * v
 
 
-def rtodms(r: float, pos: str = "", neg: str = "", prec: int = 3) -> str:
+def rtodms(r: float, pos: str = "", neg: str = "", prec: int = 3,
+           fixed: bool = False) -> str:
     """Radians -> DMS string (src/rtodms.c, exact semantics): round to
     ``prec`` fractional second digits via floor(r*CONV+0.5); when the
     seconds are zero print "DdM'<sfx>", when minutes are zero too print
@@ -381,6 +382,12 @@ def rtodms(r: float, pos: str = "", neg: str = "", prec: int = 3) -> str:
     rr = math.floor(rr / (RES * 60.0))
     minute = int(math.fmod(rr, 60.0))
     deg = int(math.floor(rr / 60.0))
+    if fixed:
+        # -W constant-width mode (set_rtodms con_w, src/rtodms.c:30-33):
+        # zero-padded minutes and seconds, no field trimming
+        w = prec + 2 + (1 if prec else 0)
+        return (f"{sign}{deg}d{minute:02d}'"
+                f"{sec:0{w}.{prec}f}\"{suffix}")
     if sec:
         sec_str = f"{sec:.{prec}f}"
         if "." in sec_str:

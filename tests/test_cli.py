@@ -252,3 +252,15 @@ def test_proj_m_multiplier():
                            "1:25000", "-f", "%.8f"], f"{x1} {y1}\n")
     lon, lat = map(float, back[0].split("\t"))
     assert abs(lon - 10.0) < 1e-5 and abs(lat - 45.0) < 1e-5
+
+
+def test_geod_W_fixed_width():
+    """-W<n>: constant-width DMS fields (set_rtodms con_w) — zero-
+    padded minutes/seconds, no trimming."""
+    lines = run(geod_main, ["+ellps=WGS84", "-I", "-W4"],
+                "0d 0d 0d 1d\n")
+    al12 = lines[0].split("\t")[0]
+    assert al12 == "90d00'00.0000\""
+    # trimmed mode for comparison
+    lines2 = run(geod_main, ["+ellps=WGS84", "-I", "-w4"], "0d 0d 0d 1d\n")
+    assert lines2[0].split("\t")[0] == "90d"
