@@ -50,6 +50,9 @@ def _split_args(argv):
                 # -W<n>: constant-width DMS fields (set_rtodms con_w)
                 flags["-w"] = int(a[2:])
                 flags["-Wfixed"] = True
+            elif a in ("-w", "-W"):
+                # reference: emess(1, "-W argument missing or non-digit")
+                print(f"{a} argument missing or non-digit", file=sys.stderr)
             else:
                 flags[a] = True
         i += 1
@@ -203,15 +206,16 @@ def _process_lines(lines, transform: Transform, flags):
         x, y, z = transform(arr[:, 0], arr[:, 1], arr[:, 2])
         for i in range(len(batch)):
             if dst_ll:
-                prec = flags.get("-w", 3)
-                fx = flags.get("-Wfixed", False)
-                ox = _fmt(x[i] * DEG_TO_RAD, eff_fmt, eff_fmt is None,
-                          "E", "W", prec, fx)
-                oy = _fmt(y[i] * DEG_TO_RAD, eff_fmt, eff_fmt is None,
-                          "N", "S", prec, fx)
-                if eff_fmt:
+                if eff_fmt:  # -f on latlong output: decimal degrees
                     ox = _fmt(x[i], eff_fmt, False, "", "")
                     oy = _fmt(y[i], eff_fmt, False, "", "")
+                else:
+                    prec = flags.get("-w", 3)
+                    fx = flags.get("-Wfixed", False)
+                    ox = _fmt(x[i] * DEG_TO_RAD, None, True, "E", "W",
+                              prec, fx)
+                    oy = _fmt(y[i] * DEG_TO_RAD, None, True, "N", "S",
+                              prec, fx)
             else:
                 ox = _fmt(x[i], eff_fmt, False, "", "")
                 oy = _fmt(y[i], eff_fmt, False, "", "")
@@ -519,11 +523,22 @@ def _process_proj_binary(stdin, stdout, t, flags, bin_in, bin_out):
             arr = np.frombuffer(raw[: n * rec.size], dtype="<f8").reshape(n, 2)
             u, v = arr[:, 0].copy(), arr[:, 1].copy()
         else:
-            # ascii in, binary out: read text lines once
+            # ascii in, binary out: read text lines once; forward input
+            # is geographic DMS (dmstor -> radians), inverse input is
+            # projected floats (strtod semantics)
             lines = [ln for ln in stdin
                      if ln.strip() and not ln.lstrip().startswith("#")]
-            pairs = [(_parse_coord(ln.split()[0]), _parse_coord(ln.split()[1]))
-                     for ln in lines if len(ln.split()) >= 2]
+
+            def parse2(ln):
+                t1, t2 = ln.split()[0], ln.split()[1]
+                if inverse:
+                    try:
+                        return float(t1), float(t2)
+                    except ValueError:
+                        return float("nan"), float("nan")
+                return _parse_coord(t1), _parse_coord(t2)
+
+            pairs = [parse2(ln) for ln in lines if len(ln.split()) >= 2]
             u = np.array([p[0] for p in pairs])
             v = np.array([p[1] for p in pairs])
         if not inverse:

@@ -305,7 +305,7 @@ class CCNotConverged(RuntimeError):
 
 
 def cc_min_label(edges, max_rounds: int = 50, driver_threshold: int = 2_000_000,
-                 on_nonconverged: str = "raise"):
+                 on_nonconverged: str = "raise", as_dataset: bool = False):
     """Connected components by min-label propagation.
 
     ``edges`` is a Ray Dataset with int64 columns ``src``/``dst`` (or a
@@ -316,6 +316,11 @@ def cc_min_label(edges, max_rounds: int = 50, driver_threshold: int = 2_000_000,
     Dispatch: edge lists under ``driver_threshold`` rows run driver-side
     (vectorized pandas rounds — distributed groupby latency would
     dominate); larger ones run through `cc_min_label_distributed`.
+    For those large inputs pass ``as_dataset=True`` to receive the
+    label table as a Ray Dataset and attach it with
+    :func:`attach_labels_join` — the default pandas return collects a
+    per-dup-node table to the driver, which defeats the scale path the
+    dispatch just took (kept for small-result compatibility only).
     ``on_nonconverged``: 'raise' (default) raises CCNotConverged when
     max_rounds is exhausted before the fixpoint; 'warn' returns the
     partial labels with a warning."""
@@ -328,15 +333,20 @@ def cc_min_label(edges, max_rounds: int = 50, driver_threshold: int = 2_000_000,
         if n_edges > driver_threshold:
             labels = cc_min_label_distributed(
                 edges, max_rounds=max_rounds, on_nonconverged=on_nonconverged)
-            return labels.to_pandas()
+            return labels if as_dataset else labels.to_pandas()
         df = edges.to_pandas()
     elif hasattr(edges, "to_pandas"):
         df = edges.to_pandas()
     else:
         df = pd.DataFrame(edges)
     if df.empty:  # no duplicate pairs at all -> no labeled nodes
-        return pd.DataFrame({"node": pd.Series(dtype="int64"),
-                             "label": pd.Series(dtype="int64")})
+        empty = pd.DataFrame({"node": pd.Series(dtype="int64"),
+                              "label": pd.Series(dtype="int64")})
+        if as_dataset:
+            import ray.data as _rd
+
+            return _rd.from_pandas(empty)
+        return empty
     src = df["src"].to_numpy(dtype=np.int64)
     dst = df["dst"].to_numpy(dtype=np.int64)
     nodes = np.unique(np.concatenate([src, dst]))
@@ -360,6 +370,10 @@ def cc_min_label(edges, max_rounds: int = 50, driver_threshold: int = 2_000_000,
         _handle_nonconverged(max_rounds, on_nonconverged)
     out = label.reset_index()
     out.columns = ["node", "label"]
+    if as_dataset:
+        import ray.data as _rd
+
+        return _rd.from_pandas(out)
     return out
 
 
@@ -491,24 +505,46 @@ def jaccard_pairs(texts_a, texts_b, k: int = 5) -> np.ndarray:
     return out
 
 
-def lsh_candidate_pairs(bands, num_partitions: int = 16):
-    """Distinct candidate pairs (doc_a < doc_b) from LSH band
-    collisions: restrict the band rows to COLLIDING buckets (size>=2,
-    broadcast — the same small table lsh_partner_counts uses), emit
-    each bucket's pairs via groupby over that pruned subset, and
-    dedupe pairs that collide in several bands with one tiny groupby.
-    Returns a Dataset (doc_a, doc_b, n_bands)."""
-    import pandas as pd
+def colliding_bucket_sizes(bands):
+    """Bucket sizes restricted to COLLIDING buckets (size >= 2) — the
+    only ones that generate candidate pairs / partner counts.  One
+    groupby over the band rows; returns a Dataset (band_id, band_hash,
+    bucket_size).  Shared by lsh_partner_counts and
+    lsh_candidate_pairs so scale guards live in one place."""
     from ray.data.aggregate import Count
 
     def only_colliding(t: pa.Table) -> pa.Table:
         return t.filter(pc.greater_equal(t["bucket_size"], pa.scalar(2)))
 
-    sizes = (bands.groupby(["band_id", "band_hash"])
-             .aggregate(Count(alias_name="bucket_size"))
-             .map_batches(only_colliding, batch_format="pyarrow",
-                          batch_size=None)
-             .to_pandas())
+    return (bands.groupby(["band_id", "band_hash"])
+            .aggregate(Count(alias_name="bucket_size"))
+            .map_batches(only_colliding, batch_format="pyarrow",
+                         batch_size=None))
+
+
+def lsh_candidate_pairs(bands, num_partitions: int = 16,
+                        broadcast_threshold: int = 2_000_000):
+    """Distinct candidate pairs (doc_a < doc_b) from LSH band
+    collisions: restrict the band rows to COLLIDING buckets (size>=2,
+    broadcast), emit each bucket's pairs via groupby over that pruned
+    subset, and dedupe pairs that collide in several bands with one
+    tiny groupby.  Returns a Dataset (doc_a, doc_b, n_bands).
+
+    The colliding-bucket table is collected to the driver for the
+    broadcast; when it exceeds ``broadcast_threshold`` rows (heavily
+    duplicated corpora) this raises rather than OOM the driver —
+    shard the corpus (or lower the band count) before pairing."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    sizes_ds = colliding_bucket_sizes(bands).materialize()
+    n_dup = sizes_ds.count()
+    if n_dup > broadcast_threshold:
+        raise RuntimeError(
+            f"lsh_candidate_pairs: {n_dup} colliding buckets exceed the "
+            f"broadcast threshold ({broadcast_threshold}); shard the corpus "
+            f"before candidate pairing")
+    sizes = sizes_ds.to_pandas()
 
     def in_colliding(df: pd.DataFrame) -> pd.DataFrame:
         return df.merge(sizes[["band_id", "band_hash"]],

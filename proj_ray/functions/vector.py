@@ -231,18 +231,31 @@ def ivf_search_partitioned(index_dir: str, queries: np.ndarray, k: int = 10,
     Qn = _normalize_rows(queries.astype(np.float32))
     probe = np.argsort(-(Qn @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
     cells_union = sorted({int(c) for row in probe for c in row})
-    paths = []
+    per_cell = []
     for c in cells_union:
         d = os.path.join(index_dir, "cells", f"ivf_cell={c}")
-        if os.path.isdir(d):  # only probed partitions are ever listed
-            paths.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
-                         if f.endswith(".parquet"))
+        if not os.path.isdir(d):  # only probed partitions are listed
+            continue
+        files = [os.path.join(d, f) for f in sorted(os.listdir(d))
+                 if f.endswith(".parquet")]
+        if not files:
+            continue
+        cell_ds = rd.read_parquet(files, columns=[id_col, vec_col])
+
+        def tag(t: pa.Table, _c=c) -> pa.Table:
+            # the partition directory IS the cell assignment — no need
+            # to re-run the centroid matmul done at build time
+            return t.append_column("ivf_cell", pa.array(
+                np.full(t.num_rows, _c, dtype=np.int64), pa.int64()))
+
+        per_cell.append(cell_ds.map_batches(tag, batch_format="pyarrow",
+                                            batch_size=None))
     probe_sets = [set(p.tolist()) for p in probe]
 
     def part(b: pa.Table) -> pa.Table:
         M = batch_matrix(b, vec_col)
         ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        cells = ivf_assign(M, C)
+        cells = b["ivf_cell"].to_numpy(zero_copy_only=False)
         norms = np.linalg.norm(M, axis=1)
         norms = np.where(norms == 0, 1.0, norms)
         out_q, out_id, out_s = [], [], []
@@ -264,9 +277,13 @@ def ivf_search_partitioned(index_dir: str, queries: np.ndarray, k: int = 10,
                          "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
                          "sim": pa.array(np.concatenate(out_s), pa.float64())})
 
-    cand = (rd.read_parquet(paths, columns=[id_col, vec_col])
-            .map_batches(part, batch_format="pyarrow", batch_size=None)
-            if paths else None)
+    if per_cell:
+        src = per_cell[0]
+        if len(per_cell) > 1:
+            src = src.union(*per_cell[1:])
+        cand = src.map_batches(part, batch_format="pyarrow", batch_size=None)
+    else:
+        cand = None
     schema = pa.schema([("qj", pa.int64()), ("vec_id", pa.int64()),
                         ("sim", pa.float64())])
     if cand is None:

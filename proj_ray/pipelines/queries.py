@@ -1269,29 +1269,23 @@ def lsh_partner_counts(bands, num_partitions: int = 16,
     duplicated corpora) the scale-safe hash join runs instead.  Either
     way no driver-side structure grows with the corpus — only with the
     number of colliding buckets, and only below the threshold."""
-    from ray.data.aggregate import Count, Max, Sum
+    from ray.data.aggregate import Max, Sum
 
-    from ..functions.dedup import _adaptive_partitions
+    from ..functions.dedup import _adaptive_partitions, colliding_bucket_sizes
 
     bands = bands.materialize()  # consumed twice (sizes + partner scan)
-
-    def only_colliding(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater_equal(t["bucket_size"], pa.scalar(2)))
-
-    sizes = (bands.groupby(["band_id", "band_hash"])
-             .aggregate(Count(alias_name="bucket_size"))
-             .map_batches(only_colliding, batch_format="pyarrow",
-                          batch_size=None)
-             .materialize())
+    sizes = colliding_bucket_sizes(bands).materialize()
     n_dup_buckets = sizes.count()
 
     if n_dup_buckets <= broadcast_threshold:
         dup = sizes.to_pandas()  # only COLLIDING buckets, broadcast
 
-        # each doc's band rows are emitted contiguously into ONE block
-        # by minhash_bands_batch, so the per-doc SUM/MAX combines rows
-        # that are already co-located — the whole reduction happens
-        # inside map_batches with NO per-doc shuffle at all.
+        # per-batch partial SUM/MAX (16 band rows -> 1 row per doc seen
+        # in the batch), then a final groupby to merge docs whose band
+        # rows straddle a block boundary — Ray's dynamic block
+        # splitting does not guarantee a doc's rows stay in one block
+        # at scale, so the partials MUST be combinable (Sum of sums,
+        # Max of maxes are).
         def partners(df: pd.DataFrame) -> pd.DataFrame:
             m = df.merge(dup, on=["band_id", "band_hash"], how="left")
             m["partners"] = m["bucket_size"].fillna(1).astype(np.int64) - 1
@@ -1302,8 +1296,12 @@ def lsh_partner_counts(bands, num_partitions: int = 16,
                              "collision_partners": np.int64,
                              "max_bucket_partners": np.int64})
 
-        return bands.map_batches(partners, batch_format="pandas",
-                                 batch_size=None)
+        per_batch = bands.map_batches(partners, batch_format="pandas",
+                                      batch_size=None)
+        return per_batch.groupby("doc_id").aggregate(
+            Sum("collision_partners", alias_name="collision_partners"),
+            Max("max_bucket_partners", alias_name="max_bucket_partners"),
+        )
 
     # heavily-duplicated corpora: scale-safe hash join (the join
     # shuffle destroys doc locality, so a per-doc groupby follows)

@@ -35,7 +35,13 @@ def watermark_filter(ds, ts_col: str, arrival_col: str, delay_us: int,
     """Return ``ds`` sorted by ``arrival_col`` with late rows dropped
     (or, when ``keep_col`` is given, all rows kept and a boolean
     on-time flag appended).  ``ts_col`` must be int64 epoch-us (cast
-    timestamps upstream)."""
+    timestamps upstream).
+
+    ``arrival_col`` values must be UNIQUE: the per-block carry is keyed
+    by each block's first arrival value, so a duplicate key straddling
+    a block boundary would seed the wrong watermark — that case is
+    detected from the block partials and raises instead of silently
+    misclassifying rows."""
     ordered = ds.sort(arrival_col).materialize()
 
     def partial(t: pa.Table) -> pa.Table:
@@ -43,12 +49,19 @@ def watermark_filter(ds, ts_col: str, arrival_col: str, delay_us: int,
         ts = t[ts_col].to_numpy(zero_copy_only=False)
         return pa.table({
             "blk_min_arr": pa.array([int(arr.min())], pa.int64()),
+            "blk_max_arr": pa.array([int(arr.max())], pa.int64()),
             "blk_max_ts": pa.array([int(ts.max())], pa.int64()),
         })
 
     parts = (ordered.map_batches(partial, batch_format="pyarrow",
                                  batch_size=None)
              .to_pandas().sort_values("blk_min_arr"))
+    mins = parts["blk_min_arr"].to_numpy(np.int64)
+    maxs_arr = parts["blk_max_arr"].to_numpy(np.int64)
+    if len(mins) > 1 and (mins[1:] <= maxs_arr[:-1]).any():
+        raise ValueError(
+            f"watermark_filter: duplicate {arrival_col!r} values straddle "
+            f"a block boundary; the arrival key must be unique")
     maxes = parts["blk_max_ts"].to_numpy(np.int64)
     carry = np.concatenate([[_NEG_INF],
                             np.maximum.accumulate(maxes)[:-1]])
