@@ -463,12 +463,17 @@ class ParamList:
         return int(float(v))
 
     def get_b(self, key: str) -> bool:
-        # pj_param 'b': bare key or T/t => True; F/f => False
+        # pj_param 'b' (src/pj_param.c:72-84): bare key or T/t => True;
+        # F/f => False; anything else is errno -8
         if key not in self._d:
             return False
         self.used.add(key)
         v = self._d[key]
-        return v == "" or v[0] in "Tt"
+        if v == "" or v[0] in "Tt":
+            return True
+        if v[0] in "Ff":
+            return False
+        raise ValueError(f"invalid boolean parameter argument +{key}={v} (-8)")
 
     def keys(self):
         return self._d.keys()
