@@ -1257,54 +1257,55 @@ def doc_fingerprint(sf_dir):
     return out.map_batches(tostr, batch_format="pyarrow")
 
 
-def lsh_partner_counts(bands, num_partitions: int = 16,
+def lsh_partner_counts(bands, docs=None, num_partitions: int = 16,
                        broadcast_threshold: int = 2_000_000):
     """Per-doc LSH collision-partner counts, fully distributed.
 
-    Bucket sizes come from one groupby(band_id, band_hash) Count.  Only
-    buckets of size >= 2 contribute partners, and that COLLIDING-bucket
-    table is usually tiny relative to the corpus — when it is under
-    ``broadcast_threshold`` rows it is broadcast (ray.put-style closure)
-    and looked up inside map_batches; above the threshold (heavily
-    duplicated corpora) the scale-safe hash join runs instead.  Either
-    way no driver-side structure grows with the corpus — only with the
-    number of colliding buckets, and only below the threshold."""
+    Bucket sizes come from one groupby(band_id, band_hash) Count over
+    the band rows; only buckets of size >= 2 contribute partners.
+
+    Fast path (``docs`` given, colliding table under
+    ``broadcast_threshold``): the colliding-bucket table broadcasts and
+    a SECOND pass over the documents recomputes each batch's band rows
+    IN-UDF, merges the sizes and reduces to one row per doc — a doc's
+    16 band rows never leave the UDF invocation, so there is no
+    block-straddling hazard and no per-doc shuffle at all (signatures
+    are computed twice; they are cheap vectorized passes).
+
+    Fallback (huge colliding table, or no ``docs``): scale-safe hash
+    join of sizes onto the band rows + per-doc groupby."""
     from ray.data.aggregate import Max, Sum
 
     from ..functions.dedup import _adaptive_partitions, colliding_bucket_sizes
 
-    bands = bands.materialize()  # consumed twice (sizes + partner scan)
     sizes = colliding_bucket_sizes(bands).materialize()
     n_dup_buckets = sizes.count()
 
-    if n_dup_buckets <= broadcast_threshold:
+    if docs is not None and n_dup_buckets <= broadcast_threshold:
         dup = sizes.to_pandas()  # only COLLIDING buckets, broadcast
 
-        # per-batch partial SUM/MAX (16 band rows -> 1 row per doc seen
-        # in the batch), then a final groupby to merge docs whose band
-        # rows straddle a block boundary — Ray's dynamic block
-        # splitting does not guarantee a doc's rows stay in one block
-        # at scale, so the partials MUST be combinable (Sum of sums,
-        # Max of maxes are).
-        def partners(df: pd.DataFrame) -> pd.DataFrame:
+        def per_doc(t: pa.Table) -> pa.Table:
+            from ..functions.dedup import minhash_bands_batch as _mbb
+
+            b = _mbb(t)
+            df = b.to_pandas()
             m = df.merge(dup, on=["band_id", "band_hash"], how="left")
             m["partners"] = m["bucket_size"].fillna(1).astype(np.int64) - 1
             g = m.groupby("doc_id", as_index=False).agg(
                 collision_partners=("partners", "sum"),
                 max_bucket_partners=("partners", "max"))
-            return g.astype({"doc_id": np.int64,
-                             "collision_partners": np.int64,
-                             "max_bucket_partners": np.int64})
+            return pa.Table.from_pandas(
+                g.astype({"doc_id": np.int64,
+                          "collision_partners": np.int64,
+                          "max_bucket_partners": np.int64}),
+                preserve_index=False)
 
-        per_batch = bands.map_batches(partners, batch_format="pandas",
-                                      batch_size=None)
-        return per_batch.groupby("doc_id").aggregate(
-            Sum("collision_partners", alias_name="collision_partners"),
-            Max("max_bucket_partners", alias_name="max_bucket_partners"),
-        )
+        return docs.map_batches(per_doc, batch_format="pyarrow",
+                                batch_size=None)
 
-    # heavily-duplicated corpora: scale-safe hash join (the join
-    # shuffle destroys doc locality, so a per-doc groupby follows)
+    # heavily-duplicated corpora (or pre-built band rows only): the
+    # scale-safe hash join; the join shuffle destroys doc locality, so
+    # a per-doc groupby follows
     joined = bands.join(sizes, join_type="left_outer",
                         num_partitions=_adaptive_partitions(num_partitions),
                         on=("band_id", "band_hash"))
@@ -1328,12 +1329,13 @@ def lsh_partner_counts(bands, num_partitions: int = 16,
 def minhash_lsh_candidates(sf_dir):
     """MinHash+LSH near-dup detection: signature per doc (vectorized
     across the batch) -> explode to (band_id, band_hash, doc) rows ->
-    distributed bucket-size groupby + join back -> per-doc partner
-    counts. The classic shingle->minhash->band shuffle, driver-free."""
+    distributed bucket-size groupby -> per-doc partner counts via the
+    fused second documents pass. The classic shingle->minhash->band
+    shuffle, driver-free."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     bands = ds.map_batches(lambda t: minhash_bands_batch(t), batch_format="pyarrow",
                            batch_size=None)
-    out = lsh_partner_counts(bands)
+    out = lsh_partner_counts(bands, docs=ds)
     return _sorted_pdf(out, ["doc_id"])
 
 
