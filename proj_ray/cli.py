@@ -43,16 +43,18 @@ def _split_args(argv):
             if a in ("-f", "-F", "-T", "-e", "-m"):  # flags with value
                 flags[a] = argv[i + 1]
                 i += 1
-            elif a.startswith("-w") and a[2:].isdigit():
-                # -w<n>: DMS seconds precision (proj.c/cs2cs.c)
-                flags["-w"] = int(a[2:])
-            elif a.startswith("-W") and a[2:].isdigit():
-                # -W<n>: constant-width DMS fields (set_rtodms con_w)
-                flags["-w"] = int(a[2:])
-                flags["-Wfixed"] = True
-            elif a in ("-w", "-W"):
-                # reference: emess(1, "-W argument missing or non-digit")
-                print(f"{a} argument missing or non-digit", file=sys.stderr)
+            elif a.startswith(("-w", "-W")):
+                if a[2:].isdigit():
+                    # -w<n>: DMS seconds precision; -W<n>: constant-width
+                    # DMS fields (set_rtodms con_w) (proj.c:378-384)
+                    flags["-w"] = int(a[2:])
+                    if a[1] == "W":
+                        flags["-Wfixed"] = True
+                else:
+                    # reference aborts: emess(1, "-W argument missing or
+                    # non-digit") (proj.c:384, cs2cs.c:274, geod.c:165)
+                    print("-W argument missing or non-digit", file=sys.stderr)
+                    raise SystemExit(1)
             else:
                 flags[a] = True
         i += 1

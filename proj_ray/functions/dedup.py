@@ -482,6 +482,44 @@ def attach_labels_join(ds, labels_ds, id_col: str = "doc_id",
     return joined.map_batches(fin, batch_format="pyarrow", batch_size=None)
 
 
+def attach_clusters(ds, edges, id_col: str = "doc_id",
+                    broadcast_threshold: int = 5_000_000,
+                    num_partitions: int = 16, max_rounds: int = 50,
+                    path: str | None = None):
+    """Label every row of ``ds`` with its dedup-cluster representative:
+    cc_min_label over ``edges`` then a size-dispatched attach.
+
+    - broadcast (label count <= ``broadcast_threshold``): the (node,
+      label) table rides to every task, vectorized searchsorted attach —
+      fine while the DUPLICATED-doc count is small;
+    - join (the 100 TB path): :func:`attach_labels_join` hash-joins the
+      corpus id column against the label Dataset, nothing
+      dup-count-proportional on the driver.
+
+    Returns a Dataset (id_col, cluster); singletons keep their own id.
+    ``path`` forces 'broadcast' or 'join' (parity tests)."""
+    labels_ds = cc_min_label(edges, max_rounds=max_rounds, as_dataset=True)
+    labels_ds = labels_ds.materialize()
+    if path is None:
+        path = ("broadcast" if labels_ds.count() <= broadcast_threshold
+                else "join")
+
+    ids_only = ds.select_columns([id_col])
+    if path == "broadcast":
+        labels = labels_ds.to_pandas()
+
+        def attach(t: pa.Table) -> pa.Table:
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            clu = attach_labels(ids, labels)
+            return pa.table({id_col: pa.array(ids, pa.int64()),
+                             "cluster": pa.array(clu, pa.int64())})
+
+        return ids_only.map_batches(attach, batch_format="pyarrow",
+                                    batch_size=None)
+    return attach_labels_join(ids_only, labels_ds, id_col=id_col,
+                              num_partitions=num_partitions)
+
+
 def jaccard_pairs(texts_a, texts_b, k: int = 5) -> np.ndarray:
     """Exact k-shingle Jaccard for a batch of candidate pairs.
 
@@ -565,6 +603,70 @@ def lsh_candidate_pairs(bands, num_partitions: int = 16,
         per_bucket, batch_format="pandas")
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(
         Count(alias_name="n_bands"))
+
+
+def keep_first_filter(ds, id_col="doc_id", text_col="text",
+                      broadcast_threshold: int = 5_000_000,
+                      num_partitions: int = 16, path: str | None = None):
+    """Exact-dedup survivor FILTER: keep the min ``id_col`` of each
+    equal-``text_col`` group.  Returns a Dataset with just ``id_col``.
+
+    Two passes over the corpus build the keeper set as (hash, id) pairs
+    -> groupby(hash).min — the shuffle never moves text.  Attaching the
+    keeper set back is size-dispatched:
+
+    - broadcast (keeper count <= ``broadcast_threshold``): the int64
+      keeper ids collect to the driver and every task filters by
+      vectorized searchsorted membership — fastest at bench scale, but
+      the keeper count equals the number of UNIQUE documents, so it is
+      corpus-proportional and must not be the only path.
+    - semi-join (the 100 TB path): ``Dataset.join`` of the id column
+      against the keepers Dataset — nothing corpus-proportional ever
+      reaches the driver.
+
+    ``path`` forces 'broadcast' or 'join' (parity tests); default
+    dispatches on the keeper count."""
+    from ray.data.aggregate import Min
+
+    def hash_ids(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "text_hash": pa.array(text_hash64(t[text_col]).astype(np.int64),
+                                  pa.int64()),
+            id_col: pc.cast(t[id_col], pa.int64()),
+        })
+
+    hashed = ds.map_batches(hash_ids, batch_format="pyarrow", batch_size=None)
+    keepers_ds = (hashed.groupby("text_hash")
+                  .aggregate(Min(id_col, alias_name=id_col))
+                  .select_columns([id_col])
+                  .materialize())
+
+    if path is None:
+        path = ("broadcast" if keepers_ds.count() <= broadcast_threshold
+                else "join")
+    ids_only = ds.select_columns([id_col])
+
+    if path == "broadcast":
+        keepers = keepers_ds.to_pandas()[id_col].to_numpy(np.int64)
+        keepers.sort()
+
+        def keep(t: pa.Table) -> pa.Table:
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(keepers, ids)
+            pos_c = np.minimum(pos, max(keepers.size - 1, 0))
+            m = (keepers[pos_c] == ids) if keepers.size else np.zeros(
+                ids.size, bool)
+            return pa.table({id_col: pa.array(ids[m], pa.int64())})
+
+        return ids_only.map_batches(keep, batch_format="pyarrow",
+                                    batch_size=None)
+
+    # semi-join: keeper ids are unique (one per content group) and each
+    # corpus id is unique, so the inner join emits exactly the survivors
+    joined = ids_only.join(keepers_ds, join_type="inner",
+                           num_partitions=_adaptive_partitions(num_partitions),
+                           on=(id_col,))
+    return joined.select_columns([id_col])
 
 
 def exact_dup_edges(ds, id_col="doc_id", hash_col="text_hash"):

@@ -101,14 +101,11 @@ def flagship_pipeline(sf_dir: str, zoom: int = 12, agg_zoom: int = 4,
 
     partials = joined.map_batches(partial, batch_format="pandas", batch_size=None)
     # final combine: the key space (cells at agg_zoom x polygons) is tiny,
-    # so the all-to-all groupby shuffle (seconds of fixed latency) is
-    # replaced by a driver-side reduce over the small partials — the
-    # low-cardinality branch of the two-phase aggregate. High-cardinality
-    # aggregates keep the groupby path (see queries.tile_agg).
-    chunks = [b for b in partials.iter_batches(batch_size=None, batch_format="pandas")]
-    if not chunks:
-        return pd.DataFrame(columns=["parent_cell", "polygon_id", "n_points", "min_pid"])
-    allp = pd.concat(chunks, ignore_index=True)
-    out = allp.groupby(["parent_cell", "polygon_id"], as_index=False).agg(
-        n_points=("n_points", "sum"), min_pid=("min_pid", "min"))
-    return out
+    # so below the size threshold the all-to-all groupby shuffle (seconds
+    # of fixed latency) is replaced by a driver-side reduce over the small
+    # partials; past it (#blocks x cardinality at 100 TB scale) the same
+    # helper falls back to the distributed groupby (stages.agg).
+    from ..stages.agg import combine_partials
+
+    return combine_partials(partials, ["parent_cell", "polygon_id"],
+                            {"n_points": "sum", "min_pid": "min"})

@@ -126,15 +126,15 @@ def q1_pricing_summary(sf_dir):
         return tmp.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
 
     partials = ds.map_batches(partial, batch_format="pandas", batch_size=None)
-    # final combine on the driver: the partial stream is bounded by
-    # (#blocks x 6 flag/status groups) — never corpus-proportional —
-    # and skips the distributed groupby's fixed shuffle latency (the
-    # same bounded-combine pattern as pipelines/flagship.py)
-    parts = pd.concat(partials.iter_batches(batch_size=None,
-                                            batch_format="pandas"),
-                      ignore_index=True)
-    out = parts.groupby(["l_returnflag", "l_linestatus"],
-                        as_index=False).sum()
+    # size-dispatched final combine (stages.agg.combine_partials):
+    # driver reduce below the threshold (partial stream is #blocks x 6
+    # groups), distributed groupby past it — no unbounded driver concat
+    from ..stages.agg import combine_partials
+
+    out = combine_partials(
+        partials, ["l_returnflag", "l_linestatus"],
+        {"sum_qty_cents": "sum", "sum_base_cents": "sum",
+         "sum_disc_cents2": "sum", "count_order": "sum"})
     return _sorted_pdf(out, ["l_returnflag", "l_linestatus"])
 
 
@@ -758,14 +758,13 @@ def tile_agg(sf_dir):
             min_pid=("min_pid", "min"))
 
     partials = tiled.map_batches(partial, batch_format="pandas", batch_size=None)
-    # bounded driver combine: <= 256 zoom-4 parent cells per block row
-    # (see q1_pricing_summary for the rationale)
-    parts = pd.concat(partials.iter_batches(batch_size=None,
-                                            batch_format="pandas"),
-                      ignore_index=True)
-    out = parts.groupby("parent_cell", as_index=False).agg(
-        n_points=("n_points", "sum"), sum_lon_centi=("sum_lon_centi", "sum"),
-        min_pid=("min_pid", "min"))
+    # size-dispatched final combine: <= 256 zoom-4 parent cells per
+    # block; distributed groupby past the threshold (stages.agg)
+    from ..stages.agg import combine_partials
+
+    out = combine_partials(
+        partials, ["parent_cell"],
+        {"n_points": "sum", "sum_lon_centi": "sum", "min_pid": "min"})
     return _sorted_pdf(out, ["parent_cell"])
 
 
@@ -1258,8 +1257,13 @@ def doc_fingerprint(sf_dir):
 
 
 def lsh_partner_counts(bands, docs=None, num_partitions: int = 16,
-                       broadcast_threshold: int = 2_000_000):
+                       broadcast_threshold: int = 2_000_000,
+                       num_perm: int = 64, bands_n: int = 16, k: int = 5):
     """Per-doc LSH collision-partner counts, fully distributed.
+
+    ``num_perm``/``bands_n``/``k`` MUST match the parameters used to
+    build ``bands`` — the fast path recomputes band rows in-UDF with
+    these values, so a mismatch would silently count wrong buckets.
 
     Bucket sizes come from one groupby(band_id, band_hash) Count over
     the band rows; only buckets of size >= 2 contribute partners.
@@ -1287,7 +1291,7 @@ def lsh_partner_counts(bands, docs=None, num_partitions: int = 16,
         def per_doc(t: pa.Table) -> pa.Table:
             from ..functions.dedup import minhash_bands_batch as _mbb
 
-            b = _mbb(t)
+            b = _mbb(t, num_perm=num_perm, bands=bands_n, k=k)
             df = b.to_pandas()
             m = df.merge(dup, on=["band_id", "band_hash"], how="left")
             m["partners"] = m["bucket_size"].fillna(1).astype(np.int64) - 1
@@ -1348,38 +1352,16 @@ def minhash_lsh_candidates(sf_dir):
 )
 def dedup_keep_first(sf_dir):
     """The dedup FILTER itself (not just group counts): survivors =
-    min doc_id per exact content group.  Two passes: hash + tiny
-    groupby-min produces the keeper set (one small int64 column),
-    which broadcasts back into a vectorized membership filter — the
-    corpus streams through twice, no driver text."""
+    min doc_id per exact content group, via the size-dispatched
+    functions.dedup.keep_first_filter — keeper-id broadcast below the
+    threshold, distributed semi-join above it (the 100 TB path; the
+    keeper count is corpus-proportional, so broadcast alone would be an
+    unbounded driver materialization).  Parity between the two paths is
+    pytest-proven (tests/test_dedup_distributed.py)."""
+    from ..functions.dedup import keep_first_filter
+
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def hash_ids(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "text_hash": pa.array(text_hash64(t["text"]).astype(np.int64),
-                                  pa.int64()),
-            "doc_id": pc.cast(t["doc_id"], pa.int64()),
-        })
-
-    from ray.data.aggregate import Min
-
-    from ..functions.dedup import text_hash64
-
-    hashed = ds.map_batches(hash_ids, batch_format="pyarrow", batch_size=None)
-    keepers = (hashed.groupby("text_hash")
-               .aggregate(Min("doc_id", alias_name="doc_id"))
-               .to_pandas()["doc_id"].to_numpy(np.int64))
-    keepers.sort()
-
-    def keep(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        pos = np.searchsorted(keepers, ids)
-        pos_c = np.minimum(pos, keepers.size - 1)
-        m = keepers[pos_c] == ids
-        return pa.table({"doc_id": pa.array(ids[m], pa.int64())})
-
-    return ds.select_columns(["doc_id"]).map_batches(
-        keep, batch_format="pyarrow", batch_size=None)
+    return keep_first_filter(ds)
 
 
 @query(
@@ -1825,7 +1807,7 @@ _WM_MOD = 33554467  # prime > any event_id range => arrival key is unique
     "windowed_watermark_agg",
     sql=f"""
     WITH a AS (
-      SELECT event_type, (event_id * 104729) % {_WM_MOD} AS arr,
+      SELECT event_type, ((event_id % {_WM_MOD}) * 104729) % {_WM_MOD} AS arr,
              epoch_us(ts) AS tu
       FROM events
     ), w AS (
@@ -1858,9 +1840,12 @@ def windowed_watermark_agg(sf_dir):
         eid = t["event_id"].to_numpy(zero_copy_only=False)
         tu = t["ts"].to_numpy(zero_copy_only=False).astype(
             "datetime64[us]").astype(np.int64)
+        # reduce mod _WM_MOD BEFORE multiplying: (eid % M) * 104729 stays
+        # far inside int64 for any event_id, where eid * 104729 would
+        # silently wrap for eid > ~88e12 (and the SQL oracle would not)
         return pa.table({
             "event_type": t["event_type"],
-            "arr": pa.array(eid * 104729 % _WM_MOD, pa.int64()),
+            "arr": pa.array((eid % _WM_MOD) * 104729 % _WM_MOD, pa.int64()),
             "tu": pa.array(tu, pa.int64()),
         })
 
@@ -1954,6 +1939,67 @@ def segment_acctbal_median(sf_dir):
     return ds.groupby("c_mktsegment").map_groups(per_seg, batch_format="pandas")
 
 
+@query(
+    "segment_acctbal_p90",
+    sql="""
+    SELECT c_mktsegment,
+           CAST(floor(quantile_cont(c_acctbal, 0.9) * 1000.0 + 0.5) AS BIGINT)
+             AS p90_milli,
+           COUNT(*) AS n_customers
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def segment_acctbal_p90(sf_dir):
+    """Holistic per-group quantile through the 100-TB MERGEABLE-SKETCH
+    path (unlike segment_acctbal_median's whole-group shuffle): money is
+    a discrete domain (exact cents), so the sketch is a SPARSE HISTOGRAM
+    — per-batch (segment, cents, n) counts, merged by a distributed
+    groupby-sum whose cardinality is bounded by |domain| x |segments|
+    (~5.5M rows), NEVER corpus-proportional.  The driver reconstructs
+    the exact order statistics from the merged histogram, so the result
+    equals quantile_cont bit-for-bit after milli rounding: with
+    0-based rank r = 0.9*(n-1) = (10*lo + k)/10, the interpolated value
+    x satisfies x*1000 = cents_lo*10 + k*(cents_hi - cents_lo) — an
+    exact int64 (the continuous-range variant of this sketch is
+    functions.sketch.HistogramSketch / TDigest, pytest-verified with
+    error bounds; this query gates the same map-partial -> mergeable
+    -> tiny-final shape with an exact oracle)."""
+    ds = read_table(sf_dir, "customer", columns=["c_mktsegment", "c_acctbal"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        tmp = pd.DataFrame({
+            "c_mktsegment": df["c_mktsegment"].to_numpy(),
+            "cents": _cents(df["c_acctbal"].to_numpy()),
+            "n": 1,
+        })
+        return tmp.groupby(["c_mktsegment", "cents"], as_index=False).sum()
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=None)
+    from ray.data.aggregate import Sum
+
+    hist = (partials.groupby(["c_mktsegment", "cents"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas())  # bounded by domain x segments, not corpus
+    rows = []
+    for seg, g in hist.groupby("c_mktsegment"):
+        g = g.sort_values("cents")
+        c = g["cents"].to_numpy(np.int64)
+        w = g["n"].to_numpy(np.int64)
+        n = int(w.sum())
+        lo_rank, k = divmod(9 * (n - 1), 10)
+        cum = np.cumsum(w)
+        v_lo = int(c[np.searchsorted(cum, lo_rank, side="right")])
+        if k == 0:
+            milli = v_lo * 10
+        else:
+            v_hi = int(c[np.searchsorted(cum, lo_rank + 1, side="right")])
+            milli = v_lo * 10 + k * (v_hi - v_lo)
+        rows.append((seg, milli, n))
+    out = pd.DataFrame(rows, columns=["c_mktsegment", "p90_milli",
+                                      "n_customers"])
+    return _sorted_pdf(out, ["c_mktsegment"])
+
+
 @query("ann_ivf_topk", sql=_golden_sql("ann_ivf_topk_sf001.parquet"))
 def ann_ivf_topk_query(sf_dir):
     """IVF-bucketed ANN (second scale path next to ann_lsh_buckets):
@@ -1982,6 +2028,46 @@ def ann_ivf_topk_query(sf_dir):
     return out.select(["qid", "vec_id", "rank"])
 
 
+@query("ann_ivf_partitioned", sql=_golden_sql("ann_ivf_topk_sf001.parquet"))
+def ann_ivf_partitioned(sf_dir):
+    """The partitioned IVF index END-TO-END (the true 100-TB ANN path):
+    ``ivf_build_index`` writes the embeddings as one parquet partition
+    per coarse cell (also the resumable layout — a failed build re-runs
+    only missing cells), ``ivf_search_partitioned`` computes each
+    query's nprobe cells and READS ONLY those partitions — pruning at
+    the I/O layer, the unprobed corpus share never leaves storage.
+    Same sample/centroids/probe count as ann_ivf_topk, so the oracle is
+    the SAME golden table the masked-scan query matches — the two
+    independent executions (single-pass masked scan vs partitioned
+    build+pruned read) must agree row-for-row."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    import duckdb as _dd
+
+    from ..functions.vector import (ivf_build_index, ivf_search_partitioned,
+                                    kmeans_cosine)
+
+    con = _dd.connect()
+    qv = con.sql(f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+                 f"WHERE vec_id IN (0, 1, 2) ORDER BY vec_id").fetchall()
+    sv = con.sql(f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+                 f"WHERE vec_id % 7 = 0 ORDER BY vec_id LIMIT 1024").fetchall()
+    con.close()
+    Q = np.array([list(r[0]) for r in qv], dtype=np.float32)
+    S = np.array([list(r[0]) for r in sv], dtype=np.float32)
+    C = kmeans_cosine(S, 16)  # same quantizer as ann_ivf_topk
+
+    tag = hashlib.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    idx_dir = _os.path.join(tempfile.gettempdir(), f"proj_ray_ivf_{tag}")
+    shutil.rmtree(idx_dir, ignore_errors=True)  # no stale partitions
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ivf_build_index(ds, idx_dir, C)
+    out = ivf_search_partitioned(idx_dir, Q, k=10, nprobe=8)
+    return out.select(["qid", "vec_id", "rank"])
+
+
 @query(
     "dedup_clusters",
     sql="""
@@ -1999,11 +2085,11 @@ def dedup_clusters(sf_dir):
     every doc labeled with its component representative (min doc_id).
     The edge list is sub-linear in the corpus, so propagation shuffles
     only edges; the corpus is touched once for hashing and once for the
-    final broadcast join.  The same cc_min_label machinery clusters LSH
-    near-dup candidates (rows-only there — SQL cannot express MinHash
-    banding)."""
-    from ..functions.dedup import (attach_labels, cc_min_label,
-                                   exact_dup_edges, text_hash64)
+    final label attach (size-dispatched: broadcast below the threshold,
+    distributed hash join above — functions.dedup.attach_clusters).
+    The same cc_min_label machinery clusters LSH near-dup candidates
+    (rows-only there — SQL cannot express MinHash banding)."""
+    from ..functions.dedup import attach_clusters, exact_dup_edges, text_hash64
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -2016,16 +2102,7 @@ def dedup_clusters(sf_dir):
     hashed = ds.map_batches(hash_prefix, batch_format="pyarrow",
                             batch_size=None)
     edges = exact_dup_edges(hashed)
-    labels = cc_min_label(edges)  # small: only docs with >=1 duplicate
-
-    def attach(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        # singleton components keep their own id (vectorized lookup)
-        clu = attach_labels(ids, labels)
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "cluster": pa.array(clu, pa.int64())})
-
-    return ds.map_batches(attach, batch_format="pyarrow", batch_size=None)
+    return attach_clusters(ds, edges)
 
 
 @query("minhash_dedup_clusters",
@@ -2033,8 +2110,9 @@ def dedup_clusters(sf_dir):
 def minhash_dedup_clusters(sf_dir):
     """Near-dup clustering: LSH band buckets -> same-bucket star edges
     -> cc_min_label components.  Returns each doc's cluster id (min
-    doc_id of its near-dup component; singletons keep their own id)."""
-    from ..functions.dedup import attach_labels, cc_min_label, minhash_bands_batch
+    doc_id of its near-dup component; singletons keep their own id).
+    Label attach is size-dispatched (broadcast / distributed join)."""
+    from ..functions.dedup import attach_clusters, minhash_bands_batch
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     bands = ds.map_batches(lambda t: minhash_bands_batch(t),
@@ -2049,13 +2127,4 @@ def minhash_dedup_clusters(sf_dir):
 
     edges = bands.groupby(["band_id", "band_hash"]).map_groups(
         per_bucket, batch_format="pandas")
-    labels = cc_min_label(edges)
-
-    def attach(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        clu = attach_labels(ids, labels)
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "cluster": pa.array(clu, pa.int64())})
-
-    return ds.select_columns(["doc_id"]).map_batches(
-        attach, batch_format="pyarrow", batch_size=None)
+    return attach_clusters(ds, edges)

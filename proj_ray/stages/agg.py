@@ -43,3 +43,46 @@ def partial_group_sums(ds, key_cols, sum_cols, count_col="n", batch_size=None,
 
     aggs = [Sum(c, alias_name=c) for c in sum_cols] + [Sum(count_col, alias_name=count_col)]
     return partials.groupby(key_cols).aggregate(*aggs)
+
+
+def combine_partials(partials, key_cols, agg_spec,
+                     driver_threshold: int = 2_000_000,
+                     path: str | None = None) -> pd.DataFrame:
+    """Size-dispatched FINAL combine of a pre-reduced partial stream.
+
+    ``partials`` is a Dataset whose blocks each hold at most
+    key-cardinality rows (the output of a per-batch combine), so its
+    total row count is #blocks x cardinality — bounded, but NOT
+    constant: at ~10^6 blocks a low-cardinality pipeline still
+    approaches 10^9 partial rows, too many to concat on the driver.
+
+    - driver path (partial count <= ``driver_threshold``): concat
+      ``iter_batches`` + one pandas groupby — skips the distributed
+      groupby's fixed multi-second shuffle latency (the right branch
+      for bench-scale runs);
+    - distributed path: ``groupby(keys).aggregate`` — the 100 TB
+      branch; only the final key-cardinality-bounded result reaches
+      the driver.
+
+    ``agg_spec``: {col: 'sum' | 'min' | 'max'}.  ``path`` forces
+    'driver' or 'distributed' (parity tests).  Returns a pandas frame
+    (unsorted; callers order it)."""
+    key_cols = list(key_cols)
+    mat = partials.materialize()
+    if path is None:
+        path = "driver" if mat.count() <= driver_threshold else "distributed"
+
+    if path == "driver":
+        chunks = list(mat.iter_batches(batch_size=None, batch_format="pandas"))
+        if not chunks:
+            return pd.DataFrame(columns=key_cols + list(agg_spec))
+        allp = pd.concat(chunks, ignore_index=True)
+        return allp.groupby(key_cols, as_index=False).agg(
+            **{c: (c, op) for c, op in agg_spec.items()})
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    _AGG = {"sum": Sum, "min": Min, "max": Max}
+    aggs = [_AGG[op](c, alias_name=c) for c, op in agg_spec.items()]
+    out = mat.groupby(key_cols).aggregate(*aggs).to_pandas()
+    return out[key_cols + list(agg_spec)]

@@ -69,9 +69,21 @@ def watermark_filter(ds, ts_col: str, arrival_col: str, delay_us: int,
                          carry.tolist()))
 
     def late_filter(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # empty block: nothing to classify
+            return t
         arr = t[arrival_col].to_numpy(zero_copy_only=False)
         ts = t[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        seed = carry_map[int(arr.min())]
+        try:
+            seed = carry_map[int(arr.min())]
+        except KeyError:
+            # pass-2 batches must be exactly the pass-1 blocks (batch_size
+            # =None over the same materialized dataset); a re-blocking
+            # between the passes breaks the carry seeding
+            raise KeyError(
+                f"watermark_filter: pass-2 batch starting at "
+                f"{arrival_col}={int(arr.min())} is not a pass-1 block "
+                f"boundary; the two passes must see identical blocks "
+                f"(batch_size=None over the same materialized dataset)")
         # watermark BEFORE each row: running max over strictly prior
         prior = np.maximum.accumulate(
             np.concatenate([[seed], ts[:-1]]))

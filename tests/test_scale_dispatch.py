@@ -1,0 +1,135 @@
+"""Parity between the bench-scale (driver/broadcast) and 100-TB
+(distributed join / groupby) branches of every size-dispatched
+operator: forcing either path must produce identical results.
+
+Covers VERDICT round-2 items 2/3/9: keep_first_filter semi-join,
+combine_partials distributed fallback, attach_clusters join attach."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _docs_ds(n=300, dup_every=3):
+    """Synthetic docs with exact duplicate groups of size ``dup_every``."""
+    import ray.data as rd
+
+    ids = np.arange(n, dtype=np.int64)
+    texts = [f"document body number {i // dup_every} with shared content"
+             for i in ids]
+    return rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                                   "text": pa.array(texts, pa.string())}))
+
+
+def _sorted(df, by):
+    if not isinstance(df, pd.DataFrame):
+        df = df.to_pandas()
+    return df.sort_values(by).reset_index(drop=True)
+
+
+def test_keep_first_filter_paths_agree(ray_session):
+    from proj_ray.functions.dedup import keep_first_filter
+
+    ds = _docs_ds()
+    a = _sorted(keep_first_filter(ds, path="broadcast").to_pandas(), ["doc_id"])
+    b = _sorted(keep_first_filter(ds, path="join").to_pandas(), ["doc_id"])
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+    # survivors are exactly one (the min) per duplicate group
+    assert a["doc_id"].tolist() == [i for i in range(300) if i % 3 == 0]
+
+
+def test_keep_first_filter_dispatch_threshold(ray_session):
+    from proj_ray.functions.dedup import keep_first_filter
+
+    ds = _docs_ds(n=60)
+    # threshold 0 forces the join branch through the public dispatch
+    low = _sorted(keep_first_filter(ds, broadcast_threshold=0).to_pandas(),
+                  ["doc_id"])
+    hi = _sorted(keep_first_filter(ds, broadcast_threshold=10**9).to_pandas(),
+                 ["doc_id"])
+    assert low["doc_id"].tolist() == hi["doc_id"].tolist()
+
+
+def test_combine_partials_paths_agree(ray_session):
+    import ray.data as rd
+
+    from proj_ray.stages.agg import combine_partials
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    raw = rd.from_arrow(pa.table({
+        "k": pa.array(rng.integers(0, 17, n), pa.int64()),
+        "v": pa.array(rng.integers(-100, 100, n), pa.int64()),
+    })).repartition(8)
+
+    # per-batch partials need a min column distinct from the summed one
+    def partial2(df: pd.DataFrame) -> pd.DataFrame:
+        tmp = pd.DataFrame({"k": df["k"], "v": df["v"], "vmin": df["v"],
+                            "n": 1})
+        return tmp.groupby("k", as_index=False).agg(
+            v=("v", "sum"), vmin=("vmin", "min"), n=("n", "sum"))
+
+    partials = raw.map_batches(partial2, batch_format="pandas",
+                               batch_size=None)
+    spec = {"v": "sum", "vmin": "min", "n": "sum"}
+    a = _sorted(combine_partials(partials, ["k"], spec, path="driver"), ["k"])
+    b = _sorted(combine_partials(partials, ["k"], spec, path="distributed"),
+                ["k"])
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+    # and the totals are the ground truth
+    assert int(a["n"].sum()) == n
+
+
+def test_combine_partials_empty(ray_session):
+    import ray.data as rd
+
+    from proj_ray.stages.agg import combine_partials
+
+    empty = rd.from_arrow(pa.table({"k": pa.array([], pa.int64()),
+                                    "v": pa.array([], pa.int64())}))
+    out = combine_partials(empty, ["k"], {"v": "sum"}, path="driver")
+    assert out.empty and list(out.columns) == ["k", "v"]
+
+
+def test_attach_clusters_paths_agree(ray_session):
+    import ray.data as rd
+
+    from proj_ray.functions.dedup import attach_clusters
+
+    ids = np.arange(50, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+    # two components {0,1,2,7} and {10,11}, rest singletons
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([1, 2, 7, 11], pa.int64()),
+        "dst": pa.array([0, 1, 2, 10], pa.int64()),
+    }))
+    a = _sorted(attach_clusters(ds, edges, path="broadcast").to_pandas(),
+                ["doc_id"])
+    b = _sorted(attach_clusters(ds, edges, path="join").to_pandas(),
+                ["doc_id"])
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+    got = dict(zip(a["doc_id"], a["cluster"]))
+    assert got[0] == got[1] == got[2] == got[7] == 0
+    assert got[10] == got[11] == 10
+    assert got[33] == 33  # singleton keeps its own id
+
+
+def test_segment_p90_matches_numpy_quantile(ray_session):
+    """The sparse-histogram reconstruction equals np.quantile (linear
+    interpolation — quantile_cont semantics) on the same data."""
+    from proj_ray.pipelines.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["segment_acctbal_p90"]["fn"](sf)
+    import duckdb
+
+    ref = duckdb.sql(
+        f"SELECT c_mktsegment, c_acctbal FROM '{sf}/customer.parquet'"
+    ).fetchdf()
+    for _, row in out.iterrows():
+        v = ref.loc[ref["c_mktsegment"] == row["c_mktsegment"],
+                    "c_acctbal"].to_numpy()
+        expect = int(np.floor(np.quantile(v, 0.9) * 1000.0 + 0.5))
+        assert int(row["p90_milli"]) == expect
+        assert int(row["n_customers"]) == len(v)
