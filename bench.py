@@ -63,6 +63,7 @@ def run_bench():
         "q1_pricing_summary", "points_webmerc", "points_utm", "tile_agg",
         "pip_join", "knn_points", "dedup_exact", "quality_scores",
         "minhash_lsh_candidates", "ann_cosine_topk", "grid_shift_fwd",
+        "grid_shift_real", "geod_inverse_ellipsoidal",
     ]
     qtimes = {}
     for name in bench_queries:

@@ -76,6 +76,76 @@ def ann_cosine_topk(ds, queries: np.ndarray, k=10, id_col="vec_id",
     return pa.table({k2: pa.array(v) for k2, v in rows.items()})
 
 
+def pack_embeddings(M: np.ndarray) -> pa.Array:
+    """(N, D) float32 -> fixed-size-binary(4D) Arrow array, zero-copy
+    from the row-major buffer.  Ray's hash join rejects list<float>
+    non-key columns; packed bytes ride through joins and unpack back
+    to a matrix without any per-row Python."""
+    M = np.ascontiguousarray(M, dtype=np.float32)
+    n, dim = M.shape
+    return pa.Array.from_buffers(pa.binary(dim * 4), n,
+                                 [None, pa.py_buffer(M.tobytes())])
+
+
+def unpack_embeddings(col, dim: int) -> np.ndarray:
+    """Inverse of pack_embeddings: fixed-size-binary column -> (N, D)
+    float32 view of the Arrow buffer."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    buf = col.buffers()[1]
+    item = dim * 4
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    start = col.offset * item
+    raw = raw[start:start + len(col) * item]
+    return raw.view(np.float32).reshape(len(col), dim)
+
+
+def dot_f64_ordered(M: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Dot of every row of ``M`` with ``v``, accumulated dimension by
+    dimension in float64 IN INDEX ORDER.  BLAS matmuls (sgemm/dgemv)
+    choose blocking/accumulation order freely, so two code paths that
+    both 'compute the dot product' can differ in the last ulp — enough
+    to flip an LSH sign bit or a threshold comparison.  A fixed
+    left-to-right accumulation is reproducible by any implementation
+    (including a per-row scalar loop), which is what lets the
+    embedding near-dup golden be frozen from independent scalar code."""
+    acc = np.zeros(M.shape[0], dtype=np.float64)
+    for d in range(M.shape[1]):
+        acc += M[:, d].astype(np.float64) * np.float64(v[d])
+    return acc
+
+
+def cosine_pairs_f64(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Exact-order cosine for row-aligned pairs: dimension-ordered
+    float64 accumulation of dot and both norms (see dot_f64_ordered
+    for why order is pinned)."""
+    n, dim = A.shape
+    dot = np.zeros(n, dtype=np.float64)
+    na = np.zeros(n, dtype=np.float64)
+    nb = np.zeros(n, dtype=np.float64)
+    for d in range(dim):
+        a = A[:, d].astype(np.float64)
+        b = B[:, d].astype(np.float64)
+        dot += a * b
+        na += a * a
+        nb += b * b
+    denom = np.sqrt(na) * np.sqrt(nb)
+    denom = np.where(denom == 0.0, 1.0, denom)
+    return dot / denom
+
+
+def hyperplane_signatures_f64(M: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """LSH bucket ids via dimension-ordered float64 projections —
+    deterministic across matmul implementations (cf. dot_f64_ordered);
+    used where bucket ids feed an exact-match golden."""
+    n = M.shape[0]
+    sig = np.zeros(n, dtype=np.int64)
+    for b in range(planes.shape[0]):
+        bits = dot_f64_ordered(M, planes[b]) > 0.0
+        sig |= bits.astype(np.int64) << np.int64(b)
+    return sig
+
+
 def hyperplane_signatures(M: np.ndarray, planes: np.ndarray) -> np.ndarray:
     """LSH bucket ids: sign bits against ``planes`` (nbits, D) -> uint64."""
     bits = (M @ planes.T) > 0  # (N, nbits)

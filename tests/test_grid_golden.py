@@ -84,6 +84,29 @@ def test_ntf_r93_edge_cases_inverse(proj_lib_nad):
 # "falls back to NTv1" block actually flowed through the unshipped
 # ntv2_0.gsb, which precedes ntv1 in first-match list order —
 # pj_apply_gridshift.c:143-156).
+def test_nadgrids_list_order_precedence_e2e(proj_lib_nad):
+    """+nadgrids list ORDER is the precedence (first containing grid
+    wins, src/pj_apply_gridshift.c:143-156; '@null' is the world-
+    covering no-op grid, src/pj_gridlist.c:109-151): with @null listed
+    first every point short-circuits to no shift; with the real grid
+    first the td_out.dist #141 values come back."""
+    null_first = _run(["+proj=latlong", "+ellps=WGS84",
+                       "+nadgrids=@null,ntf_r93.gsb",
+                       "+to", "+proj=latlong", "+datum=WGS84",
+                       "-E", "-f", "%.12f"], EDGE_POINTS)
+    # null grid wins everywhere -> output == input coordinates
+    for ln, pt in zip(null_first, EDGE_POINTS):
+        in_lon, in_lat = [float(v) for v in pt.split()]
+        toks = ln.split()
+        assert float(toks[2]) == pytest.approx(in_lon, abs=1e-12)
+        assert float(toks[3]) == pytest.approx(in_lat, abs=1e-12)
+    grid_first = _run(["+proj=latlong", "+ellps=WGS84",
+                       "+nadgrids=ntf_r93.gsb,@null",
+                       "+to", "+proj=latlong", "+datum=WGS84",
+                       "-E", "-f", "%.12f"], EDGE_POINTS)
+    assert _tokens(grid_first) == _tokens(TD_FWD)
+
+
 def test_ntv1_real_grid_golden(proj_lib_nad):
     """NAD27->NAD83 through the real ntv1_can.dat (NTv1 reader +
     bilinear + gridlist @optional handling), matching td_out.dist."""
