@@ -561,35 +561,43 @@ def colliding_bucket_sizes(bands):
 
 
 def lsh_candidate_pairs(bands, num_partitions: int = 16,
-                        broadcast_threshold: int = 2_000_000):
+                        broadcast_threshold: int = 2_000_000,
+                        path: str | None = None):
     """Distinct candidate pairs (doc_a < doc_b) from LSH band
-    collisions: restrict the band rows to COLLIDING buckets (size>=2,
-    broadcast), emit each bucket's pairs via groupby over that pruned
-    subset, and dedupe pairs that collide in several bands with one
-    tiny groupby.  Returns a Dataset (doc_a, doc_b, n_bands).
+    collisions: restrict the band rows to COLLIDING buckets (size>=2),
+    emit each bucket's pairs via groupby over that pruned subset, and
+    dedupe pairs that collide in several bands with one tiny groupby.
+    Returns a Dataset (doc_a, doc_b, n_bands).
 
-    The colliding-bucket table is collected to the driver for the
-    broadcast; when it exceeds ``broadcast_threshold`` rows (heavily
-    duplicated corpora) this raises rather than OOM the driver —
-    shard the corpus (or lower the band count) before pairing."""
+    The colliding-bucket pruning is size-dispatched: below
+    ``broadcast_threshold`` the colliding-bucket key table broadcasts
+    into a per-batch merge; above it (heavily duplicated corpora) the
+    band rows semi-join the colliding keys with a distributed hash
+    join — nothing dup-proportional on the driver.  ``path`` forces
+    'broadcast' or 'join' (parity tests)."""
     import pandas as pd
     from ray.data.aggregate import Count
 
     sizes_ds = colliding_bucket_sizes(bands).materialize()
-    n_dup = sizes_ds.count()
-    if n_dup > broadcast_threshold:
-        raise RuntimeError(
-            f"lsh_candidate_pairs: {n_dup} colliding buckets exceed the "
-            f"broadcast threshold ({broadcast_threshold}); shard the corpus "
-            f"before candidate pairing")
-    sizes = sizes_ds.to_pandas()
+    if path is None:
+        path = ("broadcast" if sizes_ds.count() <= broadcast_threshold
+                else "join")
 
-    def in_colliding(df: pd.DataFrame) -> pd.DataFrame:
-        return df.merge(sizes[["band_id", "band_hash"]],
-                        on=["band_id", "band_hash"])
+    if path == "broadcast":
+        sizes = sizes_ds.to_pandas()
 
-    colliding = bands.map_batches(in_colliding, batch_format="pandas",
-                                  batch_size=None)
+        def in_colliding(df: pd.DataFrame) -> pd.DataFrame:
+            return df.merge(sizes[["band_id", "band_hash"]],
+                            on=["band_id", "band_hash"])
+
+        colliding = bands.map_batches(in_colliding, batch_format="pandas",
+                                      batch_size=None)
+    else:
+        keys = sizes_ds.select_columns(["band_id", "band_hash"])
+        joined = bands.join(keys, join_type="inner",
+                            num_partitions=_adaptive_partitions(num_partitions),
+                            on=("band_id", "band_hash"))
+        colliding = joined.select_columns(["band_id", "band_hash", "doc_id"])
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g["doc_id"].unique().astype(np.int64))

@@ -115,6 +115,22 @@ def test_attach_clusters_paths_agree(ray_session):
     assert got[33] == 33  # singleton keeps its own id
 
 
+def test_lsh_candidate_pairs_paths_agree(ray_session):
+    """Broadcast vs distributed-join pruning of colliding buckets must
+    yield identical candidate pair sets."""
+    from proj_ray.functions.dedup import lsh_candidate_pairs, minhash_bands_batch
+
+    ds = _docs_ds(n=120, dup_every=4)
+    bands = ds.map_batches(lambda t: minhash_bands_batch(t),
+                           batch_format="pyarrow", batch_size=None)
+    a = _sorted(lsh_candidate_pairs(bands, path="broadcast").to_pandas(),
+                ["doc_a", "doc_b"])
+    b = _sorted(lsh_candidate_pairs(bands, path="join").to_pandas(),
+                ["doc_a", "doc_b"])
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+
+
 def test_segment_p90_matches_numpy_quantile(ray_session):
     """The sparse-histogram reconstruction equals np.quantile (linear
     interpolation — quantile_cont semantics) on the same data."""
