@@ -124,7 +124,12 @@ def run_scaling():
                            capture_output=True, text=True, check=True)
         return json.loads(p.stdout.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    # N vs 4N parallelism levels; override with GRAFT_SCALE_LO/HI when
+    # the hypervisor can't deliver 32 vCPUs (e.g. 2 vs 8 on a host whose
+    # parallel ceiling probe shows only ~8 fast CPUs) — same job, same
+    # input, two fresh processes either way
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
     c_lo = _cpu_control(lo)
     c_hi = _cpu_control(hi)
     # host ceiling: throughput gain a PERFECT parallel program gets
@@ -135,7 +140,8 @@ def run_scaling():
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     print(json.dumps({
-        "metric": "throughput scaling efficiency, num_cpus 8 -> 32 (N vs 4N substitute)",
+        "metric": f"throughput scaling efficiency, num_cpus {lo} -> {hi} (N vs 4N substitute)",
+        "cpus_lo": lo, "cpus_hi": hi,
         "sec_8": t_lo, "sec_32": t_hi,
         "points": r_lo["points"],
         "points_per_sec_8": r_lo["points_per_sec"],
