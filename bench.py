@@ -142,10 +142,10 @@ def run_scaling():
     print(json.dumps({
         "metric": f"throughput scaling efficiency, num_cpus {lo} -> {hi} (N vs 4N substitute)",
         "cpus_lo": lo, "cpus_hi": hi,
-        "sec_8": t_lo, "sec_32": t_hi,
+        f"sec_{lo}": t_lo, f"sec_{hi}": t_hi,
         "points": r_lo["points"],
-        "points_per_sec_8": r_lo["points_per_sec"],
-        "points_per_sec_32": r_hi["points_per_sec"],
+        f"points_per_sec_{lo}": r_lo["points_per_sec"],
+        f"points_per_sec_{hi}": r_hi["points_per_sec"],
         "scaling_efficiency": round(eff, 3),
         "host_parallel_ceiling": round(ceiling, 3),
         "normalized_efficiency": round(min(1.0, eff / ceiling), 3) if ceiling > 0 else None,

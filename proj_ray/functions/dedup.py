@@ -503,8 +503,16 @@ def attach_clusters(ds, edges, id_col: str = "doc_id",
     if path is None:
         path = ("broadcast" if labels_ds.count() <= broadcast_threshold
                 else "join")
+    elif path not in ("broadcast", "join"):
+        raise ValueError(f"attach_clusters: unknown path {path!r}")
 
-    ids_only = ds.select_columns([id_col])
+    def to_i64(t: pa.Table) -> pa.Table:
+        # int64 ids in both branches; join keys must match the label
+        # table's int64 node column
+        return pa.table({id_col: pc.cast(t[id_col], pa.int64())})
+
+    ids_only = ds.select_columns([id_col]).map_batches(
+        to_i64, batch_format="pyarrow", batch_size=None)
     if path == "broadcast":
         labels = labels_ds.to_pandas()
 
@@ -582,6 +590,8 @@ def lsh_candidate_pairs(bands, num_partitions: int = 16,
     if path is None:
         path = ("broadcast" if sizes_ds.count() <= broadcast_threshold
                 else "join")
+    elif path not in ("broadcast", "join"):
+        raise ValueError(f"lsh_candidate_pairs: unknown path {path!r}")
 
     if path == "broadcast":
         sizes = sizes_ds.to_pandas()
@@ -652,7 +662,16 @@ def keep_first_filter(ds, id_col="doc_id", text_col="text",
     if path is None:
         path = ("broadcast" if keepers_ds.count() <= broadcast_threshold
                 else "join")
-    ids_only = ds.select_columns([id_col])
+    elif path not in ("broadcast", "join"):
+        raise ValueError(f"keep_first_filter: unknown path {path!r}")
+
+    def to_i64(t: pa.Table) -> pa.Table:
+        # both branches emit int64 ids, and the join requires key
+        # dtypes to match the int64 keeper table exactly
+        return pa.table({id_col: pc.cast(t[id_col], pa.int64())})
+
+    ids_only = ds.select_columns([id_col]).map_batches(
+        to_i64, batch_format="pyarrow", batch_size=None)
 
     if path == "broadcast":
         keepers = keepers_ds.to_pandas()[id_col].to_numpy(np.int64)

@@ -21,6 +21,8 @@ def batch_matrix(batch: pa.Table, vec_col="embedding") -> np.ndarray:
         col = col.combine_chunks()
     flat = col.values.to_numpy(zero_copy_only=False).astype(np.float32, copy=False)
     n = len(col)
+    if n == 0:  # reshape(0, -1) is a ValueError; dim is unknowable
+        return flat.reshape(0, 0)
     return flat.reshape(n, -1)
 
 

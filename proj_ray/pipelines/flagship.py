@@ -72,7 +72,8 @@ def pages_dataset(sf_dir: str, batch_size: int = 65536, mult: int = 1):
 
 def flagship_pipeline(sf_dir: str, zoom: int = 12, agg_zoom: int = 4,
                       batch_size: int = 65536, mult: int = 1):
-    """Returns the per-(cell, polygon) aggregate Dataset."""
+    """Returns the per-(cell, polygon) aggregate as a pandas frame
+    (key-cardinality-bounded; the combine is size-dispatched)."""
     pages = pages_dataset(sf_dir, batch_size=batch_size, mult=mult)
     # drop the wide html column before the point pipeline (prune early)
     pages = pages.select_columns(["pid", "url", "text"])

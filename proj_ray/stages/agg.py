@@ -71,6 +71,8 @@ def combine_partials(partials, key_cols, agg_spec,
     mat = partials.materialize()
     if path is None:
         path = "driver" if mat.count() <= driver_threshold else "distributed"
+    elif path not in ("driver", "distributed"):
+        raise ValueError(f"combine_partials: unknown path {path!r}")
 
     if path == "driver":
         chunks = list(mat.iter_batches(batch_size=None, batch_format="pandas"))

@@ -45,6 +45,10 @@ def watermark_filter(ds, ts_col: str, arrival_col: str, delay_us: int,
     ordered = ds.sort(arrival_col).materialize()
 
     def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # sort can emit empty partitions
+            return pa.table({"blk_min_arr": pa.array([], pa.int64()),
+                             "blk_max_arr": pa.array([], pa.int64()),
+                             "blk_max_ts": pa.array([], pa.int64())})
         arr = t[arrival_col].to_numpy(zero_copy_only=False)
         ts = t[ts_col].to_numpy(zero_copy_only=False)
         return pa.table({
@@ -69,7 +73,9 @@ def watermark_filter(ds, ts_col: str, arrival_col: str, delay_us: int,
                          carry.tolist()))
 
     def late_filter(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:  # empty block: nothing to classify
+        if t.num_rows == 0:  # empty block: keep the output schema stable
+            if keep_col is not None:
+                return t.append_column(keep_col, pa.array([], pa.bool_()))
             return t
         arr = t[arrival_col].to_numpy(zero_copy_only=False)
         ts = t[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)

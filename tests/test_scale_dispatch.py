@@ -115,6 +115,43 @@ def test_attach_clusters_paths_agree(ray_session):
     assert got[33] == 33  # singleton keeps its own id
 
 
+def test_keep_first_filter_int32_ids(ray_session):
+    """Non-int64 id columns must work on BOTH paths (the join requires
+    matching key dtypes; ids are normalized to int64 up front)."""
+    import ray.data as rd
+
+    from proj_ray.functions.dedup import keep_first_filter
+
+    ids = np.arange(30, dtype=np.int32)
+    texts = [f"t{i // 3}" for i in ids]
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int32()),
+                                 "text": pa.array(texts)}))
+    a = _sorted(keep_first_filter(ds, path="broadcast").to_pandas(), ["doc_id"])
+    b = _sorted(keep_first_filter(ds, path="join").to_pandas(), ["doc_id"])
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+    assert a["doc_id"].tolist() == [0, 3, 6, 9, 12, 15, 18, 21, 24, 27]
+
+
+def test_forced_path_validation(ray_session):
+    from proj_ray.functions.dedup import keep_first_filter
+    from proj_ray.stages.agg import combine_partials
+
+    ds = _docs_ds(n=9)
+    with pytest.raises(ValueError, match="unknown path"):
+        keep_first_filter(ds, path="Broadcast")
+    with pytest.raises(ValueError, match="unknown path"):
+        combine_partials(ds.select_columns(["doc_id"]), ["doc_id"], {},
+                         path="Driver")
+
+
+def test_batch_matrix_empty():
+    from proj_ray.functions.vector import batch_matrix
+
+    t = pa.table({"embedding": pa.array([], pa.list_(pa.float32()))})
+    M = batch_matrix(t)
+    assert M.shape[0] == 0
+
+
 def test_lsh_candidate_pairs_paths_agree(ray_session):
     """Broadcast vs distributed-join pruning of colliding buckets must
     yield identical candidate pair sets."""
