@@ -264,3 +264,16 @@ def test_geod_W_fixed_width():
     # trimmed mode for comparison
     lines2 = run(geod_main, ["+ellps=WGS84", "-I", "-w4"], "0d 0d 0d 1d\n")
     assert lines2[0].split("\t")[0] == "90d"
+
+
+def test_w_argument_missing_aborts():
+    """-w / -W with a missing or non-digit argument aborts with a
+    non-zero status like the reference's emess(1, ...) (proj.c:384,
+    cs2cs.c:274, geod.c:165)."""
+    import pytest
+
+    for main in (proj_main, cs2cs_main, geod_main):
+        for bad in ("-w", "-W", "-Wx"):
+            with pytest.raises(SystemExit) as ei:
+                run(main, ["+proj=latlong", "+ellps=WGS84", bad], "")
+            assert ei.value.code == 1
