@@ -61,6 +61,87 @@ class DecodeStage:
         return out
 
 
+class ResizeStage:
+    """Actor-pool image-resize stage for binary media columns.
+
+    Real plumbing, stubbed codec (like DecodeStage): with
+    ``deterministic_fake=True`` the 'resize' is a deterministic stride
+    resample of the payload bytes to ``out_bytes``; with False it
+    raises NotImplementedError at construction — the spot a real
+    PIL/libvips resize plugs in.  Output keeps the input schema with
+    the payload replaced and an ``out_bytes`` size column appended."""
+
+    def __init__(self, media_col="payload", out_bytes=256,
+                 deterministic_fake=True):
+        if not deterministic_fake:
+            raise NotImplementedError(
+                "real image resizing needs PIL/libvips (not in this "
+                "container); construct with deterministic_fake=True or "
+                "plug a decoder here")
+        self.media_col = media_col
+        self.out_bytes = int(out_bytes)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.media_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        out = []
+        for payload in col.to_pylist():
+            b = np.frombuffer(payload or b"", dtype=np.uint8)
+            if b.size == 0:
+                out.append(b"")
+                continue
+            idx = (np.arange(self.out_bytes, dtype=np.int64)
+                   * b.size // self.out_bytes)
+            out.append(b[idx].tobytes())
+        t = batch.set_column(batch.column_names.index(self.media_col),
+                             self.media_col, pa.array(out, pa.binary()))
+        return t.append_column(
+            "resized_bytes", pa.array([len(o) for o in out], pa.int64()))
+
+
+def frame_sample_batch(batch: pa.Table, media_col="payload",
+                       id_col="doc_id", n_frames: int = 4,
+                       frame_len: int = 64) -> pa.Table:
+    """Video frame sampling as a flat_map-shaped stage: each binary
+    payload expands to ``n_frames`` evenly spaced fixed-length byte
+    windows with per-frame stats.  Fully vectorized over the batch:
+    window offsets are computed into the Arrow data buffer and frame
+    sums come from one cumsum + gather — no per-frame Python loop.
+    (The 'frames' are raw byte windows — the decode itself is the
+    stubbed codec, as in DecodeStage; the Ray-side shape — 1 row ->
+    n rows, small batches for wide binary — is the real thing.)"""
+    col = batch[media_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(col)
+    if n == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "frame_idx": pa.array([], pa.int64()),
+                         "frame_len": pa.array([], pa.int64()),
+                         "byte_sum": pa.array([], pa.int64())})
+    buffers = col.buffers()
+    off = np.frombuffer(buffers[1], dtype=np.int32).astype(np.int64)
+    off = off[col.offset: col.offset + n + 1]
+    data = (np.frombuffer(buffers[2], dtype=np.uint8)
+            if buffers[2] is not None else np.empty(0, np.uint8))
+    lens = off[1:] - off[:-1]
+    k = np.arange(n_frames, dtype=np.int64)
+    # frame f of doc d starts at floor(f * len_d / n_frames), clipped so
+    # a full frame_len window fits (shorter docs get truncated windows)
+    starts = off[:-1, None] + k[None, :] * lens[:, None] // n_frames
+    ends = np.minimum(starts + frame_len, off[1:, None])
+    cs = np.concatenate([[0], np.cumsum(data, dtype=np.int64)])
+    sums = cs[ends] - cs[starts]
+    return pa.table({
+        id_col: pa.array(np.repeat(ids, n_frames), pa.int64()),
+        "frame_idx": pa.array(np.tile(k, n), pa.int64()),
+        "frame_len": pa.array((ends - starts).reshape(-1), pa.int64()),
+        "byte_sum": pa.array(sums.reshape(-1), pa.int64()),
+    })
+
+
 def attach_fake_media(batch: pa.Table, text_col="text", out="payload",
                       media_type="image/png") -> pa.Table:
     """Test/bench helper: synthesize a deterministic binary payload from
