@@ -1,0 +1,40 @@
+"""Driver-contract checks for __ray_entry__: the queries()/oracle_sql()
+registries stay consistent and every oracle SQL compiles against the
+driver's registered views (catches a syntax slip before the gate)."""
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __ray_entry__ as entrymod
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+SF = "/root/testdata/sf0.001"
+
+
+def test_registry_consistency():
+    qs = entrymod.queries()
+    sqls = entrymod.oracle_sql()
+    assert len(qs) >= 55
+    assert set(sqls) <= set(qs)
+    # everything is oracle-gated in this repo (no rows-only checks)
+    assert set(sqls) == set(qs)
+    for fn in qs.values():
+        assert callable(fn)
+
+
+def test_every_oracle_sql_compiles():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    for name, sql in entrymod.oracle_sql().items():
+        try:
+            con.sql(f"EXPLAIN {sql}")
+        except Exception as e:  # pragma: no cover
+            pytest.fail(f"oracle SQL for {name!r} does not compile: {e}")
+    con.close()
