@@ -123,9 +123,15 @@ def read_ntv2(path: str) -> list:
                 nphi, nlam, 4)
             cvs = np.empty((nphi, nlam, 2), dtype=np.float32)
             # E->W flip + (phi, lam) order + arc-sec -> radians
-            # (src/pj_gridinfo.c:322-331)
-            cvs[..., 1] = (raw[..., 0] * np.float64(SEC2RAD)).astype(np.float32)[:, ::-1]
-            cvs[..., 0] = (raw[..., 1] * np.float64(SEC2RAD)).astype(np.float32)[:, ::-1]
+            # (src/pj_gridinfo.c:322-331).  The C promotes the float32
+            # seconds to DOUBLE for the multiply and stores the float32
+            # result (ONE rounding); numpy 1.x value-based casting would
+            # silently run float32*float64-scalar IN float32 (double
+            # rounding, up to 1 ulp off the reference), so force the
+            # float64 intermediate explicitly.
+            r64 = raw.astype(np.float64) * SEC2RAD
+            cvs[..., 1] = r64[..., 0].astype(np.float32)[:, ::-1]
+            cvs[..., 0] = r64[..., 1].astype(np.float32)[:, ::-1]
             g = ShiftGrid(name,
                           (ll_lam * SEC2RAD, ll_phi * SEC2RAD),
                           (long_inc * SEC2RAD, lat_inc * SEC2RAD),

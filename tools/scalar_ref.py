@@ -586,16 +586,19 @@ def read_ntv2_scalar(path):
             # records run W->E within a row ... i.e. DEscending E-long;
             # we store ascending lam, so column index flips
             recs = struct.iter_unpack("<ffff", raw)
-            # arc-sec -> radians IN FLOAT32: numpy 1.x value-based
-            # casting makes the engine's float32-array * float64-scalar
-            # multiply run in float32, so the scalar must too
-            s2r32 = np.float32(_SEC2RAD)
+            # arc-sec -> radians with a DOUBLE intermediate stored to
+            # float32 (ONE rounding) — exactly the reference's
+            # `cvs->phi = *diff_seconds * ((PI/180.0)/3600.0)`
+            # (pj_gridinfo.c:328-330; float promoted to double, double
+            # multiply, float store)
             for j in range(nphi):
                 for i in range(nlam):
                     phi_sec, lam_sec, _a1, _a2 = next(recs)
                     col = nlam - 1 - i
-                    vals[j, col, 1] = np.float32(phi_sec) * s2r32
-                    vals[j, col, 0] = np.float32(lam_sec) * s2r32
+                    vals[j, col, 1] = np.float32(
+                        np.float64(phi_sec) * _SEC2RAD)
+                    vals[j, col, 0] = np.float32(
+                        np.float64(lam_sec) * _SEC2RAD)
             g = _SubGrid(name, parent,
                          ((-w_long) * _SEC2RAD, s_lat * _SEC2RAD),
                          (long_inc * _SEC2RAD, lat_inc * _SEC2RAD),
