@@ -66,8 +66,99 @@ def parse_xy(lines):
     out = np.empty((len(lines), 2))
     for i, ln in enumerate(lines):
         toks = ln.split()
-        out[i] = (float(toks[0]), float(toks[1]))
+        if toks[0] == "*":  # reference oterr sentinel line "*\t*"
+            out[i] = (np.nan, np.nan)
+        else:
+            out[i] = (float(toks[0]), float(toks[1]))
     return out
+
+
+# (projection def, lon_lo, lon_hi, lat_lo, lat_hi) — domains chosen
+# inside each projection's validity region
+PROJ_SWEEP = [
+    ("+proj=aea +lat_1=29.5 +lat_2=45.5 +lon_0=-96 +ellps=WGS84",
+     -130, -60, 20, 55),
+    ("+proj=aeqd +lat_0=40 +lon_0=-100 +ellps=WGS84", -160, -40, 0, 80),
+    ("+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +ellps=WGS84",
+     -180, 179, 30, 89),
+    ("+proj=sterea +lat_0=52.15616 +lon_0=5.38763 +k=0.9999079 "
+     "+x_0=155000 +y_0=463000 +ellps=bessel", 3, 8, 50, 54),
+    ("+proj=laea +lat_0=52 +lon_0=10 +ellps=GRS80", -10, 30, 35, 70),
+    ("+proj=cea +lon_0=0 +lat_ts=30 +ellps=WGS84", -179, 179, -85, 85),
+    ("+proj=eqc +lat_ts=30 +ellps=WGS84", -179, 179, -89, 89),
+    ("+proj=cass +lon_0=10 +ellps=WGS84", 0, 20, -75, 75),
+    ("+proj=eqdc +lat_1=20 +lat_2=60 +lon_0=-100 +ellps=WGS84",
+     -150, -50, 10, 70),
+    ("+proj=gnom +lat_0=40 +lon_0=-100 +R=6370997", -130, -70, 15, 65),
+    ("+proj=ortho +lat_0=40 +lon_0=-100 +R=6370997", -140, -60, 0, 80),
+    ("+proj=mill +R=6370997", -179, 179, -85, 85),
+    ("+proj=moll +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=robin +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=sinu +lon_0=0 +ellps=WGS84", -179, 179, -89, 89),
+    ("+proj=eck4 +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=hammer +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    # vandg: the C derives y from x (PJ_vandg.c:36-41) through two
+    # nested cancellation-prone expressions, with sensitivity
+    # |dy/dx| ~ (al + v)/y, al = pi/(2|lam|) — near the central
+    # meridian / equator a few-ulp libm difference in x (far below
+    # print precision, and present between any two correct builds)
+    # amplifies to millimetres-to-metres in y.  Inherent conditioning
+    # of the published formula, not an implementation divergence: the
+    # transcribed tv_out.dist vandg cases match exactly at their
+    # printed precision.  Validated here with a 1 cm tolerance.
+    ("+proj=vandg +lon_0=0 +R=6370997", 1, 179, -85, 85, 1e-2),
+    ("+proj=aitoff +lon_0=0 +R=6370997", -179, 179, -85, 85),
+    ("+proj=wintri +lon_0=0 +R=6370997", -179, 179, -85, 85),
+    ("+proj=bonne +lat_1=45 +lon_0=0 +ellps=WGS84", -30, 30, 10, 80),
+    ("+proj=poly +lon_0=-100 +ellps=clrk66", -120, -80, 10, 70),
+    ("+proj=krovak +ellps=bessel", 12.5, 22.5, 47.5, 51.5),
+    ("+proj=somerc +lat_0=46.95240555555556 +lon_0=7.439583333333333 "
+     "+k_0=1 +x_0=600000 +y_0=200000 +ellps=bessel", 6, 10.5, 45.8, 47.8),
+    ("+proj=nzmg +lat_0=-41 +lon_0=173 +x_0=2510000 +y_0=6023150 "
+     "+ellps=intl", 166.5, 178.5, -47.5, -34.5),
+    ("+proj=etmerc +lon_0=9 +ellps=WGS84", 3, 15, -80, 84),
+    ("+proj=geos +h=35785831 +lon_0=0 +ellps=WGS84", -55, 55, -55, 55),
+    ("+proj=healpix +R=6370997", -179, 179, -89, 89),
+    ("+proj=rhealpix +R=6370997 +north_square=1 +south_square=2",
+     -179, 179, -89, 89),
+    ("+proj=qsc +lat_0=0 +lon_0=0 +ellps=WGS84", -40, 40, -40, 40),
+    ("+proj=mbtfpq +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=putp2 +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=wag7 +lon_0=0 +R=6370997", -179, 179, -85, 85),
+    ("+proj=crast +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=loxim +lat_1=40 +lon_0=0 +R=6370997", -179, 179, -85, 85),
+]
+
+
+def sweep_projections(rng, make_transform, n=20000):
+    """Forward-project random in-domain points through the real `proj`
+    binary for a wide slice of the registry and require agreement at
+    the printed precision (plus identical error-lane masks)."""
+    ok = True
+    for entry in PROJ_SWEEP:
+        defn, lo_lon, hi_lon, lo_lat, hi_lat = entry[:5]
+        tol = entry[5] if len(entry) > 5 else 1e-4
+        lon = rng.uniform(lo_lon, hi_lon, n)
+        lat = rng.uniform(lo_lat, hi_lat, n)
+        lines, (lon, lat) = fmt_lines(lon, lat)
+        ref = parse_xy(run_ref("proj", defn.split() + ["-f", "%.5f"],
+                               lines))
+        ell = [tok for tok in defn.split()
+               if tok.split("=")[0].lstrip("+") in ("ellps", "R", "a",
+                                                    "b", "rf", "es")]
+        t = make_transform(" ".join(["+proj=latlong"] + ell), defn)
+        x, y, _ = t(lon.copy(), lat.copy())
+        got = np.column_stack([x, y])
+        got[~np.isfinite(got)] = np.nan
+        mask_ok = (np.isnan(got) == np.isnan(ref)).all()
+        both = np.isfinite(got[:, 0]) & np.isfinite(ref[:, 0])
+        d = (np.max(np.abs(got[both] - ref[both])) if both.any() else 0.0)
+        name = defn.split()[0][6:]
+        status = "OK " if (d <= tol and mask_ok) else "FAIL"
+        print(f"[{status}] proj sweep {name:10s}: n_finite={int(both.sum())}"
+              f" max|diff|={d:.3e} masks_equal={mask_ok}")
+        ok &= status == "OK "
+    return ok
 
 
 def check(name, got, want, tol):
@@ -169,6 +260,9 @@ def main():
     s12, _, _, okm = geod_inverse(g2, g1, g4, g3)
     assert okm.all()
     ok &= check("geod inverse distance", s12, ref_s, 1e-6)
+
+    # --- wide projection-registry sweep --------------------------------
+    ok &= sweep_projections(rng, make_transform)
 
     print("ALL OK" if ok else "MISMATCHES FOUND")
     return 0 if ok else 1
