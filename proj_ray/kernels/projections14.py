@@ -101,12 +101,12 @@ def setup_chamb(P):
             y = np.where(m, ctl[i]["py"], y)
         return x, y
 
-    def inv(x, y):
+    def _no_inverse(x, y):
         x = np.asarray(x, dtype=np.float64)
         return np.full_like(x, HUGE), np.full_like(x, HUGE)
 
     P.fwd = fwd
-    P.inv = inv
+    P.inv = _no_inverse
 
 
 @register("labrd", "Laborde")

@@ -410,12 +410,12 @@ def setup_isea(P):
         return (np.where(bad, HUGE, hx.astype(np.float64)),
                 np.where(bad, HUGE, i.astype(np.float64)))
 
-    def inv(x, y):
+    def _no_inverse(x, y):
         x = np.asarray(x, dtype=np.float64)
         return np.full_like(x, HUGE), np.full_like(x, HUGE)
 
     P.fwd = fwd
-    P.inv = inv
+    P.inv = _no_inverse
 
 
 # ---------------------------------------------------------------------------

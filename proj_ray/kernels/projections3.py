@@ -272,7 +272,11 @@ def setup_robin(P):
             T0 = _ROBIN_Y[idx]
             t = 5.0 * (av - T0[:, 0]) / (_ROBIN_Y[idx + 1, 0] - T0[:, 0])
             Tc = T0.copy()
-            Tc[:, 0] -= av
+            # the reference's `T.c0 -= lp.phi` stores the subtraction
+            # back into a float32 struct member (PJ_robin.c:16-18,102);
+            # that single-precision round shifts the Newton root by up
+            # to ~8e-7 deg near the pole — replicate it exactly
+            Tc[:, 0] = (Tc[:, 0] - av).astype(np.float32)
             for _ in range(50):
                 t1 = _poly_v(Tc, t) / _poly_dv(Tc, t)
                 t = t - t1

@@ -314,12 +314,12 @@ def setup_wink2(P):
         y = FORTPI * (np.sin(th) + y0)
         return x, y
 
-    def inv(x, y):
+    def _no_inverse(x, y):
         return np.full_like(np.asarray(x, dtype=np.float64), HUGE), \
             np.full_like(np.asarray(y, dtype=np.float64), HUGE)
 
     P.fwd = fwd
-    P.inv = inv
+    P.inv = _no_inverse
 
 
 # ---------------------------------------------------------------------------

