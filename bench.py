@@ -64,6 +64,10 @@ def run_bench():
         "pip_join", "knn_points", "dedup_exact", "quality_scores",
         "minhash_lsh_candidates", "ann_cosine_topk", "grid_shift_fwd",
         "grid_shift_real", "geod_inverse_ellipsoidal",
+        # round-3 additions: holistic sketch quantile, I/O-pruned IVF,
+        # iterative real-grid inverse, vector near-dup
+        "segment_acctbal_p90", "ann_ivf_partitioned",
+        "grid_shift_real_inv", "embedding_near_dups",
     ]
     qtimes = {}
     for name in bench_queries:

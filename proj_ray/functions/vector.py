@@ -277,8 +277,12 @@ def ivf_build_index(ds, out_dir: str, centroids: np.ndarray,
 
     def assign(t: pa.Table) -> pa.Table:
         M = batch_matrix(t, vec_col)
-        return t.append_column(
-            "ivf_cell", pa.array(ivf_assign(M, C), pa.int64()))
+        cells = pa.array(ivf_assign(M, C), pa.int64())
+        # "ivf_cell" becomes the partition directory (hive layout drops
+        # it from the data files); "cell" stays IN the files so a
+        # search can read many partitions as ONE dataset and still see
+        # per-row cell provenance
+        return t.append_column("ivf_cell", cells).append_column("cell", cells)
 
     os.makedirs(out_dir, exist_ok=True)
     np.save(os.path.join(out_dir, "centroids.npy"), C)
@@ -303,31 +307,23 @@ def ivf_search_partitioned(index_dir: str, queries: np.ndarray, k: int = 10,
     Qn = _normalize_rows(queries.astype(np.float32))
     probe = np.argsort(-(Qn @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
     cells_union = sorted({int(c) for row in probe for c in row})
-    per_cell = []
+    # ONE dataset over the union of probed partitions (the unprobed
+    # corpus share never leaves storage); the in-file "cell" column
+    # carries per-row provenance, so no per-cell dataset + union — at
+    # scale that was nprobe*nq driver-side operators of pure overhead
+    files = []
     for c in cells_union:
         d = os.path.join(index_dir, "cells", f"ivf_cell={c}")
         if not os.path.isdir(d):  # only probed partitions are listed
             continue
-        files = [os.path.join(d, f) for f in sorted(os.listdir(d))
-                 if f.endswith(".parquet")]
-        if not files:
-            continue
-        cell_ds = rd.read_parquet(files, columns=[id_col, vec_col])
-
-        def tag(t: pa.Table, _c=c) -> pa.Table:
-            # the partition directory IS the cell assignment — no need
-            # to re-run the centroid matmul done at build time
-            return t.append_column("ivf_cell", pa.array(
-                np.full(t.num_rows, _c, dtype=np.int64), pa.int64()))
-
-        per_cell.append(cell_ds.map_batches(tag, batch_format="pyarrow",
-                                            batch_size=None))
+        files.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
+                     if f.endswith(".parquet"))
     probe_sets = [set(p.tolist()) for p in probe]
 
     def part(b: pa.Table) -> pa.Table:
         M = batch_matrix(b, vec_col)
         ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        cells = b["ivf_cell"].to_numpy(zero_copy_only=False)
+        cells = b["cell"].to_numpy(zero_copy_only=False)
         norms = np.linalg.norm(M, axis=1)
         norms = np.where(norms == 0, 1.0, norms)
         out_q, out_id, out_s = [], [], []
@@ -349,10 +345,8 @@ def ivf_search_partitioned(index_dir: str, queries: np.ndarray, k: int = 10,
                          "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
                          "sim": pa.array(np.concatenate(out_s), pa.float64())})
 
-    if per_cell:
-        src = per_cell[0]
-        if len(per_cell) > 1:
-            src = src.union(*per_cell[1:])
+    if files:
+        src = rd.read_parquet(files, columns=[id_col, vec_col, "cell"])
         cand = src.map_batches(part, batch_format="pyarrow", batch_size=None)
     else:
         cand = None
