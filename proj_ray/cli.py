@@ -183,6 +183,48 @@ _FAST_RE = (rf"^(?P<consumed>\s*(?P<a>{_FAST_NUM})\s+(?P<b>{_FAST_NUM})"
             rf"(?:\s+(?P<z>{_FAST_NUM}))?)(?P<tail>\s*)$")
 
 
+def _fast_fixed_format(v: np.ndarray, ndigits: int):
+    """Byte-exact '%.Nf' formatting, vectorized via integer math.
+
+    printf rounds the infinite decimal expansion of the binary double;
+    round(|v| * 10^N) agrees with that except when the computed product
+    sits within a couple of ulps of a half-integer rounding boundary
+    (the multiply's 0.5-ulp error can then flip the decision).  Those
+    lanes — ~1e-6 of uniform inputs — are redone with Python's
+    correctly-rounded %-formatting; everything else is Arrow int->str.
+    Returns an object ndarray of strings, or None when the values are
+    too large for exact int64 scaling (caller falls back wholesale)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    scale = 10.0 ** ndigits
+    absn = np.abs(v) * scale
+    if not ndigits <= 18 or (absn.size and float(np.max(absn)) >= 2.0 ** 53):
+        return None
+    frac = np.abs(absn - np.floor(absn) - 0.5)
+    risky = frac <= 4.0 * np.spacing(absn)
+    ival = np.rint(absn).astype(np.int64)
+    iscale = 10 ** ndigits
+    ipart = pc.cast(pa.array(ival // iscale), pa.string())
+    neg = pc.if_else(pa.array(np.signbit(v)), pa.scalar("-"), pa.scalar(""))
+    if ndigits:
+        fpart = pc.utf8_lpad(pc.cast(pa.array(ival % iscale), pa.string()),
+                             ndigits, "0")
+        joined = pc.binary_join_element_wise(neg, ipart, pa.scalar("."),
+                                             fpart, pa.scalar(""))
+    else:
+        joined = pc.binary_join_element_wise(neg, ipart, pa.scalar(""))
+    bad = np.flatnonzero(risky)
+    if bad.size:
+        fmt = f"%.{ndigits}f"
+        repl = pa.array([fmt % v[i] for i in bad], pa.string())
+        joined = pc.replace_with_mask(joined, pa.array(risky), repl)
+    return joined
+
+
+_FMT_FIXED_RE_SRC = r"^%(?:\.(\d+))?f$"
+
+
 def _fast_chunk(chunk, transform: Transform, flags):
     """Vectorized whole-chunk path for plain-decimal 'x y [z]' lines:
     one RE2 pass over the chunk (Arrow extract_regex), vectorized
@@ -233,32 +275,47 @@ def _fast_chunk(chunk, transform: Transform, flags):
     n = x.shape[0]
     allv = np.concatenate([np.where(ok, x, 0.0), np.where(ok, y, 0.0),
                            np.where(np.isfinite(z), z, 0.0)])
-    alls = np.char.mod(eff_fmt, allv)
-    ox, oy, oz = alls[:n], alls[n:2 * n], alls[2 * n:]
+    import re as _re
+
+    mfix = _re.match(_FMT_FIXED_RE_SRC, eff_fmt)
+    alls = None
+    if mfix:
+        alls = _fast_fixed_format(allv,
+                                  int(mfix.group(1) or 6))  # %f == %.6f
+    if alls is not None:  # Arrow end-to-end: no per-value Python strings
+        ox, oy, oz = (alls.slice(0, n), alls.slice(n, n), alls.slice(2 * n, n))
+    else:
+        s = np.char.mod(eff_fmt, allv)
+        ox, oy, oz = pa.array(s[:n]), pa.array(s[n:2 * n]), pa.array(s[2 * n:])
     if "-s" in flags:
         ox, oy = oy, ox
     okz = np.isfinite(z)
-    pieces = [pa.array(ox), pa.scalar("\t"), pa.array(oy),
-              pa.scalar(" "), pa.array(oz)]
+    pieces = [ox, pa.scalar("\t"), oy, pa.scalar(" "), oz]
     tails_pa = pc.struct_field(ext, "tail")
     if pc.any(pc.not_equal(tails_pa, "")).as_py():
         pieces.append(tails_pa)
     if "-E" in flags:
         pieces = [pc.struct_field(ext, "consumed"), pa.scalar("\t")] + pieces
     joined = pc.binary_join_element_wise(*pieces, pa.scalar(""))
-    out = joined.to_numpy(zero_copy_only=False)
     bad = np.flatnonzero(~ok | ~okz)
     if bad.size:
         tails = tails_pa.to_numpy(zero_copy_only=False)
-        out = out.astype(object)
+        out = joined.to_numpy(zero_copy_only=False).astype(object)
         for i in bad:
-            bx = "*\t*" if not ok[i] else f"{ox[i]}\t{oy[i]}"
+            bx = ("*\t*" if not ok[i]
+                  else f"{ox[i].as_py()}\t{oy[i].as_py()}")
             bz = (z_fmt % z[i]) if okz[i] else "*"
             pre = ""
             if "-E" in flags:
                 pre = str(pc.struct_field(ext, "consumed")[i].as_py()) + "\t"
             out[i] = pre + bx + " " + bz + str(tails[i])
-    return "\n".join(out.tolist())
+        return "\n".join(out.tolist())
+    # join the whole chunk into ONE Python string inside Arrow
+    offsets = pa.array([0, len(joined)], pa.int32())
+    lst = pa.ListArray.from_arrays(offsets, joined.combine_chunks()
+                                   if isinstance(joined, pa.ChunkedArray)
+                                   else joined)
+    return pc.binary_join(lst, pa.scalar("\n"))[0].as_py()
 
 
 def _process_lines(lines, transform: Transform, flags):
