@@ -243,22 +243,51 @@ def _fast_chunk(chunk, transform: Transform, flags):
     if not eff_fmt or eff_fmt.count("%") != 1:
         return None  # DMS output (or odd format): per-line path
     z_fmt = eff_fmt
-    try:
-        ext = pc.extract_regex(pa.array(chunk, pa.string()), _FAST_RE)
-    except Exception:
-        return None
-    if ext.null_count:
-        return None
-    a = pc.struct_field(ext, "a")
-    b = pc.struct_field(ext, "b")
-    zs = pc.struct_field(ext, "z")
-    zs = pc.if_else(pc.equal(zs, ""), pa.scalar("0"), zs)
-    try:
-        va = pc.cast(a, pa.float64()).to_numpy(zero_copy_only=False)
-        vb = pc.cast(b, pa.float64()).to_numpy(zero_copy_only=False)
-        vz = pc.cast(zs, pa.float64()).to_numpy(zero_copy_only=False)
-    except Exception:
-        return None
+    arr = pa.array(chunk, pa.string())
+    ext = tails_pa = None
+    va = vb = vz = None
+    if "-E" not in flags:
+        # cheapest frontend: whitespace split + ONE cast.  Valid only
+        # when every line is a uniform 'x y' or 'x y z' with no
+        # trailing whitespace (a trailing blank is unconsumed text the
+        # C echoes; the regex frontend below handles that).  Arrow's
+        # string->double cast is correctly rounded like strtod, and a
+        # token strtod would accept but cast won't (hex, overflow)
+        # falls through to the regex / per-line paths.
+        parts = pc.utf8_split_whitespace(arr)
+        lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+        k = int(lens[0]) if lens.size else 0
+        if k in (2, 3) and bool(np.all(lens == k)) and \
+                pc.all(pc.equal(pc.utf8_rtrim_whitespace(arr),
+                                arr)).as_py():
+            try:
+                vals = pc.cast(pc.list_flatten(parts),
+                               pa.float64()).to_numpy(zero_copy_only=False)
+            except Exception:
+                vals = None
+            if vals is not None:
+                va = vals[0::k].copy()
+                vb = vals[1::k].copy()
+                vz = (vals[2::k].copy() if k == 3
+                      else np.zeros(len(chunk)))
+    if va is None:
+        try:
+            ext = pc.extract_regex(arr, _FAST_RE)
+        except Exception:
+            return None
+        if ext.null_count:
+            return None
+        a = pc.struct_field(ext, "a")
+        b = pc.struct_field(ext, "b")
+        zs = pc.struct_field(ext, "z")
+        zs = pc.if_else(pc.equal(zs, ""), pa.scalar("0"), zs)
+        try:
+            va = pc.cast(a, pa.float64()).to_numpy(zero_copy_only=False)
+            vb = pc.cast(b, pa.float64()).to_numpy(zero_copy_only=False)
+            vz = pc.cast(zs, pa.float64()).to_numpy(zero_copy_only=False)
+        except Exception:
+            return None
+        tails_pa = pc.struct_field(ext, "tail")
     if "-r" in flags:
         va, vb = vb, va
     if transform.src.is_latlong:
@@ -291,15 +320,16 @@ def _fast_chunk(chunk, transform: Transform, flags):
         ox, oy = oy, ox
     okz = np.isfinite(z)
     pieces = [ox, pa.scalar("\t"), oy, pa.scalar(" "), oz]
-    tails_pa = pc.struct_field(ext, "tail")
-    if pc.any(pc.not_equal(tails_pa, "")).as_py():
+    if tails_pa is not None and \
+            pc.any(pc.not_equal(tails_pa, "")).as_py():
         pieces.append(tails_pa)
     if "-E" in flags:
         pieces = [pc.struct_field(ext, "consumed"), pa.scalar("\t")] + pieces
     joined = pc.binary_join_element_wise(*pieces, pa.scalar(""))
     bad = np.flatnonzero(~ok | ~okz)
     if bad.size:
-        tails = tails_pa.to_numpy(zero_copy_only=False)
+        tails = (tails_pa.to_numpy(zero_copy_only=False)
+                 if tails_pa is not None else None)
         out = joined.to_numpy(zero_copy_only=False).astype(object)
         for i in bad:
             bx = ("*\t*" if not ok[i]
@@ -308,7 +338,8 @@ def _fast_chunk(chunk, transform: Transform, flags):
             pre = ""
             if "-E" in flags:
                 pre = str(pc.struct_field(ext, "consumed")[i].as_py()) + "\t"
-            out[i] = pre + bx + " " + bz + str(tails[i])
+            tl = str(tails[i]) if tails is not None else ""
+            out[i] = pre + bx + " " + bz + tl
         return "\n".join(out.tolist())
     # join the whole chunk into ONE Python string inside Arrow
     offsets = pa.array([0, len(joined)], pa.int32())
@@ -336,6 +367,25 @@ def _process_lines(lines, transform: Transform, flags):
             yield fast
         else:
             yield from _slow_lines(chunk, transform, flags)
+
+    reader = getattr(lines, "read", None)
+    if reader is not None:
+        # bulk path: read 4 MB blocks and split once — a 2M-line stream
+        # costs ~60 Python-level splits instead of 2M rstrip/append
+        # iterations; semantics identical (split('\n') strips exactly
+        # the '\n' the per-line path rstrips)
+        pend = ""
+        while True:
+            block = reader(1 << 22)
+            if not block:
+                break
+            rows = (pend + block).split("\n")
+            pend = rows.pop()
+            for i in range(0, len(rows), CHUNK):
+                yield from emit(rows[i:i + CHUNK])
+        if pend:
+            yield from emit([pend])
+        return
 
     chunk = []
     for line in lines:

@@ -60,6 +60,17 @@ class ShiftGrid:
             | (ll_lam + (nl - 1) * dl + eps < lam)
         )
 
+    @property
+    def is_zero(self):
+        """True when every shift value is zero (the '@null' grid and
+        synthetic zero grids) — nad_cvt then short-circuits to the
+        bit-identical zero-shift op chain.  Cached after one scan."""
+        z = self.__dict__.get("_is_zero")
+        if z is None:
+            z = not self.cvs.any()
+            self.__dict__["_is_zero"] = z
+        return z
+
     @staticmethod
     def null_grid():
         """The '@null' 3x3 zero world grid (src/pj_gridlist.c:109-151)."""
@@ -72,9 +83,9 @@ class ShiftGrid:
         )
 
 
-def nad_intr(t_lam, t_phi, grid: ShiftGrid):
-    """Vectorized bilinear lookup; inputs are offsets from grid ll in
-    radians. Returns (d_lam, d_phi) with inf outside. src/nad_intr.c:5-62."""
+def _locate(t_lam, t_phi, grid: ShiftGrid):
+    """Cell index + fraction + in-grid mask for nad_intr's lookup,
+    including the edge snapping (src/nad_intr.c:17-43)."""
     dl, dp = grid.delta
     nlam, nphi = grid.lim
     tl = t_lam / dl
@@ -84,7 +95,6 @@ def nad_intr(t_lam, t_phi, grid: ShiftGrid):
     fl = tl - il
     fp = tp - ip
 
-    # edge snapping (src/nad_intr.c:17-43)
     snap_lo_l = (il == -1) & (fl > 0.99999999999)
     il = np.where(snap_lo_l, il + 1, il)
     fl = np.where(snap_lo_l, 0.0, fl)
@@ -102,7 +112,13 @@ def nad_intr(t_lam, t_phi, grid: ShiftGrid):
     ok &= np.isfinite(tl) & np.isfinite(tp)
     ii = np.where(ok, il, 0).astype(np.int64)
     jj = np.where(ok, ip, 0).astype(np.int64)
+    return ok, ii, jj, fl, fp
 
+
+def nad_intr(t_lam, t_phi, grid: ShiftGrid):
+    """Vectorized bilinear lookup; inputs are offsets from grid ll in
+    radians. Returns (d_lam, d_phi) with inf outside. src/nad_intr.c:5-62."""
+    ok, ii, jj, fl, fp = _locate(t_lam, t_phi, grid)
     cvs = grid.cvs
     f00 = cvs[jj, ii]
     f10 = cvs[jj, ii + np.where(ok, 1, 0)]
@@ -128,6 +144,22 @@ def nad_cvt(lam, phi, grid: ShiftGrid, inverse: bool):
     tb_lam = lam - ll_lam
     tb_phi = phi - ll_phi
     tb_lam = adjlon(tb_lam - PI) + PI
+
+    if grid.is_zero:
+        # zero-shift grid (the '@null' world grid, pj_gridlist.c:109-151):
+        # the interpolated shift is exactly 0.0 and the inverse fixed
+        # point converges on its first pass, so only the containment
+        # mask and the reference's exact op chain remain — bit-identical
+        # to the full path, without gathers or iteration
+        ok, _, _, _, _ = _locate(tb_lam, tb_phi, grid)
+        if not inverse:
+            return (np.where(ok, lam - 0.0, HUGE),
+                    np.where(ok, phi + 0.0, HUGE))
+        ll_lam, ll_phi = grid.ll
+        out_lam = adjlon((tb_lam + 0.0) + ll_lam)
+        out_phi = (tb_phi - 0.0) + ll_phi
+        return (np.where(ok, out_lam, HUGE),
+                np.where(ok, out_phi, HUGE))
 
     t_lam, t_phi = nad_intr(tb_lam, tb_phi, grid)
     outside = ~np.isfinite(t_lam)
