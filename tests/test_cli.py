@@ -277,3 +277,53 @@ def test_w_argument_missing_aborts():
             with pytest.raises(SystemExit) as ei:
                 run(main, ["+proj=latlong", "+ellps=WGS84", bad], "")
             assert ei.value.code == 1
+
+
+def test_fast_chunk_parity_adversarial():
+    """The vectorized chunk path must be byte-identical to the per-line
+    path on rounding-boundary values, negative zero, mixed bad lanes,
+    scientific notation, z columns and trailing whitespace."""
+    import numpy as np
+
+    from proj_ray.cli import _fast_chunk, _slow_lines
+    from proj_ray.transform import make_transform
+
+    t = make_transform("+proj=latlong +datum=WGS84",
+                       "+proj=merc +datum=WGS84")
+    rng = np.random.default_rng(77)
+    lines = [f"{a:.9f} {b:.9f}" for a, b in
+             zip(rng.uniform(-179, 179, 500), rng.uniform(-85, 85, 500))]
+    # printf tie / sign adversaries (x maps through merc, so also check
+    # plain pass-through magnitudes via tiny lat/lon near zero)
+    lines += ["0 0", "-0.0 -0.0", "0.005 0.005", "-0.005 -0.005",
+              "2.675 1.005", "1e-8 -1e-9", "10 45 7.5", "10 45 -0.125",
+              "12.5 60 2.675", "0 91", "181 0 5", "10 45 ", "  10 45",
+              "10\t45\t3"]
+    for flags in ({"-f": "%.2f"}, {"-f": "%.7f"}, {"-f": "%.0f"},
+                  {"-f": "%.2f", "-s": True}):
+        fast = _fast_chunk(lines, t, flags)
+        slow = "\n".join(_slow_lines(lines, t, flags))
+        assert fast is not None
+        assert fast == slow, (flags, next(
+            (a, b) for a, b in zip(fast.splitlines(), slow.splitlines())
+            if a != b))
+
+
+def test_fast_chunk_split_frontend_matches_regex_frontend():
+    """Uniform 'x y' chunks take the whitespace-split frontend; forcing
+    the regex frontend (via a trailing-space line) must give identical
+    bytes for the shared lines."""
+    from proj_ray.cli import _fast_chunk
+    from proj_ray.transform import make_transform
+
+    t = make_transform("+proj=latlong +datum=WGS84",
+                       "+proj=merc +datum=WGS84")
+    flags = {"-f": "%.3f"}
+    base = ["10.123456789 45.987654321", "-179.9 -85.0", "0.001 -0.001"]
+    split_out = _fast_chunk(base, t, flags)
+    # a line with a trailing space routes the whole chunk through the
+    # regex frontend (the tail must be echoed)
+    regex_out = _fast_chunk(base + ["5 5 "], t, flags)
+    assert split_out is not None and regex_out is not None
+    assert regex_out.splitlines()[:3] == split_out.splitlines()
+    assert regex_out.splitlines()[3].endswith(" ")
