@@ -383,6 +383,64 @@ def sweep_inverse(rng, make_transform, n=20000):
     return ok
 
 
+def run_engine_cli(main_fn, args, lines):
+    """Run one of the engine's text filters in-process."""
+    import io
+
+    out = io.StringIO()
+    main_fn(args, stdin=io.StringIO("\n".join(lines) + "\n"), stdout=out)
+    return out.getvalue().splitlines()
+
+
+def check_text(name, got_lines, ref_lines, last_digit):
+    """Whole-line text parity vs the reference binary.  Lines may
+    legitimately differ when a value sits within the engines' ~1e-11
+    agreement of a printf rounding boundary — those must differ by
+    exactly one unit in the last printed digit, and stay rare."""
+    assert len(got_lines) == len(ref_lines), (len(got_lines),
+                                              len(ref_lines))
+    near_ties = 0
+    for g, r in zip(got_lines, ref_lines):
+        if g == r:
+            continue
+        gt = g.replace("\t", " ").split()
+        rt = r.replace("\t", " ").split()
+        if len(gt) != len(rt):
+            print(f"[FAIL] {name}: token mismatch\n  got {g!r}\n  ref {r!r}")
+            return False
+        for a, b in zip(gt, rt):
+            if a == b:
+                continue
+            try:
+                fa, fb = _dms_to_deg(a), _dms_to_deg(b)
+            except ValueError:
+                print(f"[FAIL] {name}: {a!r} != {b!r}\n  got {g!r}"
+                      f"\n  ref {r!r}")
+                return False
+            if abs(fa - fb) > last_digit * 1.5:
+                print(f"[FAIL] {name}: |{fa}-{fb}| > last digit"
+                      f"\n  got {g!r}\n  ref {r!r}")
+                return False
+        near_ties += 1
+    okp = near_ties <= max(5, len(got_lines) // 2000)
+    print(f"[{'OK ' if okp else 'FAIL'}] {name}: {len(got_lines)} lines, "
+          f"{near_ties} rounding-boundary line(s)")
+    return okp
+
+
+def _dms_to_deg(tok):
+    """Parse either a decimal or a DMS token to degrees."""
+    import re
+
+    m = re.match(r"^(-?)(\d+)d(?:(\d+)')?(?:([\d.]+)\")?([NSEW]?)$", tok)
+    if not m:
+        return float(tok)
+    sign = -1.0 if (m.group(1) == "-" or m.group(5) in ("S", "W")) else 1.0
+    deg = float(m.group(2)) + float(m.group(3) or 0) / 60.0 + \
+        float(m.group(4) or 0) / 3600.0
+    return sign * deg
+
+
 def check(name, got, want, tol):
     d = np.max(np.abs(got - want))
     status = "OK " if d <= tol else "FAIL"
@@ -496,6 +554,49 @@ def main():
                        "+proj=geocent +datum=WGS84")
     x, y, z = t(lonz.copy(), latz.copy(), hz.copy())
     ok &= check("geocent xyz (cs2cs)", np.column_stack([x, y, z]), ref3, 2e-6)
+
+    # --- text-grammar surfaces: engine CLI vs reference binary --------
+    from proj_ray.cli import cs2cs_main, geod_main
+
+    # DMS output (rtodms default format) through a 7-param Helmert
+    lon7 = rng.uniform(-179.0, 179.0, 20000)
+    lat7 = rng.uniform(-89.0, 89.0, 20000)
+    lines, _ = fmt_lines(lon7, lat7)
+    args = ["+proj=latlong", "+datum=WGS84", "+to", "+proj=latlong",
+            "+ellps=bessel",
+            "+towgs84=598.1,73.7,418.2,0.202,0.045,-2.455,6.7"]
+    ok &= check_text("cs2cs DMS output (rtodms)",
+                     run_engine_cli(cs2cs_main, args, lines),
+                     run_ref("cs2cs", args, lines),
+                     last_digit=0.001 / 3600.0)
+
+    # -E echo + tails + comments + error lanes, fixed-format output
+    mixed = []
+    for i in range(5000):
+        if i % 17 == 0:
+            mixed.append(f"# comment {i}")
+        elif i % 13 == 0:
+            mixed.append(f"{lon7[i]:.6f} 95.0")  # out-of-range lane
+        elif i % 7 == 0:
+            mixed.append(f"{lon7[i]:.6f} {lat7[i]:.6f} 12.5 site{i} x")
+        else:
+            mixed.append(f"{lon7[i]:.6f} {lat7[i]:.6f}")
+    args = ["+proj=latlong", "+datum=WGS84", "+to", "+proj=utm",
+            "+zone=33", "+datum=WGS84", "-E", "-f", "%.4f"]
+    ok &= check_text("cs2cs -E mixed grammar",
+                     run_engine_cli(cs2cs_main, args, mixed),
+                     run_ref("cs2cs", args, mixed), last_digit=1e-4)
+
+    # geod direct mode: lat1 lon1 az12 s12 -> lat2 lon2 al21
+    glat = rng.uniform(-80.0, 80.0, 20000)
+    glon = rng.uniform(-179.0, 179.0, 20000)
+    gaz = rng.uniform(-179.0, 179.0, 20000)
+    gs = rng.uniform(1.0, 5_000_000.0, 20000)
+    lines, _ = fmt_lines(glat, glon, gaz, gs)
+    args = ["+ellps=WGS84", "-f", "%.9f", "-F", "%.3f"]
+    ok &= check_text("geod direct mode",
+                     run_engine_cli(geod_main, args, lines),
+                     run_ref("geod", args, lines), last_digit=1e-9)
 
     # --- wide projection-registry sweep (fwd + inv) --------------------
     ok &= sweep_projections(rng, make_transform)
