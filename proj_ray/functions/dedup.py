@@ -221,6 +221,34 @@ def simhash64(text: str, k: int = 4) -> np.uint64:
     return simhash64_batch([text], k=k)[0]
 
 
+def simhash_bands(sim: np.ndarray, n_bands: int = 4) -> np.ndarray:
+    """Split 64-bit SimHash values into ``n_bands`` equal bit-chunks —
+    the banded-hamming bucketing key.  Pigeonhole guarantee: two
+    signatures within hamming distance ``n_bands - 1`` share at least
+    one identical band, so banding has EXACT recall for that radius
+    (Manku et al., "Detecting Near-Duplicates for Web Crawling",
+    WWW'07 — at web scale use more/permuted blocks so each bucket
+    stays selective; 4x16-bit is the single-table instance).
+
+    ``sim`` is int64 bit-patterns (Arrow-friendly); returns (n,
+    n_bands) int64 with each band's chunk value."""
+    if 64 % n_bands:
+        raise ValueError("n_bands must divide 64")
+    w = 64 // n_bands
+    u = sim.astype(np.int64).view(np.uint64)
+    mask = np.uint64((1 << w) - 1)
+    shifts = (np.arange(n_bands, dtype=np.uint64) * np.uint64(w))
+    return ((u[:, None] >> shifts[None, :]) & mask).astype(np.int64)
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized popcount(a ^ b) for int64 bit-pattern arrays."""
+    x = (a.astype(np.int64).view(np.uint64)
+         ^ b.astype(np.int64).view(np.uint64))
+    return np.unpackbits(x.view(np.uint8).reshape(-1, 8),
+                         axis=1).sum(axis=1).astype(np.int64)
+
+
 def jaccard_ngrams(a: str, b: str, k: int = 5) -> float:
     """Exact k-shingle Jaccard (the LSH candidate verifier)."""
     sa = set(shingle_hashes(a, k).tolist())
