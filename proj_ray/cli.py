@@ -84,7 +84,33 @@ def _process_proj_lines(lines, transform: Transform, flags):
     two coordinate fields, echo ONLY the consumed text under -E, print
     x TAB y (no z — proj is 2-D), then the unconsumed remainder verbatim
     (which is how test27/test83 carry expected values + labels through).
-    Unprojectable input emits the "*\\t*" oterr sentinel (proj.c:43)."""
+    Unprojectable input emits the "*\\t*" oterr sentinel (proj.c:43).
+
+    Input streams in chunks; a chunk of plain-decimal lines takes the
+    vectorized _fast_proj_chunk path (same design as the cs2cs fast
+    path), anything else the per-line path."""
+    for chunk in _iter_line_chunks(lines):
+        fast = _fast_proj_chunk(chunk, transform, flags)
+        if fast is not None:
+            yield fast
+        else:
+            yield from _slow_proj_lines(chunk, transform, flags)
+
+
+def _proj_mscale(flags):
+    """-m cartesian multiplier (proj.c:364-377): '1:x'/'1/x' -> 1/x;
+    applied post-projection forward, pre-projection (inverted) inverse."""
+    if "-m" not in flags:
+        return None
+    mtxt = flags["-m"]
+    if mtxt.startswith(("1/", "1:")):
+        return 1.0 / float(mtxt[2:])
+    return float(mtxt)
+
+
+def _slow_proj_lines(lines, transform: Transform, flags):
+    """Per-line proj.c path (the fast chunk path must match it
+    byte-for-byte on inputs both accept)."""
     import re
 
     echo = "-E" in flags
@@ -94,15 +120,7 @@ def _process_proj_lines(lines, transform: Transform, flags):
     src_ll = transform.src.is_latlong
     dst_ll = transform.dst.is_latlong
     two_fields = re.compile(r"\s*\S+\s+\S+")
-    # -m cartesian multiplier (proj.c:364-377): '1:x'/'1/x' -> 1/x;
-    # applied post-projection forward, pre-projection (inverted) inverse
-    fscale = None
-    if "-m" in flags:
-        mtxt = flags["-m"]
-        if mtxt.startswith(("1/", "1:")):
-            fscale = 1.0 / float(mtxt[2:])
-        else:
-            fscale = float(mtxt)
+    fscale = _proj_mscale(flags)
     inverse = "-I" in flags
     prescale = fscale is not None and inverse
     postscale = fscale is not None and not inverse
@@ -349,6 +367,120 @@ def _fast_chunk(chunk, transform: Transform, flags):
     return pc.binary_join(lst, pa.scalar("\n"))[0].as_py()
 
 
+_FAST_PROJ_RE = (rf"^(?P<consumed>\s*(?P<a>{_FAST_NUM})\s+(?P<b>{_FAST_NUM}))"
+                 rf"(?P<tail>\s[^\n]*)?$")
+
+
+def _fast_proj_chunk(chunk, transform: Transform, flags):
+    """Vectorized whole-chunk path for the proj filter: plain-decimal
+    'x y [tail]' lines where proj consumes exactly two fields and
+    echoes the remainder verbatim.  Returns None when any line needs
+    the per-line path (comments, DMS tokens, non-decimal fields,
+    blank lines) or the output needs rtodms DMS — byte-identical to
+    _slow_proj_lines by the same op order (dmstor plain-decimal is
+    v * DMS_DEG; -m scaling applied with the identical multiply)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    fmt = flags.get("-f")
+    if transform.dst.is_latlong and fmt is None:
+        return None  # DMS output: per-line path
+    eff_fmt = fmt or "%.2f"
+    if eff_fmt.count("%") != 1:
+        return None
+    arr = pa.array(chunk, pa.string())
+    ext = None
+    tails_pa = None
+    va = vb = None
+    if "-E" not in flags:
+        # cheapest frontend: whitespace split + ONE cast (see the
+        # cs2cs fast path for the validity conditions)
+        parts = pc.utf8_split_whitespace(arr)
+        lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+        if lens.size and int(lens[0]) == 2 and bool(np.all(lens == 2)) \
+                and pc.all(pc.equal(pc.utf8_rtrim_whitespace(arr),
+                                    arr)).as_py():
+            try:
+                vals = pc.cast(pc.list_flatten(parts),
+                               pa.float64()).to_numpy(zero_copy_only=False)
+            except Exception:
+                vals = None
+            if vals is not None:
+                va = vals[0::2].copy()
+                vb = vals[1::2].copy()
+    if va is None:
+        try:
+            ext = pc.extract_regex(arr, _FAST_PROJ_RE)
+        except Exception:
+            return None
+        if ext.null_count:
+            return None
+        tails_pa = pc.fill_null(pc.struct_field(ext, "tail"), "")
+        try:
+            va = pc.cast(pc.struct_field(ext, "a"),
+                         pa.float64()).to_numpy(zero_copy_only=False)
+            vb = pc.cast(pc.struct_field(ext, "b"),
+                         pa.float64()).to_numpy(zero_copy_only=False)
+        except Exception:
+            return None
+        va, vb = va.copy(), vb.copy()
+    if "-r" in flags:
+        va, vb = vb, va
+    if transform.src.is_latlong:
+        from .kernels.common import DMS_DEG
+
+        va = (va * DMS_DEG) * RAD_TO_DEG
+        vb = (vb * DMS_DEG) * RAD_TO_DEG
+    fscale = _proj_mscale(flags)
+    inverse = "-I" in flags
+    if fscale is not None and inverse:
+        inv = 1.0 / fscale
+        va, vb = va * inv, vb * inv
+    x, y, _z = transform(va, vb, np.zeros(va.shape[0]))
+    if fscale is not None and not inverse:
+        x, y = x * fscale, y * fscale
+    ok = np.isfinite(x) & np.isfinite(y)
+    n = x.shape[0]
+    allv = np.concatenate([np.where(ok, x, 0.0), np.where(ok, y, 0.0)])
+    import re as _re
+
+    mfix = _re.match(_FMT_FIXED_RE_SRC, eff_fmt)
+    alls = None
+    if mfix:
+        alls = _fast_fixed_format(allv, int(mfix.group(1) or 6))
+    if alls is not None:
+        ox, oy = alls.slice(0, n), alls.slice(n, n)
+    else:
+        s = np.char.mod(eff_fmt, allv)
+        ox, oy = pa.array(s[:n]), pa.array(s[n:])
+    if "-s" in flags:
+        ox, oy = oy, ox
+    pieces = [ox, pa.scalar("\t"), oy]
+    if tails_pa is not None and \
+            pc.any(pc.not_equal(tails_pa, "")).as_py():
+        pieces.append(tails_pa)
+    if "-E" in flags:
+        pieces = [pc.struct_field(ext, "consumed"), pa.scalar("\t")] + pieces
+    joined = pc.binary_join_element_wise(*pieces, pa.scalar(""))
+    bad = np.flatnonzero(~ok)
+    if bad.size:
+        out = joined.to_numpy(zero_copy_only=False).astype(object)
+        tails = (tails_pa.to_numpy(zero_copy_only=False)
+                 if tails_pa is not None else None)
+        for i in bad:
+            pre = ""
+            if "-E" in flags:
+                pre = str(pc.struct_field(ext, "consumed")[i].as_py()) + "\t"
+            tl = str(tails[i]) if tails is not None else ""
+            out[i] = pre + "*\t*" + tl
+        return "\n".join(out.tolist())
+    offsets = pa.array([0, len(joined)], pa.int32())
+    lst = pa.ListArray.from_arrays(offsets, joined.combine_chunks()
+                                   if isinstance(joined, pa.ChunkedArray)
+                                   else joined)
+    return pc.binary_join(lst, pa.scalar("\n"))[0].as_py()
+
+
 def _process_lines(lines, transform: Transform, flags):
     """cs2cs.c-exact line processing (src/cs2cs.c:60-160): consume two
     coordinate fields + an optional numeric z (strtod semantics), echo
@@ -359,21 +491,22 @@ def _process_lines(lines, transform: Transform, flags):
 
     Input streams in chunks; a chunk of plain-decimal lines takes the
     vectorized _fast_chunk path, anything else the per-line path."""
-    CHUNK = 32768
-
-    def emit(chunk):
+    for chunk in _iter_line_chunks(lines):
         fast = _fast_chunk(chunk, transform, flags)
         if fast is not None:
             yield fast
         else:
             yield from _slow_lines(chunk, transform, flags)
 
+
+def _iter_line_chunks(lines, CHUNK=32768):
+    """Yield lists of newline-stripped lines.  File-like inputs take the
+    bulk path: read 4 MB blocks and split once — a 2M-line stream costs
+    ~60 Python-level splits instead of 2M rstrip/append iterations;
+    semantics identical (split('\\n') strips exactly the '\\n' the
+    per-line path rstrips)."""
     reader = getattr(lines, "read", None)
     if reader is not None:
-        # bulk path: read 4 MB blocks and split once — a 2M-line stream
-        # costs ~60 Python-level splits instead of 2M rstrip/append
-        # iterations; semantics identical (split('\n') strips exactly
-        # the '\n' the per-line path rstrips)
         pend = ""
         while True:
             block = reader(1 << 22)
@@ -382,19 +515,19 @@ def _process_lines(lines, transform: Transform, flags):
             rows = (pend + block).split("\n")
             pend = rows.pop()
             for i in range(0, len(rows), CHUNK):
-                yield from emit(rows[i:i + CHUNK])
+                yield rows[i:i + CHUNK]
         if pend:
-            yield from emit([pend])
+            yield [pend]
         return
 
     chunk = []
     for line in lines:
         chunk.append(line.rstrip("\n"))
         if len(chunk) >= CHUNK:
-            yield from emit(chunk)
+            yield chunk
             chunk = []
     if chunk:
-        yield from emit(chunk)
+        yield chunk
 
 
 def _slow_lines(lines, transform: Transform, flags):

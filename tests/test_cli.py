@@ -327,3 +327,61 @@ def test_fast_chunk_split_frontend_matches_regex_frontend():
     assert split_out is not None and regex_out is not None
     assert regex_out.splitlines()[:3] == split_out.splitlines()
     assert regex_out.splitlines()[3].endswith(" ")
+
+
+def test_fast_proj_chunk_parity_adversarial():
+    """The proj filter's vectorized chunk path must be byte-identical
+    to the per-line path: tails (third numeric token is UNCONSUMED in
+    proj), -r/-s swaps, -m scaling fwd+inv, -E echo, out-of-domain
+    sentinel lanes, trailing whitespace."""
+    import numpy as np
+
+    from proj_ray.cli import _fast_proj_chunk, _slow_proj_lines
+    from proj_ray.transform import make_transform
+
+    fwd = make_transform("+proj=latlong +ellps=WGS84",
+                         "+proj=merc +ellps=WGS84")
+    inv = make_transform("+proj=merc +ellps=WGS84",
+                         "+proj=latlong +ellps=WGS84")
+    rng = np.random.default_rng(99)
+    lines = [f"{a:.9f} {b:.9f}" for a, b in
+             zip(rng.uniform(-179, 179, 400), rng.uniform(-85, 85, 400))]
+    lines += ["0 0", "-0.0 -0.0", "0.005 0.005", "2.675 1.005",
+              "1e-8 -1e-9", "10 45 expected-X expected-Y label",
+              "12.5 60 2.675", "0 91", "10 45 ", "  10 45", "10\t45\t3"]
+    for flags in ({"-f": "%.2f"}, {"-f": "%.7f"},
+                  {"-f": "%.2f", "-s": True}, {"-f": "%.2f", "-r": True},
+                  {"-f": "%.3f", "-m": "1:2.5"}, {"-f": "%.3f", "-m": "2"},
+                  {"-f": "%.2f", "-E": True}):
+        fast = _fast_proj_chunk(lines, fwd, flags)
+        slow = "\n".join(_slow_proj_lines(lines, fwd, flags))
+        assert fast is not None
+        assert fast == slow, (flags, next(
+            (a, b) for a, b in zip(fast.splitlines(), slow.splitlines())
+            if a != b))
+    # inverse direction: -m prescale + numeric-format latlong output
+    ilines = [f"{a:.3f} {b:.3f}" for a, b in
+              zip(rng.uniform(-2e7, 2e7, 200), rng.uniform(-1.5e7, 1.5e7, 200))]
+    for flags in ({"-f": "%.7f", "-I": True},
+                  {"-f": "%.7f", "-I": True, "-m": "1:3"}):
+        fast = _fast_proj_chunk(ilines, inv, flags)
+        slow = "\n".join(_slow_proj_lines(ilines, inv, flags))
+        assert fast is not None
+        assert fast == slow, flags
+
+
+def test_fast_proj_chunk_falls_back():
+    """Chunks the fast path must refuse: DMS default output, DMS
+    tokens, comments/blank lines, non-decimal fields."""
+    from proj_ray.cli import _fast_proj_chunk
+    from proj_ray.transform import make_transform
+
+    inv = make_transform("+proj=merc +ellps=WGS84",
+                         "+proj=latlong +ellps=WGS84")
+    # default (no -f) latlong output is rtodms DMS -> per-line path
+    assert _fast_proj_chunk(["1000 2000"], inv, {}) is None
+    fwd = make_transform("+proj=latlong +ellps=WGS84",
+                         "+proj=merc +ellps=WGS84")
+    for bad in (["# comment"], [""], ["12d30'N 45"], ["abc 45"],
+                ["12,5 60"]):
+        assert _fast_proj_chunk(bad, fwd, {"-f": "%.2f"}) is None
