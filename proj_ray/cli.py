@@ -359,12 +359,7 @@ def _fast_chunk(chunk, transform: Transform, flags):
             tl = str(tails[i]) if tails is not None else ""
             out[i] = pre + bx + " " + bz + tl
         return "\n".join(out.tolist())
-    # join the whole chunk into ONE Python string inside Arrow
-    offsets = pa.array([0, len(joined)], pa.int32())
-    lst = pa.ListArray.from_arrays(offsets, joined.combine_chunks()
-                                   if isinstance(joined, pa.ChunkedArray)
-                                   else joined)
-    return pc.binary_join(lst, pa.scalar("\n"))[0].as_py()
+    return _join_lines(joined)
 
 
 _FAST_PROJ_RE = (rf"^(?P<consumed>\s*(?P<a>{_FAST_NUM})\s+(?P<b>{_FAST_NUM}))"
@@ -474,10 +469,19 @@ def _fast_proj_chunk(chunk, transform: Transform, flags):
             tl = str(tails[i]) if tails is not None else ""
             out[i] = pre + "*\t*" + tl
         return "\n".join(out.tolist())
-    offsets = pa.array([0, len(joined)], pa.int32())
-    lst = pa.ListArray.from_arrays(offsets, joined.combine_chunks()
-                                   if isinstance(joined, pa.ChunkedArray)
-                                   else joined)
+    return _join_lines(joined)
+
+
+def _join_lines(joined):
+    """Join an Arrow string array into ONE newline-separated Python
+    string with a single kernel call (no per-row as_py round trips)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = (joined.combine_chunks() if isinstance(joined, pa.ChunkedArray)
+           else joined)
+    offsets = pa.array([0, len(arr)], pa.int32())
+    lst = pa.ListArray.from_arrays(offsets, arr)
     return pc.binary_join(lst, pa.scalar("\n"))[0].as_py()
 
 
@@ -1029,29 +1033,21 @@ def geod_main(argv=None, stdin=None, stdout=None):
         to_meter = (float(expr.split("/")[0]) / float(expr.split("/")[1])
                     if "/" in expr else float(expr))
     fr_meter = 1.0 / to_meter
-    oform = flags.get("-f")
-    osform = flags.get("-F", "%.3f")
-    prec = flags.get("-w", 3)
-    inverse = "-I" in flags
-    fullout = "-a" in flags
-    pos_azi = "-p" in flags
+    from types import SimpleNamespace
+
+    ctx = SimpleNamespace(a=a, f=f, to_meter=to_meter, fr_meter=fr_meter,
+                          oform=flags.get("-f"),
+                          osform=flags.get("-F", "%.3f"),
+                          prec=flags.get("-w", 3),
+                          inverse="-I" in flags, fullout="-a" in flags,
+                          pos_azi="-p" in flags,
+                          wfixed=flags.get("-Wfixed", False))
 
     def az(v_deg):
-        if pos_azi and v_deg < 0.0:
-            v_deg += 360.0
-        return (oform % v_deg) if oform else rtodms(np.radians(v_deg),
-                                                    "", "", prec,
-                                                    flags.get("-Wfixed", False))
+        return _geod_az(v_deg, ctx)
 
     def pll(lat_deg, lon_deg):
-        if oform:
-            return f"{oform % lat_deg}\t{oform % lon_deg}"
-        fx = flags.get("-Wfixed", False)
-        return (f"{rtodms(np.radians(lat_deg), 'N', 'S', prec, fx)}\t"
-                f"{rtodms(np.radians(lon_deg), 'E', 'W', prec, fx)}")
-
-    def back(azi2_deg):
-        return azi2_deg + (-180.0 if azi2_deg >= 0 else 180.0)
+        return _geod_pll(lat_deg, lon_deg, ctx)
 
     pl = crs.pl
     if pl.has("lat_1"):
@@ -1109,44 +1105,162 @@ def geod_main(argv=None, stdin=None, stdout=None):
         print(pll(lat2, lon2), file=stdout)
         return 0
 
-    for line in stdin:
-        line = line.rstrip("\n")
+    for chunk in _iter_line_chunks(stdin):
+        fast = _fast_geod_chunk(chunk, ctx)
+        if fast is not None:
+            print(fast, file=stdout)
+        else:
+            for out in _slow_geod_lines(chunk, ctx):
+                print(out, file=stdout)
+    return 0
+
+
+def _geod_az(v_deg, ctx):
+    """Azimuth formatting (geod.c printLL/out): -p wraps negatives to
+    [0,360); -f numeric else rtodms."""
+    if ctx.pos_azi and v_deg < 0.0:
+        v_deg += 360.0
+    return (ctx.oform % v_deg) if ctx.oform else rtodms(
+        np.radians(v_deg), "", "", ctx.prec, ctx.wfixed)
+
+
+def _geod_pll(lat_deg, lon_deg, ctx):
+    if ctx.oform:
+        return f"{ctx.oform % lat_deg}\t{ctx.oform % lon_deg}"
+    return (f"{rtodms(np.radians(lat_deg), 'N', 'S', ctx.prec, ctx.wfixed)}\t"
+            f"{rtodms(np.radians(lon_deg), 'E', 'W', ctx.prec, ctx.wfixed)}")
+
+
+def _geod_back(azi2_deg):
+    """Back azimuth al21 = azi2 +/- 180 (geod_interface.c:19,32)."""
+    return azi2_deg + (-180.0 if azi2_deg >= 0 else 180.0)
+
+
+def _slow_geod_lines(lines, ctx):
+    """Per-line geod.c path (the fast chunk path must match it
+    byte-for-byte on inputs both accept); yields output lines."""
+    from .kernels.geodesic import geod_direct, geod_inverse
+
+    for line in lines:
         if not line or line.lstrip().startswith("#"):
-            print(line, file=stdout)
+            yield line
             continue
         toks = line.split()
-        need = 4 if inverse else 4
-        if len(toks) < need:
-            print(line, file=stdout)
+        if len(toks) < 4:
+            yield line
             continue
         lat1 = np.degrees(_parse_coord(toks[0]))
         lon1 = np.degrees(_parse_coord(toks[1]))
         tail = " ".join(toks[4:])
         tail = (" " + tail) if tail else ""
-        if inverse:
+        if ctx.inverse:
             lat2 = np.degrees(_parse_coord(toks[2]))
             lon2 = np.degrees(_parse_coord(toks[3]))
             s12, al12, azi2, _ = geod_inverse(
                 np.array([lon1]), np.array([lat1]),
-                np.array([lon2]), np.array([lat2]), a=a, f=f)
-            al12, al21, S = al12[0], back(azi2[0]), s12[0]
+                np.array([lon2]), np.array([lat2]), a=ctx.a, f=ctx.f)
+            al12, al21, S = al12[0], _geod_back(azi2[0]), s12[0]
         else:
             al12 = np.degrees(_parse_coord(toks[2]))
             try:
-                S = float(toks[3]) * to_meter
+                S = float(toks[3]) * ctx.to_meter
             except ValueError:
-                print(line, file=stdout)
+                yield line
                 continue
             lo2, la2, azi2 = geod_direct(np.array([lon1]), np.array([lat1]),
                                          np.array([al12]), np.array([S]),
-                                         a=a, f=f)
-            lat2, lon2, al21 = la2[0], lo2[0], back(azi2[0])
-        if fullout:
-            out = (f"{pll(lat1, lon1)}\t{pll(lat2, lon2)}\t{az(al12)}\t"
-                   f"{az(al21)}\t{osform % (S * fr_meter)}")
-        elif inverse:
-            out = f"{az(al12)}\t{az(al21)}\t{osform % (S * fr_meter)}"
+                                         a=ctx.a, f=ctx.f)
+            lat2, lon2, al21 = la2[0], lo2[0], _geod_back(azi2[0])
+        if ctx.fullout:
+            out = (f"{_geod_pll(lat1, lon1, ctx)}\t"
+                   f"{_geod_pll(lat2, lon2, ctx)}\t{_geod_az(al12, ctx)}\t"
+                   f"{_geod_az(al21, ctx)}\t{ctx.osform % (S * ctx.fr_meter)}")
+        elif ctx.inverse:
+            out = (f"{_geod_az(al12, ctx)}\t{_geod_az(al21, ctx)}\t"
+                   f"{ctx.osform % (S * ctx.fr_meter)}")
         else:
-            out = f"{pll(lat2, lon2)}\t{az(al21)}"
-        print(out + tail, file=stdout)
-    return 0
+            out = f"{_geod_pll(lat2, lon2, ctx)}\t{_geod_az(al21, ctx)}"
+        yield out + tail
+
+
+def _fast_geod_chunk(chunk, ctx):
+    """Vectorized whole-chunk path for the geod filter: plain-decimal
+    4-token lines (plus an echoed tail) under a numeric -f format.
+    Returns None when any line needs the per-line path (comments, DMS
+    tokens, short lines, rtodms default output) — byte-identical to
+    _slow_geod_lines by the same op order: dmstor plain-decimal is
+    sign-folded v * DMS_DEG (exact negation, so cast(tok) * DMS_DEG
+    matches bitwise), np.degrees is the same ufunc, and the geodesic
+    kernels are masked-iteration batch-size-invariant."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .kernels.common import DMS_DEG
+    from .kernels.geodesic import geod_direct, geod_inverse
+
+    oform, osform = ctx.oform, ctx.osform
+    if oform is None or oform.count("%") != 1 or osform.count("%") != 1:
+        return None
+    arr = pa.array(chunk, pa.string())
+    parts = pc.utf8_split_whitespace(arr)
+    lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+    if not lens.size or bool(np.any(lens < 4)):
+        return None
+    try:
+        vals = pc.cast(pc.list_flatten(pc.list_slice(parts, 0, 4)),
+                       pa.float64()).to_numpy(zero_copy_only=False)
+    except Exception:
+        return None
+    c0, c1, c2, c3 = (vals[k::4].copy() for k in range(4))
+    lat1 = np.degrees(c0 * DMS_DEG)
+    lon1 = np.degrees(c1 * DMS_DEG)
+    if ctx.inverse:
+        lat2 = np.degrees(c2 * DMS_DEG)
+        lon2 = np.degrees(c3 * DMS_DEG)
+        s12, al12, azi2, _ = geod_inverse(lon1, lat1, lon2, lat2,
+                                          a=ctx.a, f=ctx.f)
+        S = s12
+    else:
+        al12 = np.degrees(c2 * DMS_DEG)
+        S = c3 * ctx.to_meter
+        lon2, lat2, azi2 = geod_direct(lon1, lat1, al12, S,
+                                       a=ctx.a, f=ctx.f)
+    al21 = azi2 + np.where(azi2 >= 0.0, -180.0, 180.0)
+
+    def azv(v):
+        return np.where(v < 0.0, v + 360.0, v) if ctx.pos_azi else v
+
+    def col(cv, fmt):
+        import re as _re
+
+        m = _re.match(_FMT_FIXED_RE_SRC, fmt)
+        if m is not None and bool(np.all(np.isfinite(cv))):
+            out = _fast_fixed_format(cv, int(m.group(1) or 6))
+            if out is not None:
+                return out
+        return pa.array(np.char.mod(fmt, cv))
+
+    if ctx.fullout:
+        cols = [col(lat1, oform), col(lon1, oform),
+                col(lat2, oform), col(lon2, oform),
+                col(azv(al12), oform), col(azv(al21), oform),
+                col(S * ctx.fr_meter, osform)]
+    elif ctx.inverse:
+        cols = [col(azv(al12), oform), col(azv(al21), oform),
+                col(S * ctx.fr_meter, osform)]
+    else:
+        cols = [col(lat2, oform), col(lon2, oform), col(azv(al21), oform)]
+    pieces = []
+    for c in cols:
+        if pieces:
+            pieces.append(pa.scalar("\t"))
+        pieces.append(c)
+    if bool(np.any(lens > 4)):
+        tails = pc.binary_join(pc.list_slice(parts, 4), pa.scalar(" "))
+        tails = pc.if_else(
+            pc.equal(tails, ""), tails,
+            pc.binary_join_element_wise(pa.scalar(" "), tails,
+                                        pa.scalar("")))
+        pieces.append(tails)
+    joined = pc.binary_join_element_wise(*pieces, pa.scalar(""))
+    return _join_lines(joined)

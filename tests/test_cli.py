@@ -385,3 +385,63 @@ def test_fast_proj_chunk_falls_back():
     for bad in (["# comment"], [""], ["12d30'N 45"], ["abc 45"],
                 ["12,5 60"]):
         assert _fast_proj_chunk(bad, fwd, {"-f": "%.2f"}) is None
+
+
+def _geod_ctx(**kw):
+    from types import SimpleNamespace
+
+    base = dict(a=6378137.0, f=1 / 298.257223563, to_meter=1.0,
+                fr_meter=1.0, oform="%.8f", osform="%.3f", prec=3,
+                inverse=False, fullout=False, pos_azi=False, wfixed=False)
+    base.update(kw)
+    return SimpleNamespace(**base)
+
+
+def test_fast_geod_chunk_parity_adversarial():
+    """The geod filter's vectorized chunk path must be byte-identical
+    to the per-line path across inverse/direct/fullout/-p modes, unit
+    scaling, tails and near-boundary values."""
+    import numpy as np
+
+    from proj_ray.cli import _fast_geod_chunk, _slow_geod_lines
+
+    rng = np.random.default_rng(17)
+    lines = [f"{a:.7f} {b:.7f} {c:.7f} {d:.7f}" for a, b, c, d in
+             zip(rng.uniform(-89, 89, 300), rng.uniform(-179, 179, 300),
+                 rng.uniform(-89, 89, 300), rng.uniform(-179, 179, 300))]
+    lines += ["0 0 0 1", "0 0 0 -1", "-0.0 -0.0 45.0 90.0",
+              "10 20 10.0000001 20.0000001",
+              "1 2 3 4 carried tail  text", "89.9 0 -89.9 179.9"]
+    for ctx in (_geod_ctx(inverse=True),
+                _geod_ctx(inverse=True, fullout=True),
+                _geod_ctx(inverse=True, pos_azi=True),
+                _geod_ctx(inverse=True, fr_meter=1e-3),
+                _geod_ctx(inverse=True, oform="%.11g")):
+        fast = _fast_geod_chunk(lines, ctx)
+        slow = "\n".join(_slow_geod_lines(lines, ctx))
+        assert fast is not None
+        assert fast == slow, next(
+            (a, b) for a, b in zip(fast.splitlines(), slow.splitlines())
+            if a != b)
+    dlines = [f"{a:.7f} {b:.7f} {az:.7f} {s:.3f}" for a, b, az, s in
+              zip(rng.uniform(-89, 89, 200), rng.uniform(-179, 179, 200),
+                  rng.uniform(-180, 180, 200), rng.uniform(1, 1.9e7, 200))]
+    dlines += ["0 0 90 111319.491 tail", "0 0 90 1e3"]
+    for ctx in (_geod_ctx(), _geod_ctx(fullout=True, pos_azi=True),
+                _geod_ctx(to_meter=1000.0, fr_meter=1e-3)):
+        fast = _fast_geod_chunk(dlines, ctx)
+        slow = "\n".join(_slow_geod_lines(dlines, ctx))
+        assert fast is not None
+        assert fast == slow, ctx
+
+
+def test_fast_geod_chunk_falls_back():
+    """Chunks the geod fast path must refuse: rtodms default output,
+    DMS tokens, comments, blank and short lines."""
+    from proj_ray.cli import _fast_geod_chunk
+
+    assert _fast_geod_chunk(["0 0 0 1"], _geod_ctx(inverse=True,
+                                                   oform=None)) is None
+    for bad in (["# comment"], [""], ["0d30' 0 0 1"], ["1 2 3"],
+                ["abc 2 3 4"]):
+        assert _fast_geod_chunk(bad, _geod_ctx(inverse=True)) is None
