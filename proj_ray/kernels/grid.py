@@ -257,23 +257,30 @@ def apply_gridshift(grids, inverse: bool, lam, phi):
 # ---------------------------------------------------------------------------
 
 def write_ctable2(path: str, grid: ShiftGrid):
-    """Write a CTABLE2 file: 16-byte magic, 16-byte id, ll/del doubles,
-    lim int32s, pad to 160-byte header, then float32 (lam,phi) pairs."""
+    """Write a CTABLE2 file with the reference's exact 160-byte header
+    layout (src/nad2bin.c:180-192, nad_init.c:214-228): 16-byte magic,
+    EIGHTY-byte id at offset 16, ll/del doubles at 96, lim int32s at
+    128, zero pad to 160, then float32 (lam,phi) pairs LSB-first."""
     with open(path, "wb") as f:
         f.write(b"CTABLE V2.0     ")
-        f.write(grid.id.encode()[:16].ljust(16, b"\0"))
+        f.write(grid.id.encode()[:80].ljust(80, b"\0"))
         f.write(struct.pack("<dddd", grid.ll[0], grid.ll[1], grid.delta[0], grid.delta[1]))
         f.write(struct.pack("<ii", grid.lim[0], grid.lim[1]))
-        f.write(b"\0" * (160 - 16 - 16 - 32 - 8))
+        f.write(b"\0" * (160 - 136))
         f.write(np.ascontiguousarray(grid.cvs, dtype="<f4").tobytes())
 
 
 def read_ctable2(path: str) -> ShiftGrid:
+    """Read a CTABLE2 file (layout per src/nad_init.c:198-240: id is 80
+    bytes at offset 16, doubles at 96, int32 dims at 128, data at 160).
+    The id field may carry whatever bytes the writing process had on
+    its stack after the NUL (nad2bin memcpys an uninitialized char[80]),
+    so it is truncated at the first NUL before decoding."""
     with open(path, "rb") as f:
         magic = f.read(16)
         if not magic.startswith(b"CTABLE V2"):
             raise ValueError(f"{path}: not a CTABLE2 file")
-        gid = f.read(16).rstrip(b"\0").decode()
+        gid = f.read(80).split(b"\0", 1)[0].decode(errors="replace").rstrip()
         ll_lam, ll_phi, d_lam, d_phi = struct.unpack("<dddd", f.read(32))
         nlam, nphi = struct.unpack("<ii", f.read(8))
         f.seek(160)

@@ -285,3 +285,138 @@ def dir_grid_loader(grid_dir: str):
         # entries (the reference's gi->next sibling chain)
         return grids[0] if len(grids) == 1 else grids
     return loader
+
+
+# ---------------------------------------------------------------------------
+# nad2bin: ASCII .lla ingest + binary conversion (src/nad2bin.c)
+# ---------------------------------------------------------------------------
+
+U_SEC_TO_RAD = 4.848136811095359935899141023e-12  # src/nad2bin.c:8
+
+
+def parse_lla(text: str) -> ShiftGrid:
+    """Parse a bivariate ASCII ``.lla`` shift table (src/nad2bin.c:
+    100-148): line 1 = table id (fgets consumes at most 79 chars);
+    then a whitespace token stream of ``nlam nphi <skipped> ll_lam
+    del_lam ll_phi del_phi`` (degrees), and per row ``i`` a ``i:``
+    check token, one absolute (lam, phi) micro-arc-second integer
+    pair, then nlam-1 delta pairs accumulated in int64 exactly like
+    the C's ``long`` — each converted to float32 radians via the same
+    double multiply.  Row 0 is the southern (ll) edge."""
+    nl = text.find("\n")
+    if nl < 0:
+        raise ValueError("lla: missing header line")
+    gid = text[:nl][:78]
+    toks = text[nl + 1:].split()
+    if len(toks) < 7:
+        raise ValueError("lla: short header")
+    nlam, nphi = int(toks[0]), int(toks[1])
+    ll_lam, del_lam = (float(toks[3]) * DEG_TO_RAD,
+                       float(toks[4]) * DEG_TO_RAD)
+    ll_phi, del_phi = (float(toks[5]) * DEG_TO_RAD,
+                       float(toks[6]) * DEG_TO_RAD)
+    pos = 7
+    per_row = 1 + 2 * nlam
+    cvs = np.empty((nphi, nlam, 2), dtype=np.float32)
+    for i in range(nphi):
+        row = toks[pos:pos + per_row]
+        if len(row) < per_row:
+            raise ValueError("lla: premature EOF")
+        if not row[0].endswith(":") or int(row[0][:-1]) != i:
+            raise ValueError(f"lla: format check on row {i}")
+        vals = np.array(row[1:], dtype=np.int64).reshape(nlam, 2)
+        acc = np.cumsum(vals, axis=0)  # first pair absolute, rest deltas
+        cvs[i, :, 0] = (acc[:, 0].astype(np.float64)
+                        * U_SEC_TO_RAD).astype(np.float32)
+        cvs[i, :, 1] = (acc[:, 1].astype(np.float64)
+                        * U_SEC_TO_RAD).astype(np.float32)
+        pos += per_row
+    return ShiftGrid(gid, (ll_lam, ll_phi), (del_lam, del_phi),
+                     (nlam, nphi), cvs)
+
+
+def nad2bin_convert(text: str, path: str, fmt: str = "ctable2",
+                    raw_id: str | None = None) -> ShiftGrid:
+    """Convert an ASCII .lla table to binary exactly like the
+    reference ``nad2bin`` tool (src/nad2bin.c:158-378); formats
+    'ctable' (in-memory struct dump, pointer field zeroed where the C
+    dumps a heap address), 'ctable2' and 'ntv2'.  Output is
+    byte-identical to the C tool except bytes the C leaves
+    uninitialized (stack tail of the 80-byte id, the struct-dump cvs
+    pointer, heap tail of NTv2 accuracy words) — we zero them.
+    Returns the parsed ShiftGrid."""
+    from ..kernels.grid import PI
+
+    grid = parse_lla(text)
+    # fgets keeps the newline in ct.id; reproduce it for byte parity
+    if raw_id is None:
+        raw_id = (text.split("\n", 1)[0] + "\n")[:79]
+    if fmt == "ctable2":
+        with open(path, "wb") as f:
+            f.write(b"CTABLE V2.0     ")
+            f.write(raw_id.encode()[:80].ljust(80, b"\0"))
+            f.write(struct.pack("<dddd", grid.ll[0], grid.ll[1],
+                                grid.delta[0], grid.delta[1]))
+            f.write(struct.pack("<ii", grid.lim[0], grid.lim[1]))
+            f.write(b"\0" * 24)
+            f.write(np.ascontiguousarray(grid.cvs, dtype="<f4").tobytes())
+        return grid
+    if fmt == "ctable":
+        # raw struct CTABLE dump (machine/byte-order specific,
+        # src/nad2bin.c:152-164): char id[80], LP ll, LP del, ILP lim,
+        # then the cvs POINTER (8 bytes on LP64 — value meaningless on
+        # read-back, nad_ctable_init overwrites it), then the data
+        with open(path, "wb") as f:
+            f.write(raw_id.encode()[:80].ljust(80, b"\0"))
+            f.write(struct.pack("<dddd", grid.ll[0], grid.ll[1],
+                                grid.delta[0], grid.delta[1]))
+            f.write(struct.pack("<ii", grid.lim[0], grid.lim[1]))
+            f.write(b"\0" * 8)
+            f.write(np.ascontiguousarray(grid.cvs, dtype="<f4").tobytes())
+        return grid
+    if fmt != "ntv2":
+        raise ValueError(f"nad2bin: unsupported format {fmt!r}")
+    nlam, nphi = grid.lim
+    ll_lam, ll_phi = grid.ll
+    dl, dp = grid.delta
+    ur_lam = ll_lam + (nlam - 1) * dl
+    ur_phi = ll_phi + (nphi - 1) * dp
+    sec_per_rad = 3600.0 / (PI / 180.0)  # src/nad2bin.c:352 constant
+    with open(path, "wb") as f:
+        f.write(b"NUM_OREC" + struct.pack("<i4x", 11))
+        f.write(b"NUM_SREC" + struct.pack("<i4x", 11))
+        f.write(b"NUM_FILE" + struct.pack("<i4x", 1))
+        f.write(b"GS_TYPE " + b"SECONDS ")
+        f.write(b"VERSION " + b" " * 8)
+        f.write(b"SYSTEM_F" + b"NAD27   ")
+        f.write(b"SYSTEM_T" + b"NAD83   ")
+        f.write(b"MAJOR_F " + struct.pack("<d", 0.0))
+        f.write(b"MINOR_F " + struct.pack("<d", 0.0))
+        f.write(b"MAJOR_T " + struct.pack("<d", 0.0))
+        f.write(b"MINOR_T " + struct.pack("<d", 0.0))
+        f.write(b"SUB_NAME" + b" " * 8)
+        f.write(b"PARENT  " + b"NONE    ")
+        f.write(b"CREATED " + b" " * 8)
+        f.write(b"UPDATED " + b" " * 8)
+        # header degrees->seconds with the C's exact op order
+        # (v * 3600.0 / DEG_TO_RAD, src/nad2bin.c:291-313)
+        f.write(b"S_LAT   " + struct.pack("<d", ll_phi * 3600.0 / DEG_TO_RAD))
+        f.write(b"N_LAT   " + struct.pack("<d", ur_phi * 3600.0 / DEG_TO_RAD))
+        f.write(b"E_LONG  " + struct.pack("<d",
+                                          -1 * ur_lam * 3600.0 / DEG_TO_RAD))
+        f.write(b"W_LONG  " + struct.pack("<d",
+                                          -1 * ll_lam * 3600.0 / DEG_TO_RAD))
+        f.write(b"LAT_INC " + struct.pack("<d", dp * 3600.0 / DEG_TO_RAD))
+        f.write(b"LONG_INC" + struct.pack("<d", dl * 3600.0 / DEG_TO_RAD))
+        f.write(b"GS_COUNT" + struct.pack("<i4x", nlam * nphi))
+        # data rows: columns E->W reversed, (phi, lam, acc, acc)
+        # float32 with the float->double->float32 multiply the C does
+        # (src/nad2bin.c:342-356); accuracy words zero
+        quad = np.zeros((nphi, nlam, 4), dtype="<f4")
+        flip = grid.cvs[:, ::-1, :]
+        quad[..., 0] = (flip[..., 1].astype(np.float64)
+                        * sec_per_rad).astype(np.float32)
+        quad[..., 1] = (flip[..., 0].astype(np.float64)
+                        * sec_per_rad).astype(np.float32)
+        f.write(quad.tobytes())
+    return grid

@@ -147,3 +147,101 @@ def test_transform_geoidgrids_vertical(tmp_path):
     # point outside the geoid grid -> inf z, lon/lat untouched
     x3, y3, z3 = up(np.array([90.0]), np.array([0.0]), np.array([1.0]))
     assert np.isinf(z3[0]) and np.isfinite(x3[0])
+
+
+# ---------------------------------------------------------------------------
+# nad2bin: ASCII .lla ingest + binary conversion (src/nad2bin.c)
+# ---------------------------------------------------------------------------
+
+_NAD2BIN = "/tmp/proj_build/src/nad2bin"
+
+_SYNTH_LLA = None
+
+
+def _synth_lla():
+    global _SYNTH_LLA
+    if _SYNTH_LLA is None:
+        import random
+        rng = random.Random(42)
+        nlam, nphi = 7, 5
+        lines = ["Synthetic test grid for nad2bin parity",
+                 f"   {nlam}   {nphi}   1  -120.00000   0.25000"
+                 "   30.00000   0.25000"]
+        for i in range(nphi):
+            vals = [rng.randint(-2_000_000, 2_000_000),
+                    rng.randint(-2_000_000, 2_000_000)]
+            for _ in range(nlam - 1):
+                vals += [rng.randint(-50_000, 50_000),
+                         rng.randint(-50_000, 50_000)]
+            lines.append(f"{i}: " + " ".join(map(str, vals)) + " ")
+        _SYNTH_LLA = "\n".join(lines) + "\n"
+    return _SYNTH_LLA
+
+
+def test_parse_lla_and_roundtrip_readers(tmp_path):
+    from proj_ray.kernels.grid import read_ctable2
+    from proj_ray.sources.grids import nad2bin_convert, parse_lla
+
+    text = _synth_lla()
+    g0 = parse_lla(text)
+    assert g0.lim == (7, 5)
+    # header degrees -> radians
+    np.testing.assert_allclose(
+        np.array(g0.ll) / DEG_TO_RAD, [-120.0, 30.0], rtol=1e-12)
+    # our own readers round-trip the written binaries exactly (the cvs
+    # values are float32 in both the file and the grid -> bit equality)
+    p2 = str(tmp_path / "g.ct2")
+    nad2bin_convert(text, p2, "ctable2")
+    g2 = read_ctable2(p2)
+    assert g2.lim == g0.lim
+    np.testing.assert_array_equal(g2.cvs, g0.cvs)
+    pn = str(tmp_path / "g.gsb")
+    nad2bin_convert(text, pn, "ntv2")
+    gn = read_ntv2(pn)[0]
+    assert gn.lim == g0.lim
+    # ntv2 stores arc-seconds float32: equal to float32 rounding
+    np.testing.assert_allclose(gn.cvs, g0.cvs, rtol=2e-7, atol=1e-18)
+
+
+@pytest.mark.skipif(not __import__("os").path.isfile(_NAD2BIN),
+                    reason="reference nad2bin not built")
+@pytest.mark.parametrize("fmt", ["ctable", "ctable2", "ntv2"])
+@pytest.mark.parametrize("src", ["null", "synth"])
+def test_nad2bin_byte_parity(tmp_path, fmt, src):
+    import subprocess
+    from proj_ray.sources.grids import nad2bin_convert
+
+    text = (open("/root/reference/nad/null.lla").read()
+            if src == "null" else _synth_lla())
+    ref_out = str(tmp_path / f"ref_{fmt}.bin")
+    subprocess.run([_NAD2BIN, "-f", fmt, ref_out], input=text.encode(),
+                   check=True, capture_output=True)
+    my_out = str(tmp_path / f"my_{fmt}.bin")
+    nad2bin_convert(text, my_out, fmt)
+    a = open(ref_out, "rb").read()
+    b = open(my_out, "rb").read()
+    assert len(a) == len(b)
+    if fmt == "ctable":
+        # bytes 120..127 are the dumped cvs heap POINTER (value
+        # meaningless; we zero it) — mask it out of the comparison
+        a = a[:120] + b"\0" * 8 + a[128:]
+        b = b[:120] + b"\0" * 8 + b[128:]
+    assert a == b
+
+
+def test_nad2bin_cli(tmp_path, capsys):
+    import io
+    from proj_ray.nad2bin import nad2bin_main
+
+    out = str(tmp_path / "cli.ct2")
+    rc = nad2bin_main(["-f", "ctable2", out],
+                      stdin=io.StringIO(_synth_lla()),
+                      stdout=io.StringIO(), stderr=io.StringIO())
+    assert rc == 0 and open(out, "rb").read(9) == b"CTABLE V2"
+    err = io.StringIO()
+    assert nad2bin_main([], stdin=io.StringIO(""), stdout=io.StringIO(),
+                        stderr=err) == 1
+    assert err.getvalue().startswith("usage: nad2bin")
+    assert nad2bin_main(["-f", "bogus", out],
+                        stdin=io.StringIO(_synth_lla()),
+                        stdout=io.StringIO(), stderr=io.StringIO()) == 3
