@@ -206,13 +206,19 @@ def test_parse_lla_and_roundtrip_readers(tmp_path):
 @pytest.mark.skipif(not __import__("os").path.isfile(_NAD2BIN),
                     reason="reference nad2bin not built")
 @pytest.mark.parametrize("fmt", ["ctable", "ctable2", "ntv2"])
-@pytest.mark.parametrize("src", ["null", "synth"])
+@pytest.mark.parametrize("src", ["null", "synth", "query"])
 def test_nad2bin_byte_parity(tmp_path, fmt, src):
     import subprocess
     from proj_ray.sources.grids import nad2bin_convert
 
-    text = (open("/root/reference/nad/null.lla").read()
-            if src == "null" else _synth_lla())
+    if src == "null":
+        text = open("/root/reference/nad/null.lla").read()
+    elif src == "query":
+        # the exact table the grid_shift_lla_compiled oracle query compiles
+        from proj_ray.pipelines.queries import _lla_synth_text
+        text = _lla_synth_text()
+    else:
+        text = _synth_lla()
     ref_out = str(tmp_path / f"ref_{fmt}.bin")
     subprocess.run([_NAD2BIN, "-f", fmt, ref_out], input=text.encode(),
                    check=True, capture_output=True)
