@@ -22,7 +22,7 @@ import sys
 import numpy as np
 
 from .crs import dmstor, rtodms
-from .kernels.common import DEG_TO_RAD, RAD_TO_DEG
+from .kernels.common import DEG_TO_RAD, HALFPI, RAD_TO_DEG
 from .transform import Transform, make_transform
 
 
@@ -623,9 +623,32 @@ def _slow_lines(lines, transform: Transform, flags):
     yield from flush()
 
 
-def _init_failure(prog, exc, stderr=None):
-    """Reference-style init diagnostic (proj.c/cs2cs.c emess usage):
-    <prog>: projection initialization failure\ncause: <pj_strerrno>."""
+PJ_RELEASE = "Rel. 4.9.1, 04 March 2015"  # src/pj_release.c:5
+
+
+def emess(code, msg, prog, stderr, file_name=None, file_line=0):
+    """The reference's error reporter (src/emess.c:19-56): release
+    banner + '<prog>: ', optional 'while processing file: F, line N',
+    the message, then either the abort trailer (code > 0 — raises
+    SystemExit(code)) or a final newline (code < 0 — continue)."""
+    stderr.write(f"{PJ_RELEASE}\n<{prog}>: ")
+    if file_name:
+        stderr.write(f"while processing file: {file_name}")
+        stderr.write(f", line {file_line}\n" if file_line > 0 else "\n")
+    else:
+        stderr.write("\n")
+    stderr.write(msg)
+    if code > 0:
+        stderr.write("\nprogram abnormally terminated\n")
+        raise SystemExit(code)
+    stderr.write("\n")
+
+
+def _init_failure(prog, exc, stderr=None, msg=None, rc=3):
+    """Reference-style init diagnostic: proj/cs2cs abort with
+    emess(3, "projection initialization failure\\ncause: <pj_strerrno>")
+    (proj.c:420, cs2cs.c:353); geod aborts with emess(1, "ellipse
+    setup failure") (geod_set.c:24)."""
     from .errors import errno_from_exception, pj_strerrno
 
     from .log import PJ_LOG_ERROR, pj_log
@@ -634,9 +657,13 @@ def _init_failure(prog, exc, stderr=None):
     code = errno_from_exception(exc)
     cause = pj_strerrno(code) if code is not None else str(exc)
     pj_log(PJ_LOG_ERROR, f"{prog} initialization failure: {cause}")
-    print(f"{prog}: projection initialization failure", file=stderr)
-    print(f"cause: {cause}", file=stderr)
-    return 1
+    if msg is None:
+        msg = f"projection initialization failure\ncause: {cause}"
+    try:
+        emess(rc, msg, prog, stderr)
+    except SystemExit:
+        pass
+    return rc
 
 
 def cs2cs_main(argv=None, stdin=None, stdout=None):
@@ -684,9 +711,11 @@ def _print_listings(flags, stdout) -> bool:
 
     eq = next((k[3:] for k in flags if k.startswith("-l=")), None)
     if eq is not None:
-        entry = PROJ_REGISTRY.get(eq)
-        if entry:
-            print("%9s : %s" % (eq, entry[1]), file=stdout)
+        # -l=<id>: '%9s : <full multiline descr>' (src/proj.c:318-326)
+        from .kernels.descr import DESCR
+
+        if eq in DESCR:
+            print("%9s : %s" % (eq, DESCR[eq]), file=stdout)
         return True
     if "-le" in flags:
         for eid, (major, ell) in ELLPS.items():
@@ -710,25 +739,48 @@ def _print_listings(flags, stdout) -> bool:
                 print("%25s %s" % (" ", comment), file=stdout)
         return True
     if "-l" in flags or "-lp" in flags or "-lP" in flags:
-        for pid, (_fn, desc) in sorted(PROJ_REGISTRY.items()):
+        # iterate in pj_list.h ORDER; skip only the latlong/longlat/
+        # geocent specials (latlon/lonlat STAY) (src/proj.c:296-317)
+        from .kernels.descr import DESCR, PJ_LIST
+
+        do_long = "-lP" in flags
+        for pid in PJ_LIST:
             if pid in ("latlong", "longlat", "geocent"):
                 continue
-            print("%s : %s" % (pid, desc.split("\n")[0]), file=stdout)
+            d = DESCR[pid]
+            print("%s : %s" % (pid, d if do_long else d.split("\n", 1)[0]),
+                  file=stdout)
         return True
     return False
 
 
-def _vprocess_lines(lines, t_fwd, t_inv, P, flags, stdout):
-    """proj -V verbose per-point factor report (src/proj.c:152-244)."""
+def _vprocess_lines(lines, t_fwd, t_inv, P, flags, stdout, stderr=None):
+    """proj -V verbose per-point factor report (src/proj.c:152-244):
+    tag passthrough, two-field consume + remainder echo, per-line
+    emess(-1) diagnostics to stderr with the '<stdin>, line N' context,
+    and the factor block on success."""
+    import re
+
+    from .errors import pj_strerrno
     from .kernels.factors import factors
 
-    oform = flags.get("-f") or "%.3f"
+    stderr = stderr or sys.stderr
+    # main leaves oform NULL in inverse mode (vprocess then defaults
+    # to %.3f) but sets %.2f for forward (src/proj.c:459-464,158-159)
+    oform = flags.get("-f") or ("%.3f" if "-I" in flags else "%.2f")
     inv_default = "-I" in flags
+    tag = next((k[2] for k in flags if k.startswith("-t") and len(k) > 2),
+               "#")
+    two_fields = re.compile(r"\s*\S+\s+\S+")
+    line_no = 0
+
+    def err(msg):
+        emess(-1, msg, "proj", stderr, "<stdin>", line_no)
+
     for line in lines:
+        line_no += 1
         line = line.rstrip("\n")
-        if not line:
-            continue
-        if line.lstrip().startswith("#"):
+        if line[:1] == tag:  # pass on data (proj.c:172-175)
             print(line, file=stdout)
             continue
         s = line
@@ -736,28 +788,74 @@ def _vprocess_lines(lines, t_fwd, t_inv, P, flags, stdout):
         if s[:1] in ("I", "i"):
             linvers = True
             s = s[1:]
-        toks = s.split()
-        if len(toks) < 2:
-            print(s, file=stdout)
-            continue
+        if not linvers:
+            # dmstor consumption (dmstor.c:27-77): leading whitespace
+            # is always consumed; a non-numeric token parses as 0.0
+            # WITHOUT advancing (a lone hemisphere letter consumes one
+            # char); only overflow / malformed DMS returns HUGE
+            def _dmstor_consume(pos):
+                while pos < len(s) and s[pos].isspace():
+                    pos += 1
+                mt = re.match(r"\S+", s[pos:])
+                if not mt:
+                    return 0.0, pos
+                tok = mt.group(0)
+                body = tok[1:] if tok[:1] in "+-" else tok
+                if body[:1].isdigit() or body[:1] == ".":
+                    return _parse_coord(tok), pos + len(tok)
+                if tok[0] in "NnEeSsWw":
+                    return (-0.0 if tok[0] in "SsWw" else 0.0), pos + 1
+                return 0.0, pos
         if linvers:
-            try:
-                x, y = float(toks[0]), float(toks[1])
-            except ValueError:
-                print("lon-lat input conversion failure", file=stdout)
+            # strtod semantics (proj.c:189-196): garbage parses as 0.0
+            # and is NOT an error; only overflow (HUGE_VAL) fails
+            srx = _STRTOD_RE()
+            m1 = srx.match(s)
+            x = float(m1.group(0)) if m1 else 0.0
+            pos = m1.end() if m1 else 0
+            m2 = srx.match(s, pos)
+            y = float(m2.group(0)) if m2 else 0.0
+            rest = s[m2.end() if m2 else pos:]
+            if np.isinf(x) or np.isinf(y):
+                err("lon-lat input conversion failure\n")
                 continue
             lon, lat, _ = t_inv(np.array([x]), np.array([y]))
             lon_d, lat_d = lon[0], lat[0]
             px, py = x, y
-        else:
-            lon_d = _parse_coord(toks[0]) * RAD_TO_DEG
-            lat_d = _parse_coord(toks[1]) * RAD_TO_DEG
             if not (np.isfinite(lon_d) and np.isfinite(lat_d)):
-                print("lon-lat input conversion failure", file=stdout)
+                # pj_inv I_ERROR -> errno -20 (proj.c:204-207)
+                err(pj_strerrno(-20))
+                continue
+        else:
+            lon_r, ppos = _dmstor_consume(0)
+            lat_r, ppos = _dmstor_consume(ppos)
+            rest = s[ppos:]
+            lon_d = lon_r * RAD_TO_DEG
+            lat_d = lat_r * RAD_TO_DEG
+            if not (np.isfinite(lon_d) and np.isfinite(lat_d)):
+                err("lon-lat input conversion failure\n")
                 continue
             xx, yy, _ = t_fwd(np.array([lon_d]), np.array([lat_d]))
             px, py = xx[0], yy[0]
-        fac = factors(P, np.array([lon_d]), np.array([lat_d]))
+            if not (np.isfinite(px) and np.isfinite(py)):
+                # pj_fwd range check -> -14, else F_ERROR -> -20
+                code = -14 if abs(lat_r) - HALFPI > 1e-12 else -20
+                err(pj_strerrno(code))
+                continue
+        if linvers:
+            # pj_inv output re-enters pj_factors as radians
+            fac = factors(P, np.array([lon_d * DEG_TO_RAD]),
+                          np.array([lat_d * DEG_TO_RAD]), radians=True)
+        else:
+            # pass dmstor's radians straight through (vprocess does);
+            # a deg round-trip perturbs the last ulp
+            fac = factors(P, np.array([lon_r]), np.array([lat_r]),
+                          radians=True)
+        if not fac["ok"][0]:
+            err("failed to conpute factors\n\n")  # (sic, proj.c:215)
+            continue
+        if rest:  # unconsumed remainder echo (proj.c:219-220)
+            print(rest, file=stdout)
         print("Longitude: %s [ %.11g ]" % (
             rtodms(lon_d * DEG_TO_RAD, "E", "W"), lon_d), file=stdout)
         print("Latitude:  %s [ %.11g ]" % (
@@ -766,18 +864,22 @@ def _vprocess_lines(lines, t_fwd, t_inv, P, flags, stdout):
         print("Northing (y):  " + (oform % py), file=stdout)
         h, k = fac["h"][0], fac["k"][0]
         s_ = fac["s"][0]
-        print("Meridian scale (h) : %.8f  ( %.4g %% error )"
-              % (h, (h - 1.0) * 100.0), file=stdout)
-        print("Parallel scale (k) : %.8f  ( %.4g %% error )"
-              % (k, (k - 1.0) * 100.0), file=stdout)
+        from .kernels.factors import IS_ANAL_CONV, IS_ANAL_HK
+        hk_c = "*" if fac["code"] & IS_ANAL_HK else " "
+        cv_c = "*" if fac["code"] & IS_ANAL_CONV else " "
+        print("Meridian scale (h)%s: %.8f  ( %.4g %% error )"
+              % (hk_c, h, (h - 1.0) * 100.0), file=stdout)
+        print("Parallel scale (k)%s: %.8f  ( %.4g %% error )"
+              % (hk_c, k, (k - 1.0) * 100.0), file=stdout)
         print("Areal scale (s):     %.8f  ( %.4g %% error )"
               % (s_, (s_ - 1.0) * 100.0), file=stdout)
         print("Angular distortion (w): %.3f"
               % (fac["omega"][0] * RAD_TO_DEG), file=stdout)
         print("Meridian/Parallel angle: %.5f"
               % (fac["thetap"][0] * RAD_TO_DEG), file=stdout)
-        print("Convergence : %s [ %.8f ]" % (
-            rtodms(fac["conv"][0]), fac["conv"][0] * RAD_TO_DEG), file=stdout)
+        print("Convergence%s: %s [ %.8f ]" % (
+            cv_c, rtodms(fac["conv"][0]), fac["conv"][0] * RAD_TO_DEG),
+            file=stdout)
         print("Max-min (Tissot axis a-b) scale error: %.5f %.5f"
               % (fac["a"][0], fac["b"][0]), file=stdout)
         print("", file=stdout)
@@ -825,22 +927,40 @@ def _pr_list(P, stdout, oform=None, very_verby=False):
     very-verby Earth-figure block of proj.c:442-458): '#'-prefixed
     projection description, the used parameter list wrapped at 72
     columns, and (for -V) the final ellipsoid figure."""
+    from .kernels.descr import DESCR
     from .kernels.projections import PROJ_REGISTRY
 
     entry = PROJ_REGISTRY.get(P.proj_name)
-    print("#" + (entry[1] if entry else P.proj_name), file=stdout)
-    line = "#"
-    for k in P.pl.keys():
-        if k not in P.pl.used:
-            continue
-        v = P.pl._d[k]
-        tok = " +" + (f"{k}={v}" if v else k)
-        if len(line) + len(tok) > 72:
+    descr = DESCR.get(P.proj_name) or (entry[1] if entry else P.proj_name)
+    # pj_pr_list prints the FULL multiline descr, '#' after every \n
+    print("#" + descr.replace("\n", "\n#"), file=stdout)
+
+    def params_pass(not_used):
+        # pr_list (src/pj_pr_list.c:7-28): n counts strlen(param)+1
+        # (the printed ' ' but NOT the '+'), wraps when n + l > 72
+        flag = False
+        n = 1
+        line = "#"
+        for k in P.pl.keys():
+            if (k in P.pl.used) == (not not_used):
+                v = P.pl._d[k]
+                param = f"{k}={v}" if v else k
+                l = len(param) + 1
+                if n + l > 72:
+                    print(line, file=stdout)
+                    line = "#"
+                    n = 2
+                line += " +" + param
+                n += l
+            else:
+                flag = True
+        if n > 1:
             print(line, file=stdout)
-            line = "#"
-        line += tok
-    if line != "#":
-        print(line, file=stdout)
+        return flag
+
+    if params_pass(False):
+        print("#--- following specified but NOT used", file=stdout)
+        params_pass(True)
     if very_verby:
         f = oform or "%.3f"
         if P.es:
@@ -982,11 +1102,16 @@ def _process_S(lines, t, P, flags, inverse, stdout):
                 lon_d, lat_d = lon[0], lat[0]
             except ValueError:
                 lon_d = lat_d = float("nan")
+            lon_r = lon_d * DEG_TO_RAD
+            lat_r = lat_d * DEG_TO_RAD
         else:
-            lon_d = _parse_coord(toks[0]) * RAD_TO_DEG
-            lat_d = _parse_coord(toks[1]) * RAD_TO_DEG
+            lon_r = _parse_coord(toks[0])
+            lat_r = _parse_coord(toks[1])
+            lon_d = lon_r * RAD_TO_DEG
+            lat_d = lat_r * RAD_TO_DEG
         if np.isfinite(lon_d) and np.isfinite(lat_d):
-            fac = factors(P, np.array([lon_d]), np.array([lat_d]))
+            fac = factors(P, np.array([lon_r]), np.array([lat_r]),
+                          radians=True)
             ann = "\t<%g %g %g %g %g %g>" % (
                 fac["h"][0], fac["k"][0], fac["s"][0],
                 fac["omega"][0] * RAD_TO_DEG, fac["a"][0], fac["b"][0])
@@ -1020,7 +1145,8 @@ def geod_main(argv=None, stdin=None, stdout=None):
     try:
         crs = CRS(defn if "proj=" in defn else defn + " +proj=latlong")
     except (ValueError, FileNotFoundError) as exc:
-        return _init_failure("geod", exc)
+        return _init_failure("geod", exc,
+                             msg="ellipse setup failure", rc=1)
     a = crs.a
     f = crs.es / (1 + (1 - crs.es) ** 0.5) if crs.es else 0.0
     unit = crs.pl.get_s("units")

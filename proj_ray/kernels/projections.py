@@ -523,8 +523,24 @@ def setup_lcc(P):
         lam = np.where(nz, lam, 0.0)
         return lam, phi
 
+    def spc(lam, phi):
+        """Analytic factors SPECIAL(fac) (src/PJ_lcc.c:49-61):
+        h = k = k0*n*rho/msfn(phi), conv = -n*lam.  pj_factors clamps
+        phi off the poles before calling, so the pole early-return
+        lanes never occur."""
+        from .factors import IS_ANAL_CONV, IS_ANAL_HK
+
+        if ellips:
+            rho = c * np.power(tsfn(phi, np.sin(phi), e_), n)
+        else:
+            rho = c * np.power(np.tan(FORTPI + 0.5 * phi), -n)
+        hk = k0 * n * rho / msfn(np.sin(phi), np.cos(phi), es)
+        return {"code": IS_ANAL_HK | IS_ANAL_CONV, "h": hk, "k": hk,
+                "conv": -n * lam}
+
     P.fwd = fwd
     P.inv = inv
+    P.spc = spc
 
 
 # ---------------------------------------------------------------------------

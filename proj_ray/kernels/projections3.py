@@ -172,8 +172,20 @@ def setup_eqdc(P):
         lam = np.where(nz, lam, 0.0)
         return lam, phi
 
+    def spc(lam, phi):
+        """Analytic factors SPECIAL(fac) (src/PJ_eqdc.c:39-48):
+        h = 1, k = n*(c - M(phi))/msfn(phi); convergence stays
+        numeric (no IS_ANAL_CONV)."""
+        from .factors import IS_ANAL_HK
+
+        sinphi, cosphi = np.sin(phi), np.cos(phi)
+        m = mlfn(phi, sinphi, cosphi, en) if ellips else phi
+        k = n * (c - m) / msfn(sinphi, cosphi, es)
+        return {"code": IS_ANAL_HK, "h": np.ones_like(k), "k": k}
+
     P.fwd = fwd
     P.inv = inv
+    P.spc = spc
 
 
 # ---------------------------------------------------------------------------

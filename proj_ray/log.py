@@ -22,12 +22,14 @@ PJ_LOG_DEBUG_MINOR = 3
 
 
 def _stderr_logger(app_data, level: int, msg: str) -> None:
-    """pj_stderr_logger semantics: errors always print; debug messages
-    only when the debug level admits them."""
-    if level == PJ_LOG_ERROR:
-        print(f"proj error: {msg}", file=sys.stderr)
-    elif _LOG_LEVEL >= level:
-        print(f"proj debug: {msg}", file=sys.stderr)
+    """pj_stderr_logger prints the raw message (src/pj_log.c:37-41);
+    the C pj_log gates EVERY level — errors included — behind
+    ctx->debug_level (src/pj_log.c:53-54), so the default process is
+    silent until set_log_level / $PROJ_DEBUG raises the gate.  (The
+    hook itself still receives errors so custom sinks can capture
+    them; only the default stderr sink applies the C's gate.)"""
+    if _LOG_LEVEL >= level:
+        print(msg, file=sys.stderr)
 
 
 _LOGGER = _stderr_logger

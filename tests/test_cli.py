@@ -99,20 +99,22 @@ def test_cli_init_failure_diagnostics(capsys):
     rc = proj_main(["+proj=nosuchproj"], stdin=io.StringIO("1 1\n"),
                    stdout=io.StringIO())
     err = capsys.readouterr().err
-    assert rc == 1
-    assert "proj: projection initialization failure" in err
+    assert rc == 3
+    assert "Rel. 4.9.1, 04 March 2015" in err
+    assert "<proj>: \nprojection initialization failure" in err
     assert "cause: unknown projection id" in err
+    assert err.rstrip().endswith("program abnormally terminated")
 
     rc = cs2cs_main(["+proj=latlong", "+catalog=missing.csv", "+ellps=WGS84",
                      "+to", "+proj=latlong", "+datum=WGS84"],
                     stdin=io.StringIO("0 0\n"), stdout=io.StringIO())
     err = capsys.readouterr().err
-    assert rc == 1 and "cause: failed to load datum shift file" in err
+    assert rc == 3 and "cause: failed to load datum shift file" in err
 
     rc = geod_main(["+ellps=nosuchell"], stdin=io.StringIO("0d 0d 0d 1d\n"),
                    stdout=io.StringIO())
     err = capsys.readouterr().err
-    assert rc == 1 and "geod: projection initialization failure" in err
+    assert rc == 1 and "<geod>: \nellipse setup failure" in err
 
 
 def test_proj_S_factors_annotation():
@@ -445,3 +447,40 @@ def test_fast_geod_chunk_falls_back():
     for bad in (["# comment"], [""], ["0d30' 0 0 1"], ["1 2 3"],
                 ["abc 2 3 4"]):
         assert _fast_geod_chunk(bad, _geod_ctx(inverse=True)) is None
+
+
+def test_proj_V_analytic_markers_and_emess(capsys):
+    """-V parity details (src/proj.c:152-244, emess.c): forward oform
+    default %.2f, analytic '*' markers for lcc (IS_ANAL_HK+CONV),
+    clamped aasin at conformal points, and emess-formatted error lanes
+    with the '<stdin>, line N' context on stderr."""
+    lines = run(proj_main, ["-V", "+proj=lcc", "+lat_1=33", "+lat_2=45",
+                            "+ellps=clrk66"], "12.5 48.2\n")
+    txt = "\n".join(lines)
+    assert "Meridian scale (h)*: " in txt
+    assert "Parallel scale (k)*: " in txt
+    assert "Convergence*: " in txt
+    # forward default is %.2f (proj.c:463-464), not vprocess's %.3f
+    east = next(l for l in lines if l.startswith("Easting"))
+    assert len(east.split(".")[-1]) == 2
+    # thetap defined (clamped aasin, not nan) at the conformal point
+    theta = next(l for l in lines if l.startswith("Meridian/Parallel"))
+    assert "nan" not in theta
+
+    out = io.StringIO()
+    rc = proj_main(["-V", "+proj=tmerc", "+lon_0=9", "+ellps=WGS84"],
+                   stdin=io.StringIO("12 95\n1e999 0\nx y\n"), stdout=out)
+    err = capsys.readouterr().err
+    assert "latitude or longitude exceeded limits" in err
+    assert "lon-lat input conversion failure" in err
+    assert "<proj>: while processing file: <stdin>, line 1" in err
+    assert "while processing file: <stdin>, line 2" in err
+    # 'x y' parses as (0, 0) like the C dmstor (non-digit -> 0.0)
+    assert "Longitude: 0dE [ 0 ]" in out.getvalue()
+
+    # inverse: strtod semantics — garbage parses as (0,0), no error
+    out = io.StringIO()
+    proj_main(["-V", "-I", "+proj=tmerc", "+lon_0=9", "+ellps=WGS84"],
+              stdin=io.StringIO("junk line\n"), stdout=out)
+    body = out.getvalue()
+    assert "junk line" in body and "Longitude: 9dE [ 9 ]" in body

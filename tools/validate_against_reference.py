@@ -448,6 +448,168 @@ def check(name, got, want, tol):
     return d <= tol
 
 
+
+
+def run_ref_full(exe, args, lines):
+    """Like run_ref but returns (stdout_lines, stderr_lines, rc)."""
+    p = subprocess.run([os.path.join(BUILD, "src", exe)] + args,
+                       input="\n".join(lines) + "\n", text=True,
+                       capture_output=True, env=ENV)
+    return p.stdout.splitlines(), p.stderr.splitlines(), p.returncode
+
+
+def run_engine_cli_full(main_fn, args, lines):
+    """In-process engine CLI run capturing stdout, stderr and rc."""
+    import contextlib
+    import io
+
+    out, err = io.StringIO(), io.StringIO()
+    with contextlib.redirect_stderr(err):
+        rc = main_fn(args, stdin=io.StringIO("\n".join(lines) + "\n"),
+                     stdout=out)
+    return out.getvalue().splitlines(), err.getvalue().splitlines(), rc
+
+
+# -V numeric lines are compared token-wise with bounds sized to the
+# print format plus the known conditioning amplifiers:
+#  - every %.Nf/%.4g token may sit on a printf rounding boundary when
+#    the two builds' libm differ by an ulp -> 1.5 units in the last
+#    printed digit;
+#  - "( X % error )" tokens are (v-1)*100 with v ~ 1 matched to 1e-8
+#    -> catastrophic cancellation, bound 1.5e-6 absolute;
+#  - thetap = aasin(s/(h*k)) with the ratio ~1e-12 from 1.0
+#    (conformal/analytic-hk cases) -> asin amplifies ulp noise to the
+#    4th decimal, bound 1e-3 deg (same class as the vandg note above);
+#  - near-zero convergence flips sign at the 1e-12 level -> the DMS
+#    token and %.8f token may print '-0d'/'0d' etc.; numeric compare
+#    handles it.
+_V_LINE_TOL = (
+    ("Meridian/Parallel angle:", 1.0e-3),
+    ("Max-min (Tissot axis a-b) scale error:", 5.0e-5),
+    ("Angular distortion (w):", 2.0e-3),
+)
+
+
+def _v_tok_ok(a, b, line_tol):
+    if a == b:
+        return True
+    try:
+        fa, fb = _dms_to_deg(a), _dms_to_deg(b)
+    except ValueError:
+        return False
+    if "d" in a:  # DMS token: last digit = 0.001 arc-sec
+        tol = 1.5e-3 / 3600.0
+    else:
+        mant = a.split("e")[0].split("E")[0]
+        dec = len(mant.split(".")[1]) if "." in mant else 0
+        exp = 0
+        for sep in ("e", "E"):
+            if sep in a:
+                exp = int(a.split(sep)[1])
+        tol = 1.5 * 10.0 ** (exp - dec)
+    tol = max(tol, line_tol)
+    return abs(fa - fb) <= tol
+
+
+def _check_v_lines(name, got, ref):
+    if len(got) != len(ref):
+        print(f"[FAIL] {name}: {len(got)} vs {len(ref)} lines")
+        return False
+    ties = 0
+    for g, r in zip(got, ref):
+        if g == r:
+            continue
+        line_tol = next((t for p, t in _V_LINE_TOL if g.startswith(p)
+                         and r.startswith(p)), 0.0)
+        if "% error )" in g and "% error )" in r:
+            line_tol = max(line_tol, 1.5e-6)
+        gt, rt = g.split(), r.split()
+        if len(gt) != len(rt) or not all(
+                _v_tok_ok(a, b, line_tol) for a, b in zip(gt, rt)):
+            print(f"[FAIL] {name}:\n  got {g!r}\n  ref {r!r}")
+            return False
+        ties += 1
+    print(f"[OK ] {name}: {len(got)} lines, {ties} "
+          "bounded-noise line(s)")
+    return True
+
+
+def sweep_vprocess(rng):
+    """proj -V / -S / listings / emess differentials vs the binary."""
+    from proj_ray.cli import proj_main
+
+    ok = True
+    # listings: byte-exact
+    for args in (["-l"], ["-lP"], ["-l=lcc"], ["-le"], ["-lu"]):
+        g, ge, grc = run_engine_cli_full(proj_main, args, [""])
+        r, re_, rrc = run_ref_full("proj", args, [""])
+        good = g == r
+        print(f"[{'OK ' if good else 'FAIL'}] proj {' '.join(args)}: "
+              f"{len(g)} lines byte-{'identical' if good else 'DIFF'}")
+        ok &= good
+
+    # -V forward sweep: header + factor blocks, stdout AND stderr
+    cases = [
+        ("+proj=tmerc +lon_0=0 +ellps=WGS84", 25.0, False),
+        ("+proj=merc +lat_ts=20 +ellps=intl", 170.0, False),
+        ("+proj=stere +lat_0=40 +ellps=WGS84", 60.0, False),
+        ("+proj=aea +lat_1=29.5 +lat_2=45.5 +ellps=GRS80", 170.0, False),
+        ("+proj=robin +a=6371000", 170.0, False),
+        ("+proj=moll +a=6371000", 170.0, False),
+        ("+proj=cass +lon_0=0 +ellps=clrk66", 25.0, False),
+        ("+proj=lcc +lat_1=33 +lat_2=45 +ellps=clrk66", 170.0, True),
+        ("+proj=eqdc +lat_1=40 +lat_2=60 +ellps=WGS84", 170.0, True),
+    ]
+    for defn, lon_span, _noisy in cases:
+        lon = rng.uniform(-lon_span, lon_span, 200)
+        lat = rng.uniform(-70.0, 70.0, 200)
+        lines = ["%.6f %.6f" % (a, b) for a, b in zip(lon, lat)]
+        args = ["-V"] + defn.split()
+        g, ge, _ = run_engine_cli_full(proj_main, args, lines)
+        r, re_, _ = run_ref_full("proj", args, lines)
+        ok &= _check_v_lines(f"proj -V {defn}", g, r)
+        if ge != re_:
+            print(f"[FAIL] proj -V {defn}: stderr differs")
+            ok = False
+
+    # -V inverse + error lanes: both streams byte-exact
+    lines = ["260000 5346000", "-6081845 8757832", "junk line", "",
+             "400000 4000000"]
+    args = ["-V", "-I", "+proj=tmerc", "+lon_0=9", "+ellps=WGS84"]
+    fwd_lines = ["12 95", "1e999 0", "x y", "5", "", "  12.5 48.2 tail txt"]
+    fargs = ["-V", "+proj=tmerc", "+lon_0=9", "+ellps=WGS84"]
+    g, ge, _ = run_engine_cli_full(proj_main, fargs, fwd_lines)
+    r, re_, _ = run_ref_full("proj", fargs, fwd_lines)
+    good = g == r and ge == re_
+    print(f"[{'OK ' if good else 'FAIL'}] proj -V fwd error lanes: "
+          f"stdout+stderr byte-{'identical' if good else 'DIFF'}")
+    if not good:
+        import difflib
+        print("\n".join(list(difflib.unified_diff(r, g, lineterm=""))[:12]))
+        print("\n".join(list(difflib.unified_diff(re_, ge, lineterm=""))[:12]))
+    ok &= good
+    g, ge, _ = run_engine_cli_full(proj_main, args, lines)
+    r, re_, _ = run_ref_full("proj", args, lines)
+    good = g == r and ge == re_
+    print(f"[{'OK ' if good else 'FAIL'}] proj -V -I error lanes: "
+          f"stdout+stderr byte-{'identical' if good else 'DIFF'}")
+    if not good and g != r:
+        import difflib
+        print("\n".join(list(difflib.unified_diff(r, g, lineterm=""))[:20]))
+    ok &= good
+
+    # emess init failure: stderr + exit code
+    g, ge, grc = run_engine_cli_full(proj_main, ["+proj=nosuchproj"], ["1 1"])
+    r, re_, rrc = run_ref_full("proj", ["+proj=nosuchproj"], ["1 1"])
+    good = ge == re_ and grc == rrc
+    print(f"[{'OK ' if good else 'FAIL'}] proj init-failure emess: "
+          f"rc {grc}/{rrc}, stderr byte-{'identical' if good else 'DIFF'}")
+    if not good:
+        print(" got:", ge, "\n ref:", re_)
+    ok &= good
+    return ok
+
+
 def main():
     ensure_built()
     os.environ["PROJ_LIB"] = ENV["PROJ_LIB"]  # grid resolution, both sides
@@ -601,6 +763,7 @@ def main():
     # --- wide projection-registry sweep (fwd + inv) --------------------
     ok &= sweep_projections(rng, make_transform)
     ok &= sweep_inverse(rng, make_transform)
+    ok &= sweep_vprocess(rng)
 
     print("ALL OK" if ok else "MISMATCHES FOUND")
     return 0 if ok else 1
