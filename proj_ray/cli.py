@@ -243,7 +243,7 @@ def _fast_fixed_format(v: np.ndarray, ndigits: int):
 _FMT_FIXED_RE_SRC = r"^%(?:\.(\d+))?f$"
 
 
-def _fast_chunk(chunk, transform: Transform, flags):
+def _fast_chunk(chunk, transform: Transform, flags, stderr=None, base=0):
     """Vectorized whole-chunk path for plain-decimal 'x y [z]' lines:
     one RE2 pass over the chunk (Arrow extract_regex), vectorized
     parse/transform/format, one joined string out.  Returns None when
@@ -317,6 +317,11 @@ def _fast_chunk(chunk, transform: Transform, flags):
         vb = (vb * DMS_DEG) * RAD_TO_DEG
     x, y, z = transform(va, vb, vz)
     ok = np.isfinite(x) & np.isfinite(y)
+    if stderr is not None and not ok.all():
+        # every fast-path lane parsed, so a bad lane IS a transform
+        # failure: emit the reference's per-line emess (cs2cs.c:119)
+        for i in np.flatnonzero(~ok):
+            _lane_emess(stderr, transform, va[i], vb[i], base + int(i) + 1)
     # one %-format pass over [x, y, z] (exact printf semantics — the
     # byte-parity anchor), then a single Arrow element-wise join
     n = x.shape[0]
@@ -485,22 +490,96 @@ def _join_lines(joined):
     return pc.binary_join(lst, pa.scalar("\n"))[0].as_py()
 
 
-def _process_lines(lines, transform: Transform, flags):
+def _coord_consume(s, pos, latlong):
+    """One input field with the reference's consumption semantics.
+    latlong -> dmstor (dmstor.c:27-77): leading whitespace skipped, a
+    token parses iff it starts (after optional sign) with a digit/dot
+    (lone hemisphere letter consumes one char, value +-0); a failed or
+    missing parse returns 0.0 WITHOUT advancing; overflow returns inf
+    with rs left at the ORIGINAL position (early return keeps the
+    initial *rs).  Projected -> C strtod: garbage parses as 0.0
+    without advancing, overflow consumes and returns inf."""
+    import re
+
+    n = len(s)
+    p2 = pos
+    while p2 < n and s[p2].isspace():
+        p2 += 1
+    if not latlong:
+        m = _STRTOD_RE().match(s, pos)
+        if m and m.group(0).strip():
+            return float(m.group(0)), m.end()
+        return 0.0, pos
+    mt = re.compile(r"\S+").match(s, p2)
+    if not mt:
+        return 0.0, p2  # trailing whitespace IS consumed (dmstor.c:27)
+    tok = mt.group(0)
+    body = tok[1:] if tok[:1] in "+-" else tok
+    if body[:1].isdigit() or body[:1] == ".":
+        v = _parse_coord(tok)
+        if not np.isfinite(v):
+            return v, pos  # dmstor overflow: *rs keeps start position
+        return v, mt.end()
+    if tok[0] in "NnEeSsWw":
+        return (-0.0 if tok[0] in "SsWw" else 0.0), p2 + 1
+    return 0.0, p2  # garbage: whitespace consumed, token not
+
+
+def _pj_transform_lane_errno(transform: Transform, lon_d, lat_d):
+    """Best-effort per-point pj_transform errno for a failed lane
+    (cs2cs calls pj_transform one point at a time, so every failure
+    carries a cause, src/cs2cs.c:117-119).  The engine's vectorized
+    kernels mark bad lanes HUGE without a per-lane errno, so the
+    dominant causes are reconstructed from the inputs: the pj_fwd
+    latitude range check (src/pj_fwd.c:12-14) and the tmerc/utm
+    |lam| > pi/2 guard (src/PJ_tmerc.c:31-36, the only kernel that
+    raises -14 itself); anything else reports the F_ERROR/I_ERROR
+    default -20 (src/projects.h:337)."""
+    from .kernels.common import adjlon as _adjlon
+
+    if transform.src.is_latlong and np.isfinite(lat_d):
+        if abs(lat_d) * DEG_TO_RAD - HALFPI > 1e-12:
+            return -14
+        dst = transform.dst
+        if (not dst.is_latlong
+                and getattr(dst, "proj_name", None) in ("tmerc", "utm")
+                and np.isfinite(lon_d)):
+            dlam = float(_adjlon(np.array([lon_d * DEG_TO_RAD
+                                           - dst.lam0]))[0])
+            if dlam < -HALFPI or dlam > HALFPI:
+                return -14
+    return -20
+
+
+def _lane_emess(stderr, transform, lon_d, lat_d, line_no):
+    from .errors import pj_strerrno
+
+    code = _pj_transform_lane_errno(transform, lon_d, lat_d)
+    emess(-3, f"pj_transform(): {pj_strerrno(code)}", "cs2cs", stderr,
+          "<stdin>", line_no)
+
+
+def _process_lines(lines, transform: Transform, flags, stderr=None):
     """cs2cs.c-exact line processing (src/cs2cs.c:60-160): consume two
     coordinate fields + an optional numeric z (strtod semantics), echo
     ONLY the consumed text under -E, transform, print x TAB y SPACE z
     then the unconsumed remainder verbatim.  Without -f, projected /
     geocentric output defaults to oform %.2f (applied to z as well);
-    latlong output is trimmed rtodms DMS with z at %.3f.
+    latlong output is trimmed rtodms DMS with z at %.3f.  Failed
+    transform lanes additionally emit the reference's per-line
+    emess(-3, "pj_transform(): <cause>") to stderr (cs2cs.c:119).
 
     Input streams in chunks; a chunk of plain-decimal lines takes the
     vectorized _fast_chunk path, anything else the per-line path."""
+    stderr = stderr or sys.stderr
+    base = 0
     for chunk in _iter_line_chunks(lines):
-        fast = _fast_chunk(chunk, transform, flags)
+        fast = _fast_chunk(chunk, transform, flags, stderr, base)
         if fast is not None:
             yield fast
         else:
-            yield from _slow_lines(chunk, transform, flags)
+            yield from _slow_lines(chunk, transform, flags, stderr, base)
+        base += len(chunk)
 
 
 def _iter_line_chunks(lines, CHUNK=32768):
@@ -534,9 +613,10 @@ def _iter_line_chunks(lines, CHUNK=32768):
         yield chunk
 
 
-def _slow_lines(lines, transform: Transform, flags):
+def _slow_lines(lines, transform: Transform, flags, stderr=None, base=0):
     import re
 
+    stderr = stderr or sys.stderr
     echo = "-E" in flags
     fmt = flags.get("-f")
     rev_in = "-r" in flags
@@ -549,14 +629,25 @@ def _slow_lines(lines, transform: Transform, flags):
     two_fields = re.compile(r"\s*\S+\s+\S+")
     znum = _STRTOD_RE()
 
-    batch, tails, consumed = [], [], []
+    batch, tails, consumed, lnos = [], [], [], []
 
     def flush():
         if not batch:
             return
         arr = np.asarray(batch, dtype=np.float64)
-        x, y, z = transform(arr[:, 0], arr[:, 1], arr[:, 2])
+        with np.errstate(invalid="ignore", over="ignore", divide="ignore"):
+            import warnings
+
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                x, y, z = transform(arr[:, 0], arr[:, 1], arr[:, 2])
         for i in range(len(batch)):
+            if (not (np.isfinite(x[i]) and np.isfinite(y[i]))
+                    and np.isfinite(arr[i, 0]) and np.isfinite(arr[i, 1])):
+                # parse-failed lines skip pj_transform entirely
+                # (cs2cs.c:108-117) — only transform failures emess
+                _lane_emess(stderr, transform, arr[i, 0], arr[i, 1],
+                            lnos[i])
             if dst_ll:
                 if eff_fmt:  # -f on latlong output: decimal degrees
                     ox = _fmt(x[i], eff_fmt, False, "", "")
@@ -577,47 +668,41 @@ def _slow_lines(lines, transform: Transform, flags):
                 body = f"{oy}\t{ox}"
             else:
                 body = f"{ox}\t{oy}"
-            zs = (z_fmt % z[i]) if np.isfinite(z[i]) else "*"
+            zs = z_fmt % z[i]  # printf prints inf/nan too
             pre = consumed[i] + "\t" if echo else ""
             yield pre + body + " " + zs + tails[i]
         batch.clear()
         tails.clear()
         consumed.clear()
+        lnos.clear()
 
-    for line in lines:
+    for ln_i, line in enumerate(lines):
         line = line.rstrip("\n")
-        if not line or line.lstrip().startswith("#"):
+        if line[:1] == "#":  # tag passthrough (cs2cs.c:83-86)
             yield from flush()
             yield line
             continue
-        m = two_fields.match(line)
-        if m is None:
-            yield from flush()
-            yield line
-            continue
-        toks = m.group(0).split()
-        t1, t2 = toks[0], toks[1]
-        end = m.end()
+        # consume u, v (dmstor/strtod), then z (strtod) — process()
+        # order, cs2cs.c:88-97; a failed field is 0.0 (or HUGE) and
+        # the remainder from the final position is echoed verbatim
+        a1, end = _coord_consume(line, 0, src_ll)
+        a2, end = _coord_consume(line, end, src_ll)
+        x, y = (a2, a1) if rev_in else (a1, a2)
         z = 0.0
         mz = znum.match(line, end)
-        if mz:  # strtod: consume z only when a numeric prefix parses
+        if mz and mz.group(0).strip():
             z = float(mz.group(0))
             end = mz.end()
-        if rev_in:
-            t1, t2 = t2, t1
         if src_ll:
             # dmstor returns radians; the Transform expects degrees
-            x = _parse_coord(t1) * RAD_TO_DEG
-            y = _parse_coord(t2) * RAD_TO_DEG
-        else:
-            try:
-                x = float(t1)
-                y = float(t2)
-            except ValueError:
-                x = y = float("nan")
+            x = x * RAD_TO_DEG
+            y = y * RAD_TO_DEG
+        if not np.isfinite(y):
+            x = float("inf")  # data.v == HUGE -> u = HUGE (cs2cs.c:98)
         batch.append((x, y, z))
         consumed.append(line[:end])
         tails.append(line[end:])
+        lnos.append(base + ln_i + 1)
         if len(batch) >= 8192:
             yield from flush()
     yield from flush()
@@ -666,10 +751,11 @@ def _init_failure(prog, exc, stderr=None, msg=None, rc=3):
     return rc
 
 
-def cs2cs_main(argv=None, stdin=None, stdout=None):
+def cs2cs_main(argv=None, stdin=None, stdout=None, stderr=None):
     argv = sys.argv[1:] if argv is None else argv
     stdin = stdin or sys.stdin
     stdout = stdout or sys.stdout
+    stderr = stderr or sys.stderr
     flags, from_def, to_def = _split_args(argv)
     if not to_def:
         # no +to: destination = base geographic CRS of source
@@ -681,7 +767,15 @@ def cs2cs_main(argv=None, stdin=None, stdout=None):
         t = make_transform(from_def, to_def)
     except (ValueError, FileNotFoundError) as exc:
         return _init_failure("cs2cs", exc)
-    for out in _process_lines(stdin, t, flags):
+    if "-v" in flags:
+        # monitor dump of both systems (src/cs2cs.c:395-400)
+        tag = next((k[2] for k in flags
+                    if k.startswith("-t") and len(k) > 2), "#")
+        print(f"{tag} ---- From Coordinate System ----", file=stdout)
+        _pr_list(t.src, stdout)
+        print(f"{tag} ---- To Coordinate System ----", file=stdout)
+        _pr_list(t.dst, stdout)
+    for out in _process_lines(stdin, t, flags, stderr):
         print(out, file=stdout)
     return 0
 

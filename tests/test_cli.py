@@ -484,3 +484,36 @@ def test_proj_V_analytic_markers_and_emess(capsys):
               stdin=io.StringIO("junk line\n"), stdout=out)
     body = out.getvalue()
     assert "junk line" in body and "Longitude: 9dE [ 9 ]" in body
+
+
+def test_cs2cs_degenerate_consumption_and_lane_emess(capsys):
+    """cs2cs process() parity (src/cs2cs.c:60-160): dmstor/strtod
+    consumption (garbage -> 0.0, remainder echoed, overflow -> '*'
+    with the consumed z printed), '#' tag passthrough only at col 1,
+    and per-line emess(-3, "pj_transform(): <cause>") on stderr."""
+    args = ["+proj=latlong", "+ellps=WGS84", "+to",
+            "+proj=utm", "+zone=31", "+ellps=WGS84"]
+    lines = run(cs2cs_main, args, "5\n\nx y\n2 x\n  # not tag\n2 95\n")
+    # single token / blank / garbage all become coordinates (0-filled)
+    assert lines[0].startswith("722595.44\t0.00")
+    assert lines[1].startswith("166021.44\t0.00")
+    assert lines[2].startswith("166021.44\t0.00")
+    assert lines[3] == "388719.35\t0.00 0.00x"     # 'x' echoed, ws eaten
+    assert lines[4] == "166021.44\t0.00 0.00# not tag"
+    assert lines[5] == "*\t* 0.00"
+    err = capsys.readouterr().err
+    assert ("<cs2cs>: while processing file: <stdin>, line 6\n"
+            "pj_transform(): latitude or longitude exceeded limits") in err
+    # only the transform-failed line reports; parse quirks do not
+    assert err.count("pj_transform()") == 1
+
+
+def test_cs2cs_lane_errno_mapping(capsys):
+    """-14 only from the pj_fwd lat check and the tmerc/utm lam guard
+    (src/PJ_tmerc.c:31-36); other kernel failures report F_ERROR -20."""
+    run(cs2cs_main, ["+proj=latlong", "+ellps=WGS84", "+to", "+proj=utm",
+                     "+zone=11", "+ellps=WGS84"], "2 47\n")
+    assert "latitude or longitude exceeded limits" in capsys.readouterr().err
+    run(cs2cs_main, ["+proj=latlong", "+ellps=WGS84", "+to", "+proj=lcc",
+                     "+lat_1=33", "+lat_2=45", "+ellps=clrk66"], "0 -90\n")
+    assert "tolerance condition error" in capsys.readouterr().err

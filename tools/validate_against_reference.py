@@ -598,6 +598,41 @@ def sweep_vprocess(rng):
         print("\n".join(list(difflib.unified_diff(r, g, lineterm=""))[:20]))
     ok &= good
 
+    # cs2cs: degenerate input consumption + per-line pj_transform emess
+    from proj_ray.cli import cs2cs_main as _cs2cs
+    deg_lines = ["2 47", "5", "", "x y", "  ", "12d30 47d10 extra",
+                 "1e999 47", "2 x", "# tag line", "  # not tag", "N S",
+                 "2 95", "170 40", "0 -90"]
+    for extra in ([], ["-E"], ["-r"]):
+        args = extra + ["+proj=latlong", "+ellps=WGS84", "+to",
+                        "+proj=utm", "+zone=31", "+ellps=WGS84"]
+        g, ge, _ = run_engine_cli_full(_cs2cs, args, deg_lines)
+        r, re_, _ = run_ref_full("cs2cs", args, deg_lines)
+        good = g == r and ge == re_
+        print(f"[{'OK ' if good else 'FAIL'}] cs2cs degenerate/"
+              f"error lanes {' '.join(extra) or '(plain)'}: "
+              f"stdout+stderr byte-{'identical' if good else 'DIFF'}")
+        if not good:
+            import difflib
+            print("\n".join(list(difflib.unified_diff(r, g, lineterm=""))[:10]))
+            print("\n".join(list(difflib.unified_diff(re_, ge, lineterm=""))[:10]))
+        ok &= good
+    # lcc pole + tmerc dlam error causes (-20 vs -14 mapping)
+    for defn, pts in [
+        (["+proj=latlong", "+ellps=WGS84", "+to", "+proj=lcc",
+          "+lat_1=33", "+lat_2=45", "+ellps=clrk66"], ["0 -90", "0 45"]),
+        (["+proj=latlong", "+ellps=WGS84", "+to", "+proj=utm",
+          "+zone=11", "+ellps=WGS84"], ["2 47", "-116 33"]),
+        (["+proj=latlong", "+ellps=WGS84", "+to", "+proj=merc",
+          "+ellps=WGS84"], ["0 90", "0 45"]),
+    ]:
+        g, ge, _ = run_engine_cli_full(_cs2cs, defn, pts)
+        r, re_, _ = run_ref_full("cs2cs", defn, pts)
+        good = g == r and ge == re_
+        print(f"[{'OK ' if good else 'FAIL'}] cs2cs errno mapping "
+              f"{defn[4]}: byte-{'identical' if good else 'DIFF'}")
+        ok &= good
+
     # emess init failure: stderr + exit code
     g, ge, grc = run_engine_cli_full(proj_main, ["+proj=nosuchproj"], ["1 1"])
     r, re_, rrc = run_ref_full("proj", ["+proj=nosuchproj"], ["1 1"])
