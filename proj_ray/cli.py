@@ -1362,31 +1362,33 @@ def _slow_geod_lines(lines, ctx):
     from .kernels.geodesic import geod_direct, geod_inverse
 
     for line in lines:
-        if not line or line.lstrip().startswith("#"):
+        if line[:1] == "#":  # tag passthrough at column 1 (geod.c:72-75)
             yield line
             continue
-        toks = line.split()
-        if len(toks) < 4:
-            yield line
-            continue
-        lat1 = np.degrees(_parse_coord(toks[0]))
-        lon1 = np.degrees(_parse_coord(toks[1]))
-        tail = " ".join(toks[4:])
-        tail = (" " + tail) if tail else ""
+        # dmstor consumption per field (geod.c:76-86): garbage / short
+        # lines 0-fill; the remainder after the last consume is echoed
+        # VERBATIM (leading whitespace kept)
+        v1, pos = _coord_consume(line, 0, True)
+        v2, pos = _coord_consume(line, pos, True)
+        lat1, lon1 = np.degrees(v1), np.degrees(v2)
         if ctx.inverse:
-            lat2 = np.degrees(_parse_coord(toks[2]))
-            lon2 = np.degrees(_parse_coord(toks[3]))
+            v3, pos = _coord_consume(line, pos, True)
+            v4, pos = _coord_consume(line, pos, True)
+            lat2, lon2 = np.degrees(v3), np.degrees(v4)
+            tail = line[pos:]
             s12, al12, azi2, _ = geod_inverse(
                 np.array([lon1]), np.array([lat1]),
                 np.array([lon2]), np.array([lat2]), a=ctx.a, f=ctx.f)
             al12, al21, S = al12[0], _geod_back(azi2[0]), s12[0]
         else:
-            al12 = np.degrees(_parse_coord(toks[2]))
-            try:
-                S = float(toks[3]) * ctx.to_meter
-            except ValueError:
-                yield line
-                continue
+            v3, pos = _coord_consume(line, pos, True)
+            al12 = np.degrees(v3)
+            mz = _STRTOD_RE().match(line, pos)
+            S = 0.0
+            if mz and mz.group(0).strip():
+                S = float(mz.group(0)) * ctx.to_meter
+                pos = mz.end()
+            tail = line[pos:]
             lo2, la2, azi2 = geod_direct(np.array([lon1]), np.array([lat1]),
                                          np.array([al12]), np.array([S]),
                                          a=ctx.a, f=ctx.f)
@@ -1476,11 +1478,12 @@ def _fast_geod_chunk(chunk, ctx):
             pieces.append(pa.scalar("\t"))
         pieces.append(c)
     if bool(np.any(lens > 4)):
-        tails = pc.binary_join(pc.list_slice(parts, 4), pa.scalar(" "))
-        tails = pc.if_else(
-            pc.equal(tails, ""), tails,
-            pc.binary_join_element_wise(pa.scalar(" "), tails,
-                                        pa.scalar("")))
-        pieces.append(tails)
+        # VERBATIM remainder after the 4th token (whitespace kept) —
+        # the C echoes printf("%s", s) from the consume position
+        ext = pc.extract_regex(
+            arr, r"^\s*\S+\s+\S+\s+\S+\s+\S+(?P<tail>.*)$")
+        if ext.null_count:
+            return None
+        pieces.append(pc.struct_field(ext, "tail"))
     joined = pc.binary_join_element_wise(*pieces, pa.scalar(""))
     return _join_lines(joined)

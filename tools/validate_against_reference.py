@@ -633,6 +633,23 @@ def sweep_vprocess(rng):
               f"{defn[4]}: byte-{'identical' if good else 'DIFF'}")
         ok &= good
 
+    # geod: degenerate line consumption (0-fill + verbatim tail echo)
+    from proj_ray.cli import geod_main as _geod
+    gdeg = ["10 20 30 1000", "x y z w", "50 x", "", "5 6",
+            "30 40  10 20   tail  sp", "# tag"]
+    for extra in ([], ["-I"], ["-f", "%.7f"]):
+        args = extra + ["+ellps=WGS84"]
+        g, ge, _ = run_engine_cli_full(_geod, args, gdeg)
+        r, re_, _ = run_ref_full("geod", args, gdeg)
+        good = g == r
+        print(f"[{'OK ' if good else 'FAIL'}] geod degenerate lanes "
+              f"{' '.join(extra) or '(direct)'}: "
+              f"stdout byte-{'identical' if good else 'DIFF'}")
+        if not good:
+            import difflib
+            print("\n".join(list(difflib.unified_diff(r, g, lineterm=""))[:10]))
+        ok &= good
+
     # emess init failure: stderr + exit code
     g, ge, grc = run_engine_cli_full(proj_main, ["+proj=nosuchproj"], ["1 1"])
     r, re_, rrc = run_ref_full("proj", ["+proj=nosuchproj"], ["1 1"])
