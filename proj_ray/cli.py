@@ -160,31 +160,24 @@ def _slow_proj_lines(lines, transform: Transform, flags):
 
     for line in lines:
         line = line.rstrip("\n")
-        if not line or line.lstrip().startswith("#"):
+        if line[:1] == "#":  # tag passthrough at column 1 (proj.c:78)
             yield from flush()
             yield line
             continue
-        m = two_fields.match(line)
-        if m is None:
-            yield from flush()
-            yield line
-            continue
-        toks = m.group(0).split()
-        t1, t2 = toks[0], toks[1]
-        if rev_in:
-            t1, t2 = t2, t1
+        # dmstor/strtod consumption of exactly two fields (proj.c:
+        # 83-101): garbage/short lines 0-fill, overflow leaves the
+        # position untouched; remainder echoed verbatim
+        a1, end = _coord_consume(line, 0, src_ll)
+        a2, end = _coord_consume(line, end, src_ll)
+        x, y = (a2, a1) if rev_in else (a1, a2)
         if src_ll:
-            x = _parse_coord(t1) * RAD_TO_DEG
-            y = _parse_coord(t2) * RAD_TO_DEG
-        else:
-            try:
-                x = float(t1)
-                y = float(t2)
-            except ValueError:
-                x = y = float("nan")
+            x = x * RAD_TO_DEG
+            y = y * RAD_TO_DEG
+        if not np.isfinite(y):
+            x = float("inf")
         batch.append((x, y, 0.0))
-        consumed.append(m.group(0))
-        tails.append(line[m.end():])
+        consumed.append(line[:end])
+        tails.append(line[end:])
         if len(batch) >= 8192:
             yield from flush()
     yield from flush()

@@ -633,6 +633,22 @@ def sweep_vprocess(rng):
               f"{defn[4]}: byte-{'identical' if good else 'DIFF'}")
         ok &= good
 
+    # proj: degenerate line consumption (0-fill + verbatim tail echo)
+    pdeg = ["2 47", "5", "", "x y", "2 x", "  # not tag", "1e999 47",
+            "# tag", "2 47   ", "12d30 47d10 extra"]
+    for extra in ([], ["-I"], ["-E"], ["-r"]):
+        args = extra + ["+proj=utm", "+zone=31", "+ellps=WGS84"]
+        g, ge, _ = run_engine_cli_full(proj_main, args, pdeg)
+        r, re_, _ = run_ref_full("proj", args, pdeg)
+        good = g == r
+        print(f"[{'OK ' if good else 'FAIL'}] proj degenerate lanes "
+              f"{' '.join(extra) or '(fwd)'}: "
+              f"stdout byte-{'identical' if good else 'DIFF'}")
+        if not good:
+            import difflib
+            print("\n".join(list(difflib.unified_diff(r, g, lineterm=""))[:10]))
+        ok &= good
+
     # geod: degenerate line consumption (0-fill + verbatim tail echo)
     from proj_ray.cli import geod_main as _geod
     gdeg = ["10 20 30 1000", "x y z w", "50 x", "", "5 6",
