@@ -134,15 +134,30 @@ def run_scaling():
     # input, two fresh processes either way
     lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
-    c_lo = _cpu_control(lo)
-    c_hi = _cpu_control(hi)
-    # host ceiling: throughput gain a PERFECT parallel program gets
-    # (work scales with n, so throughput at n workers = n / wall)
-    ceiling = ((hi / c_hi) / (lo / c_lo)) / (hi / lo)
+
+    def _ceiling():
+        # host ceiling: throughput gain a PERFECT parallel program gets
+        # (work scales with n, so throughput at n workers = n / wall)
+        c_lo = _cpu_control(lo)
+        c_hi = _cpu_control(hi)
+        return ((hi / c_hi) / (lo / c_lo)) / (hi / lo)
+
+    # the hypervisor's vCPU steal FLUCTUATES on minute timescales: a
+    # collapse during one leg but not the other fabricates an
+    # arbitrarily wrong E (both directions — a slow lo-leg even makes
+    # E super-linear).  Probe the ceiling BEFORE, BETWEEN and AFTER
+    # the legs; the measurement is only VALID when the host stayed
+    # quiet throughout (min ceiling >= 0.85) and E is physical
+    # (<= 1.05).
+    ceil0 = _ceiling()
     r_lo = one(lo)
+    ceil1 = _ceiling()
     r_hi = one(hi)
+    ceil2 = _ceiling()
+    ceiling = min(ceil0, ceil1, ceil2)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
+    valid = ceiling >= 0.85 and eff <= 1.05
     print(json.dumps({
         "metric": f"throughput scaling efficiency, num_cpus {lo} -> {hi} (N vs 4N substitute)",
         "cpus_lo": lo, "cpus_hi": hi,
@@ -151,13 +166,19 @@ def run_scaling():
         f"points_per_sec_{lo}": r_lo["points_per_sec"],
         f"points_per_sec_{hi}": r_hi["points_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        "host_ceiling_before": round(ceil0, 3),
+        "host_ceiling_mid": round(ceil1, 3),
+        "host_ceiling_after": round(ceil2, 3),
         "host_parallel_ceiling": round(ceiling, 3),
+        "host_quiet_throughout": valid,
         "normalized_efficiency": round(min(1.0, eff / ceiling), 3) if ceiling > 0 else None,
-        "pass": eff >= 0.8 or (ceiling > 0 and eff / ceiling >= 0.8),
-        "note": ("host_parallel_ceiling is a no-Ray multiprocessing control "
-                 "(32 independent numpy workers); when the hypervisor is "
-                 "contended (vCPU steal) it drops below 1.0 and bounds any "
-                 "parallel program's measurable efficiency"),
+        "pass": valid and eff >= 0.8,
+        "note": ("host_parallel_ceiling is the min of three no-Ray "
+                 "multiprocessing controls (before/between/after the two "
+                 "legs); hypervisor vCPU-steal episodes bound any parallel "
+                 "program's measurable efficiency and can fabricate wrong E "
+                 "in either direction when they hit only one leg, so a run "
+                 "is only valid when the host stayed quiet throughout"),
     }))
 
 
