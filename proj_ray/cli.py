@@ -26,41 +26,6 @@ from .kernels.common import DEG_TO_RAD, HALFPI, RAD_TO_DEG
 from .transform import Transform, make_transform
 
 
-def _split_args(argv):
-    """flags (-X [val]) + '+' defs, split at '+to' (cs2cs.c:296-316)."""
-    flags = {}
-    from_def = []
-    to_def = []
-    cur = from_def
-    i = 0
-    while i < len(argv):
-        a = argv[i]
-        if a == "+to":
-            cur = to_def
-        elif a.startswith("+"):
-            cur.append(a)
-        elif a.startswith("-"):
-            if a in ("-f", "-F", "-T", "-e", "-m"):  # flags with value
-                flags[a] = argv[i + 1]
-                i += 1
-            elif a.startswith(("-w", "-W")):
-                if a[2:].isdigit():
-                    # -w<n>: DMS seconds precision; -W<n>: constant-width
-                    # DMS fields (set_rtodms con_w) (proj.c:378-384)
-                    flags["-w"] = int(a[2:])
-                    if a[1] == "W":
-                        flags["-Wfixed"] = True
-                else:
-                    # reference aborts: emess(1, "-W argument missing or
-                    # non-digit") (proj.c:384, cs2cs.c:274, geod.c:165)
-                    print("-W argument missing or non-digit", file=sys.stderr)
-                    raise SystemExit(1)
-            else:
-                flags[a] = True
-        i += 1
-    return flags, " ".join(from_def), " ".join(to_def)
-
-
 def _parse_coord(tok: str) -> float:
     try:
         return dmstor(tok)
@@ -141,7 +106,7 @@ def _slow_proj_lines(lines, transform: Transform, flags):
             x, y = x * fscale, y * fscale
         for i in range(len(batch)):
             if not (np.isfinite(x[i]) and np.isfinite(y[i])):
-                body = "*\t*"
+                body = flags.get("-e", "*\t*")
             elif dst_ll and fmt is None:
                 prec = flags.get("-w", 3)
                 fx = flags.get("-Wfixed", False)
@@ -236,7 +201,8 @@ def _fast_fixed_format(v: np.ndarray, ndigits: int):
 _FMT_FIXED_RE_SRC = r"^%(?:\.(\d+))?f$"
 
 
-def _fast_chunk(chunk, transform: Transform, flags, stderr=None, base=0):
+def _fast_chunk(chunk, transform: Transform, flags, stderr=None,
+                base=0, file_name="<stdin>"):
     """Vectorized whole-chunk path for plain-decimal 'x y [z]' lines:
     one RE2 pass over the chunk (Arrow extract_regex), vectorized
     parse/transform/format, one joined string out.  Returns None when
@@ -314,7 +280,8 @@ def _fast_chunk(chunk, transform: Transform, flags, stderr=None, base=0):
         # every fast-path lane parsed, so a bad lane IS a transform
         # failure: emit the reference's per-line emess (cs2cs.c:119)
         for i in np.flatnonzero(~ok):
-            _lane_emess(stderr, transform, va[i], vb[i], base + int(i) + 1)
+            _lane_emess(stderr, transform, va[i], vb[i], base + int(i) + 1,
+                        file_name)
     # one %-format pass over [x, y, z] (exact printf semantics — the
     # byte-parity anchor), then a single Arrow element-wise join
     n = x.shape[0]
@@ -348,9 +315,9 @@ def _fast_chunk(chunk, transform: Transform, flags, stderr=None, base=0):
                  if tails_pa is not None else None)
         out = joined.to_numpy(zero_copy_only=False).astype(object)
         for i in bad:
-            bx = ("*\t*" if not ok[i]
+            bx = (flags.get("-e", "*\t*") if not ok[i]
                   else f"{ox[i].as_py()}\t{oy[i].as_py()}")
-            bz = (z_fmt % z[i]) if okz[i] else "*"
+            bz = z_fmt % z[i]  # printf prints inf/nan too
             pre = ""
             if "-E" in flags:
                 pre = str(pc.struct_field(ext, "consumed")[i].as_py()) + "\t"
@@ -465,7 +432,7 @@ def _fast_proj_chunk(chunk, transform: Transform, flags):
             if "-E" in flags:
                 pre = str(pc.struct_field(ext, "consumed")[i].as_py()) + "\t"
             tl = str(tails[i]) if tails is not None else ""
-            out[i] = pre + "*\t*" + tl
+            out[i] = pre + flags.get("-e", "*\t*") + tl
         return "\n".join(out.tolist())
     return _join_lines(joined)
 
@@ -544,15 +511,17 @@ def _pj_transform_lane_errno(transform: Transform, lon_d, lat_d):
     return -20
 
 
-def _lane_emess(stderr, transform, lon_d, lat_d, line_no):
+def _lane_emess(stderr, transform, lon_d, lat_d, line_no,
+                file_name="<stdin>"):
     from .errors import pj_strerrno
 
     code = _pj_transform_lane_errno(transform, lon_d, lat_d)
     emess(-3, f"pj_transform(): {pj_strerrno(code)}", "cs2cs", stderr,
-          "<stdin>", line_no)
+          file_name, line_no)
 
 
-def _process_lines(lines, transform: Transform, flags, stderr=None):
+def _process_lines(lines, transform: Transform, flags, stderr=None,
+                   file_name="<stdin>"):
     """cs2cs.c-exact line processing (src/cs2cs.c:60-160): consume two
     coordinate fields + an optional numeric z (strtod semantics), echo
     ONLY the consumed text under -E, transform, print x TAB y SPACE z
@@ -567,11 +536,12 @@ def _process_lines(lines, transform: Transform, flags, stderr=None):
     stderr = stderr or sys.stderr
     base = 0
     for chunk in _iter_line_chunks(lines):
-        fast = _fast_chunk(chunk, transform, flags, stderr, base)
+        fast = _fast_chunk(chunk, transform, flags, stderr, base, file_name)
         if fast is not None:
             yield fast
         else:
-            yield from _slow_lines(chunk, transform, flags, stderr, base)
+            yield from _slow_lines(chunk, transform, flags, stderr, base,
+                                   file_name)
         base += len(chunk)
 
 
@@ -606,7 +576,8 @@ def _iter_line_chunks(lines, CHUNK=32768):
         yield chunk
 
 
-def _slow_lines(lines, transform: Transform, flags, stderr=None, base=0):
+def _slow_lines(lines, transform: Transform, flags, stderr=None,
+                base=0, file_name="<stdin>"):
     import re
 
     stderr = stderr or sys.stderr
@@ -640,7 +611,7 @@ def _slow_lines(lines, transform: Transform, flags, stderr=None, base=0):
                 # parse-failed lines skip pj_transform entirely
                 # (cs2cs.c:108-117) — only transform failures emess
                 _lane_emess(stderr, transform, arr[i, 0], arr[i, 1],
-                            lnos[i])
+                            lnos[i], file_name)
             if dst_ll:
                 if eff_fmt:  # -f on latlong output: decimal degrees
                     ox = _fmt(x[i], eff_fmt, False, "", "")
@@ -656,7 +627,7 @@ def _slow_lines(lines, transform: Transform, flags, stderr=None, base=0):
                 ox = _fmt(x[i], eff_fmt, False, "", "")
                 oy = _fmt(y[i], eff_fmt, False, "", "")
             if not (np.isfinite(x[i]) and np.isfinite(y[i])):
-                body = "*\t*"
+                body = flags.get("-e", "*\t*")
             elif rev_out:
                 body = f"{oy}\t{ox}"
             else:
@@ -704,22 +675,156 @@ def _slow_lines(lines, transform: Transform, flags, stderr=None, base=0):
 PJ_RELEASE = "Rel. 4.9.1, 04 March 2015"  # src/pj_release.c:5
 
 
-def emess(code, msg, prog, stderr, file_name=None, file_line=0):
+def emess(code, msg, prog, stderr, file_name=None, file_line=0,
+          sys_errno=None):
     """The reference's error reporter (src/emess.c:19-56): release
     banner + '<prog>: ', optional 'while processing file: F, line N',
-    the message, then either the abort trailer (code > 0 — raises
-    SystemExit(code)) or a final newline (code < 0 — continue)."""
+    a 'Sys errno' line when |code| == 2 (this build prints the
+    '<system mess. texts unavail.>' variant), the message, then either
+    the abort trailer (code > 0 — raises SystemExit(code)) or a final
+    newline (code < 0 — continue)."""
     stderr.write(f"{PJ_RELEASE}\n<{prog}>: ")
     if file_name:
         stderr.write(f"while processing file: {file_name}")
         stderr.write(f", line {file_line}\n" if file_line > 0 else "\n")
     else:
         stderr.write("\n")
+    if code in (2, -2):
+        stderr.write(f"Sys errno: {sys_errno or 0}:"
+                     " <system mess. texts unavail.>\n")
     stderr.write(msg)
     if code > 0:
         stderr.write("\nprogram abnormally terminated\n")
         raise SystemExit(code)
     stderr.write("\n")
+
+
+
+class _ListingExit(Exception):
+    """Raised when a -l listing printed and the tool exits 0 mid-args
+    (the C exit(0) inside the 'l' case)."""
+
+
+def _c_args(prog, argv, stdout, stderr):
+    """Replicate the reference run-line loops char-for-char
+    (proj.c:260-410, cs2cs.c:183-290, geod.c:142-215): combined
+    single-dash flags ('-rs'), inline -t<char> / -w<digit> / -l<sub>,
+    next-argv values (-f/-e/-m/-T/-F), '+' parameter collection, and
+    everything else as input FILE names ('-' = stdin).  Raises
+    SystemExit via emess(1, ...) on invalid options, _ListingExit
+    after a listing."""
+    spec = {
+        "proj": dict(bools="bioIESrs", mon="v", nxt="eTmf"),
+        "cs2cs": dict(bools="IErs", mon="v", nxt="ef"),
+        "geod": dict(bools="aIp", mon="", nxt="fF"),
+    }[prog]
+    flags = {}
+    plus = []
+    files = []
+    i = 0
+    n = len(argv)
+
+    def em(msg):
+        emess(1, msg, prog, stderr)
+
+    while i < n:
+        a = argv[i]
+        if a == "-":
+            files.append("-")
+        elif a.startswith("-"):
+            j = 1
+            while j < len(a):
+                c = a[j]
+                if c in spec["bools"] or c in spec["mon"]:
+                    flags["-" + c] = True
+                elif c == "V" and prog == "proj":
+                    # case 'V' falls through into 'S' (proj.c:285-289)
+                    flags["-V"] = True
+                    flags["-v"] = True
+                elif c == "t":
+                    if j + 1 < len(a):
+                        j += 1
+                        flags["-t" + a[j]] = True
+                    else:
+                        em("missing -t col. 1 tag")
+                elif c in "wW":
+                    d = a[j + 1:j + 2]
+                    if d.isdigit():
+                        flags["-w"] = int(d)
+                        if c == "W":
+                            flags["-Wfixed"] = True
+                        j += 1
+                    else:
+                        em("-W argument missing or non-digit")
+                elif c == "l":
+                    sub = a[j + 1:]
+                    valid = (("", "p", "P", "e", "u", "d")
+                             if prog != "geod" else ("", "e", "u"))
+                    if not (sub in valid or sub.startswith("=")):
+                        em(f"invalid list option: l{sub[0]}")
+                    lf = {("-l" + sub) if sub else "-l": True}
+                    if prog == "geod" and "-l" in lf:
+                        lf = {"-le": True}  # bare geod -l (geod.c:176)
+                    _print_listings(lf, stdout)
+                    raise _ListingExit
+                elif c in spec["nxt"]:
+                    if i + 1 >= n:
+                        em(f"missing argument for -{c}")
+                    i += 1
+                    val = argv[i]
+                    if c == "m":
+                        # atof validation (proj.c:366-377)
+                        num = val[2:] if val[:2] in ("1/", "1:") else val
+                        mm = _STRTOD_RE().match(num)
+                        if not (mm and mm.group(0).strip()
+                                and float(mm.group(0)) != 0.0):
+                            em("invalid scale argument")
+                    flags["-" + c] = val
+                else:
+                    em(f"invalid option: -{c}")
+                j += 1
+        elif a.startswith("+"):
+            plus.append(a)
+        else:
+            files.append(a)
+        i += 1
+    return flags, plus, files
+
+
+def _open_inputs(files, stdin, prog, stderr):
+    """Yield (file_name, file_object) for each input; '-' is stdin
+    ('<stdin>' in emess context).  A file that fails to open reports
+    emess(-2, <name>, ...) — the C passes the NAME as the format
+    string (cs2cs.c:420) — and is skipped."""
+    for fname in files or ["-"]:
+        if fname == "-":
+            yield "<stdin>", stdin
+            continue
+        try:
+            f = open(fname)
+        except OSError as exc:
+            emess(-2, fname, prog, stderr, sys_errno=exc.errno)
+            continue
+        try:
+            yield fname, f
+        finally:
+            f.close()
+
+
+_USAGE = {  # exact usage banners (proj.c:44-45, cs2cs.c:52-54, geod.c:21-22)
+    "proj": "usage: %s [ -beEfiIlormsStTvVwW [args] ]"
+            " [ +opts[=arg] ] [ files ]",
+    "cs2cs": "usage: %s [ -eEfIlrstvwW [args] ] [ +opts[=arg] ]\n"
+             "                   [+to [+opts[=arg] [ files ]",
+    "geod": "usage: %s [ -afFIptTwW [args] ] [ +opts[=arg] ] [ files ]",
+}
+
+
+def _usage_exit(prog, stderr):
+    """argc <= 1: print the usage banner to stderr, exit 0
+    (proj.c:254-258, cs2cs.c:177-181, geod.c:136-140)."""
+    print(f"{PJ_RELEASE}\n" + _USAGE[prog] % prog, file=stderr or sys.stderr)
+    return 0
 
 
 def _init_failure(prog, exc, stderr=None, msg=None, rc=3):
@@ -749,7 +854,20 @@ def cs2cs_main(argv=None, stdin=None, stdout=None, stderr=None):
     stdin = stdin or sys.stdin
     stdout = stdout or sys.stdout
     stderr = stderr or sys.stderr
-    flags, from_def, to_def = _split_args(argv)
+    if not argv:
+        return _usage_exit("cs2cs", stderr)
+    try:
+        flags, plus, files = _c_args("cs2cs", argv, stdout, stderr)
+    except _ListingExit:
+        return 0
+    except SystemExit as exc:
+        return exc.code
+    if "+to" in plus:
+        k = plus.index("+to")
+        from_def = " ".join(plus[:k])
+        to_def = " ".join(plus[k + 1:])
+    else:
+        from_def, to_def = " ".join(plus), ""
     if not to_def:
         # no +to: destination = base geographic CRS of source
         # (pj_latlong_from_proj semantics, src/cs2cs.c:357-369)
@@ -768,8 +886,9 @@ def cs2cs_main(argv=None, stdin=None, stdout=None, stderr=None):
         _pr_list(t.src, stdout)
         print(f"{tag} ---- To Coordinate System ----", file=stdout)
         _pr_list(t.dst, stdout)
-    for out in _process_lines(stdin, t, flags, stderr):
-        print(out, file=stdout)
+    for fname, fobj in _open_inputs(files, stdin, "cs2cs", stderr):
+        for out in _process_lines(fobj, t, flags, stderr, fname):
+            print(out, file=stdout)
     return 0
 
 
@@ -841,7 +960,8 @@ def _print_listings(flags, stdout) -> bool:
     return False
 
 
-def _vprocess_lines(lines, t_fwd, t_inv, P, flags, stdout, stderr=None):
+def _vprocess_lines(lines, t_fwd, t_inv, P, flags, stdout,
+                    stderr=None, file_name="<stdin>"):
     """proj -V verbose per-point factor report (src/proj.c:152-244):
     tag passthrough, two-field consume + remainder echo, per-line
     emess(-1) diagnostics to stderr with the '<stdin>, line N' context,
@@ -862,7 +982,7 @@ def _vprocess_lines(lines, t_fwd, t_inv, P, flags, stdout, stderr=None):
     line_no = 0
 
     def err(msg):
-        emess(-1, msg, "proj", stderr, "<stdin>", line_no)
+        emess(-1, msg, "proj", stderr, file_name, line_no)
 
     for line in lines:
         line_no += 1
@@ -1120,21 +1240,33 @@ def _process_proj_binary(stdin, stdout, t, flags, bin_in, bin_out):
     return 0
 
 
-def proj_main(argv=None, stdin=None, stdout=None):
+def proj_main(argv=None, stdin=None, stdout=None, stderr=None):
     argv = sys.argv[1:] if argv is None else argv
     stdin = stdin or sys.stdin
     stdout = stdout or sys.stdout
-    flags, defn, _ = _split_args(argv)
-    if _print_listings(flags, stdout):
+    stderr = stderr or sys.stderr
+    if not argv:
+        return _usage_exit("proj", stderr)
+    try:
+        flags, plus, files = _c_args("proj", argv, stdout, stderr)
+    except _ListingExit:
         return 0
+    except SystemExit as exc:
+        return exc.code
+    defn = " ".join(plus)
     ll = _latlong_from(defn)
     try:
         if "-T" in flags:
+            if files:
+                emess(4, "data files when generating Chebychev"
+                      " prohibited", "proj", stderr)
             return _gen_cheby(flags, defn, stdout)
         if "-I" in flags:
             t = make_transform(defn, ll)
         else:
             t = make_transform(ll, defn)
+    except SystemExit as exc:
+        return exc.code
     except (ValueError, FileNotFoundError) as exc:
         return _init_failure("proj", exc)
     if "-v" in flags or "-V" in flags:
@@ -1152,14 +1284,20 @@ def proj_main(argv=None, stdin=None, stdout=None):
         P = CRS(defn)
         t_fwd = make_transform(ll, defn)
         t_inv = make_transform(defn, ll)
-        _vprocess_lines(stdin, t_fwd, t_inv, P, flags, stdout)
+        for fname, fobj in _open_inputs(files, stdin, "proj", stderr):
+            _vprocess_lines(fobj, t_fwd, t_inv, P, flags, stdout,
+                            stderr, fname)
         return 0
     if "-S" in flags:
         from .crs import CRS
 
-        return _process_S(stdin, t, CRS(defn), flags, "-I" in flags, stdout)
-    for out in _process_proj_lines(stdin, t, flags):
-        print(out, file=stdout)
+        P = CRS(defn)
+        for fname, fobj in _open_inputs(files, stdin, "proj", stderr):
+            _process_S(fobj, t, P, flags, "-I" in flags, stdout)
+        return 0
+    for fname, fobj in _open_inputs(files, stdin, "proj", stderr):
+        for out in _process_proj_lines(fobj, t, flags):
+            print(out, file=stdout)
     return 0
 
 
@@ -1218,14 +1356,16 @@ def geod_main(argv=None, stdin=None, stdout=None):
     argv = sys.argv[1:] if argv is None else argv
     stdin = stdin or sys.stdin
     stdout = stdout or sys.stdout
-    flags, defn, _ = _split_args(argv)
-    if "-le" in flags or "-lu" in flags or "-l" in flags:
-        lf = dict(flags)
-        if "-l" in lf:  # bare geod -l lists ellipsoids (geod.c:176)
-            lf["-le"] = True
-            lf.pop("-l")
-        _print_listings(lf, stdout)
+    stderr = sys.stderr
+    if not argv:
+        return _usage_exit("geod", stderr)
+    try:
+        flags, plus, files = _c_args("geod", argv, stdout, stderr)
+    except _ListingExit:
         return 0
+    except SystemExit as exc:
+        return exc.code
+    defn = " ".join(plus)
     from .crs import UNITS, CRS
     from .kernels.geodesic import geod_direct, geod_inverse
 
@@ -1263,6 +1403,12 @@ def geod_main(argv=None, stdin=None, stdout=None):
         return _geod_pll(lat_deg, lon_deg, ctx)
 
     pl = crs.pl
+    if pl.has("lat_1") and files:
+        try:
+            emess(1, "files specified for arc/geodesic mode",
+                  "geod", stderr)
+        except SystemExit as exc:
+            return exc.code
     if pl.has("lat_1"):
         # line / arc mode (geod_set.c:37-59)
         lat1 = pl.get_r("lat_1") * RAD_TO_DEG
@@ -1278,8 +1424,10 @@ def geod_main(argv=None, stdin=None, stdout=None):
             S = pl.get_f("S", 0.0)
             al12 = pl.get_r("A", 0.0) * RAD_TO_DEG
             if S == 0.0:
-                print("geod: incomplete geodesic/arc info", file=sys.stderr)
-                return 1
+                try:
+                    emess(1, "incomplete geodesic/arc info", "geod", stderr)
+                except SystemExit as exc:
+                    return exc.code
             lo2, la2, a2 = geod_direct(np.array([lon1]), np.array([lat1]),
                                        np.array([al12]), np.array([S]),
                                        a=a, f=f)
@@ -1289,8 +1437,10 @@ def geod_main(argv=None, stdin=None, stdout=None):
         del_S = abs(pl.get_f("del_S", 0.0))
         if n_alpha > 0:
             if del_alpha == 0.0:
-                print("geod: del azimuth == 0", file=sys.stderr)
-                return 1
+                try:
+                    emess(1, "del azimuth == 0", "geod", stderr)
+                except SystemExit as exc:
+                    return exc.code
             # do_arc (geod.c:34-44): sweep azimuth from al12
             print(pll(lat2, lon2), file=stdout)
             azv = al12
@@ -1303,8 +1453,10 @@ def geod_main(argv=None, stdin=None, stdout=None):
             return 0
         n_S = int(S / del_S + 0.5) if del_S else pl.get_i("n_S", 0)
         if n_S <= 0:
-            print("geod: no interval divisor selected", file=sys.stderr)
-            return 1
+            try:
+                emess(1, "no interval divisor selected", "geod", stderr)
+            except SystemExit as exc:
+                return exc.code
         # do_geod (geod.c:46-57): n_S+1 points along the line
         print(pll(lat1, lon1), file=stdout)
         ks = np.arange(1, n_S)
@@ -1318,13 +1470,14 @@ def geod_main(argv=None, stdin=None, stdout=None):
         print(pll(lat2, lon2), file=stdout)
         return 0
 
-    for chunk in _iter_line_chunks(stdin):
-        fast = _fast_geod_chunk(chunk, ctx)
-        if fast is not None:
-            print(fast, file=stdout)
-        else:
-            for out in _slow_geod_lines(chunk, ctx):
-                print(out, file=stdout)
+    for fname, fobj in _open_inputs(files, stdin, "geod", stderr):
+        for chunk in _iter_line_chunks(fobj):
+            fast = _fast_geod_chunk(chunk, ctx)
+            if fast is not None:
+                print(fast, file=stdout)
+            else:
+                for out in _slow_geod_lines(chunk, ctx):
+                    print(out, file=stdout)
     return 0
 
 

@@ -651,6 +651,7 @@ def sweep_vprocess(rng):
 
     # geod: degenerate line consumption (0-fill + verbatim tail echo)
     from proj_ray.cli import geod_main as _geod
+    m_geod = _geod
     gdeg = ["10 20 30 1000", "x y z w", "50 x", "", "5 6",
             "30 40  10 20   tail  sp", "# tag"]
     for extra in ([], ["-I"], ["-f", "%.7f"]):
@@ -665,6 +666,59 @@ def sweep_vprocess(rng):
             import difflib
             print("\n".join(list(difflib.unified_diff(r, g, lineterm=""))[:10]))
         ok &= good
+
+    # run-line argument parsing battery: invalid/combined options,
+    # tag chars, -e sentinel, -m validation, listing exits, file
+    # arguments (missing-file Sys errno), stdin mixing, arc-mode file
+    # prohibition — all three streams + exit code must match
+    import tempfile
+    d = tempfile.mkdtemp(prefix="argbat_")
+    fa = os.path.join(d, "a.txt")
+    fb = os.path.join(d, "b.txt")
+    open(fa, "w").write("2 47\n")
+    open(fb, "w").write("3 48\n")
+    utm31 = ["+proj=utm", "+zone=31", "+ellps=WGS84"]
+    battery = [
+        ("proj", proj_main, ["-Q"] + utm31),
+        ("proj", proj_main, ["-rs"] + utm31),
+        ("proj", proj_main, ["-IE"] + utm31),
+        ("cs2cs", _cs2cs, ["-Q"]),
+        ("geod", m_geod, ["-Q", "+ellps=WGS84"]),
+        ("proj", proj_main, ["-f"]),
+        ("proj", proj_main, ["-m", "0"] + utm31),
+        ("proj", proj_main, ["-m", "1:2.5"] + utm31),
+        ("proj", proj_main, ["-e", "OOPS", "+proj=utm", "+zone=11",
+                             "+ellps=WGS84"]),
+        ("cs2cs", _cs2cs, ["-e", "X X", "+proj=latlong", "+ellps=WGS84",
+                           "+to", "+proj=utm", "+zone=11",
+                           "+ellps=WGS84"]),
+        ("proj", proj_main, ["-lz"]),
+        ("proj", proj_main, ["-le", "-Q"]),
+        ("proj", proj_main, ["-t@"] + utm31),
+        ("geod", m_geod, ["-t"]),
+        ("proj", proj_main, utm31 + [fa, "/nonexistent_file", fb]),
+        ("cs2cs", _cs2cs, ["+proj=latlong", "+ellps=WGS84", "+to"]
+         + utm31 + [fa, "-", fb]),
+        ("geod", m_geod, ["+ellps=WGS84", "+lat_1=10", "+lon_1=20",
+                          "+lat_2=30", "+lon_2=40", "+n_S=2", fa]),
+        ("proj", proj_main, ["-V"] + utm31 + [fa]),
+    ]
+    bat_ok = 0
+    for tool, fn, args in battery:
+        g, ge, grc = run_engine_cli_full(fn, args, ["2 47"])
+        r, re_, rrc = run_ref_full(tool, args, ["2 47"])
+        good = g == r and ge == re_ and (grc or 0) == rrc
+        bat_ok += good
+        if not good:
+            print(f"[FAIL] argbat {tool} {' '.join(args)}: "
+                  f"rc {grc}/{rrc}")
+            import difflib
+            print("\n".join(list(difflib.unified_diff(r, g, lineterm=""))[:8]))
+            print("\n".join(list(difflib.unified_diff(re_, ge, lineterm=""))[:8]))
+            ok = False
+    print(f"[{'OK ' if bat_ok == len(battery) else 'FAIL'}] run-line "
+          f"argument battery: {bat_ok}/{len(battery)} cases byte-identical"
+          " (stdout+stderr+rc)")
 
     # emess init failure: stderr + exit code
     g, ge, grc = run_engine_cli_full(proj_main, ["+proj=nosuchproj"], ["1 1"])
