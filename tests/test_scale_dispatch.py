@@ -186,3 +186,17 @@ def test_segment_p90_matches_numpy_quantile(ray_session):
         expect = int(np.floor(np.quantile(v, 0.9) * 1000.0 + 0.5))
         assert int(row["p90_milli"]) == expect
         assert int(row["n_customers"]) == len(v)
+
+
+def test_embedding_near_dups_paths_agree(ray_session):
+    """Driver-vectorized vs distributed-join branches of
+    embedding_near_dups produce the identical pair set and cosines."""
+    from proj_ray.pipelines.queries import embedding_near_dups
+
+    sf = "/root/testdata/sf0.001"
+    a = _sorted(embedding_near_dups(sf, driver_threshold=10**9).to_pandas(),
+                ["vec_a", "vec_b"])
+    b = _sorted(embedding_near_dups(sf, driver_threshold=0).to_pandas(),
+                ["vec_a", "vec_b"])
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+    assert len(a) > 0
