@@ -200,3 +200,17 @@ def test_embedding_near_dups_paths_agree(ray_session):
                 ["vec_a", "vec_b"])
     pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
     assert len(a) > 0
+
+
+def test_minhash_lsh_candidates_paths_agree(ray_session):
+    """Driver pandas branch vs distributed Count-shuffle branch of
+    minhash_lsh_candidates produce identical partner counts."""
+    from proj_ray.pipelines.queries import minhash_lsh_candidates
+
+    sf = "/root/testdata/sf0.001"
+    a = _sorted(minhash_lsh_candidates(sf, driver_threshold=10**9),
+                ["doc_id"])
+    b = _sorted(minhash_lsh_candidates(sf, driver_threshold=0).to_pandas(),
+                ["doc_id"])
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+    assert len(a) > 0
