@@ -516,3 +516,52 @@ def test_cs2cs_lane_errno_mapping(capsys):
     run(cs2cs_main, ["+proj=latlong", "+ellps=WGS84", "+to", "+proj=lcc",
                      "+lat_1=33", "+lat_2=45", "+ellps=clrk66"], "0 -90\n")
     assert "tolerance condition error" in capsys.readouterr().err
+
+
+def test_run_line_parsing_parity_pins(capsys):
+    """C-exact run-line loop (_c_args): usage banners, combined flags,
+    invalid options, listing exit, -e sentinel, file inputs."""
+    import tempfile
+
+    # no args -> usage banner on stderr, exit 0 (proj.c:254-258)
+    assert proj_main([], stdin=io.StringIO(""), stdout=io.StringIO()) == 0
+    err = capsys.readouterr().err
+    assert err.startswith("Rel. 4.9.1, 04 March 2015\nusage: proj [ -beE")
+
+    # invalid option aborts via emess with rc 1
+    rc = proj_main(["-Q", "+proj=utm", "+zone=31", "+ellps=WGS84"],
+                   stdin=io.StringIO(""), stdout=io.StringIO())
+    assert rc == 1 and "invalid option: -Q" in capsys.readouterr().err
+
+    # combined flags: -rs == -r -s (reversed in AND out)
+    out = run(proj_main, ["-rs", "+proj=utm", "+zone=31", "+ellps=WGS84"],
+              "47 2\n")
+    out2 = run(proj_main, ["-r", "-s", "+proj=utm", "+zone=31",
+                           "+ellps=WGS84"], "47 2\n")
+    assert out == out2 and out[0].split("\t")[0] == "5205649.35"
+
+    # -e replaces the oterr sentinel (proj.c:43, -e at 337-341)
+    out = run(proj_main, ["-e", "NOPE", "+proj=utm", "+zone=11",
+                          "+ellps=WGS84"], "2 47\n")
+    assert out == ["NOPE"]
+
+    # listing exits 0 BEFORE later (invalid) args are seen
+    rc = proj_main(["-le", "-Q"], stdin=io.StringIO(""),
+                   stdout=io.StringIO())
+    assert rc == 0
+
+    # input FILE arguments; '-' mixes stdin; missing file -> Sys errno
+    # line on stderr and the file is skipped (cs2cs.c:415-425)
+    with tempfile.NamedTemporaryFile("w", suffix=".txt",
+                                     delete=False) as f:
+        f.write("2 47\n")
+    out = io.StringIO()
+    rc = cs2cs_main(["+proj=latlong", "+ellps=WGS84", "+to", "+proj=utm",
+                     "+zone=31", "+ellps=WGS84", f.name, "/no/such/file",
+                     "-"], stdin=io.StringIO("3 48\n"), stdout=out)
+    err = capsys.readouterr().err
+    assert rc == 0
+    assert "Sys errno: 2: <system mess. texts unavail.>" in err
+    assert "/no/such/file" in err
+    lines = out.getvalue().splitlines()
+    assert lines[0].startswith("423974.69\t") and len(lines) == 2
