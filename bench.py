@@ -78,6 +78,14 @@ def run_bench():
             res.count()
         qtimes[name] = round(time.perf_counter() - t0, 3)
 
+    # no-Ray host control alongside the numbers: on this hypervisor
+    # vCPU-steal episodes (ceiling < 1.0) inflate every wall time, so
+    # a run's figures are only comparable to BASELINE.md at a similar
+    # ceiling (see the scaling-protocol note there)
+    c8 = _cpu_control(min(8, NUM_CPUS))
+    c_hi = _cpu_control(NUM_CPUS)
+    ceiling = ((NUM_CPUS / c_hi) / (min(8, NUM_CPUS) / c8)) \
+        / (NUM_CPUS / min(8, NUM_CPUS)) if NUM_CPUS > 8 else 1.0
     out = {
         "metric": "end-to-end points geoparsed+transformed+tiled+PIP-joined+aggregated per second",
         "value": round(headline, 3),
@@ -88,6 +96,7 @@ def run_bench():
         "points": int(n_points),
         "points_per_sec": int(n_points / headline),
         "bench_mult": BENCH_MULT,
+        "host_parallel_ceiling": round(ceiling, 3),
     }
     ray.shutdown()
     return out
