@@ -1256,6 +1256,21 @@ def proj_main(argv=None, stdin=None, stdout=None, stderr=None):
     defn = " ".join(plus)
     ll = _latlong_from(defn)
     try:
+        from .crs import CRS as _CRS
+
+        P0 = _CRS(defn)
+    except (ValueError, FileNotFoundError) as exc:
+        return _init_failure("proj", exc)
+    try:
+        if P0.is_latlong:
+            # proj.c:423-427: the filter requires a projected CRS
+            emess(3, "+proj=latlong unsuitable for use with proj"
+                  " program.", "proj", stderr)
+        inv_fn = getattr(P0, "inv", None)
+        if "-I" in flags and (inv_fn is None or getattr(
+                inv_fn, "__name__", "") == "_no_inverse"):
+            # proj.c:430-432 (library pj_inv.c semantics)
+            emess(3, "inverse projection not available", "proj", stderr)
         if "-T" in flags:
             if files:
                 emess(4, "data files when generating Chebychev"

@@ -720,6 +720,16 @@ def sweep_vprocess(rng):
           f"argument battery: {bat_ok}/{len(battery)} cases byte-identical"
           " (stdout+stderr+rc)")
 
+    # latlong-unsuitable + inverse-unavailable aborts
+    for args in (["+proj=latlong", "+datum=NAD27"],
+                 ["-I", "+proj=urm5", "+n=0.9", "+a=6400000"]):
+        g, ge, grc = run_engine_cli_full(proj_main, args, ["2 47"])
+        r, re_, rrc = run_ref_full("proj", args, ["2 47"])
+        good = ge == re_ and (grc or 0) == rrc
+        print(f"[{'OK ' if good else 'FAIL'}] proj abort "
+              f"{' '.join(args)}: rc {grc}/{rrc}")
+        ok &= good
+
     # emess init failure: stderr + exit code
     g, ge, grc = run_engine_cli_full(proj_main, ["+proj=nosuchproj"], ["1 1"])
     r, re_, rrc = run_ref_full("proj", ["+proj=nosuchproj"], ["1 1"])
