@@ -26,6 +26,12 @@ from .kernels.common import DEG_TO_RAD, HALFPI, RAD_TO_DEG
 from .transform import Transform, make_transform
 
 
+def _tag_of(flags) -> str:
+    """The -t column-one tag char (default '#', proj.c:290-293)."""
+    return next((k[2] for k in flags
+                 if k.startswith("-t") and len(k) > 2), "#")
+
+
 def _parse_coord(tok: str) -> float:
     try:
         return dmstor(tok)
@@ -85,6 +91,7 @@ def _slow_proj_lines(lines, transform: Transform, flags):
     src_ll = transform.src.is_latlong
     dst_ll = transform.dst.is_latlong
     two_fields = re.compile(r"\s*\S+\s+\S+")
+    tag = _tag_of(flags)
     fscale = _proj_mscale(flags)
     inverse = "-I" in flags
     prescale = fscale is not None and inverse
@@ -125,7 +132,7 @@ def _slow_proj_lines(lines, transform: Transform, flags):
 
     for line in lines:
         line = line.rstrip("\n")
-        if line[:1] == "#":  # tag passthrough at column 1 (proj.c:78)
+        if line[:1] == tag:  # tag passthrough at column 1 (proj.c:78)
             yield from flush()
             yield line
             continue
@@ -592,6 +599,7 @@ def _slow_lines(lines, transform: Transform, flags, stderr=None,
     z_fmt = eff_fmt or "%.3f"
     two_fields = re.compile(r"\s*\S+\s+\S+")
     znum = _STRTOD_RE()
+    tag = _tag_of(flags)
 
     batch, tails, consumed, lnos = [], [], [], []
 
@@ -642,7 +650,7 @@ def _slow_lines(lines, transform: Transform, flags, stderr=None,
 
     for ln_i, line in enumerate(lines):
         line = line.rstrip("\n")
-        if line[:1] == "#":  # tag passthrough (cs2cs.c:83-86)
+        if line[:1] == tag:  # tag passthrough (cs2cs.c:83-86)
             yield from flush()
             yield line
             continue
@@ -1408,7 +1416,7 @@ def geod_main(argv=None, stdin=None, stdout=None):
                           osform=flags.get("-F", "%.3f"),
                           prec=flags.get("-w", 3),
                           inverse="-I" in flags, fullout="-a" in flags,
-                          pos_azi="-p" in flags,
+                          pos_azi="-p" in flags, tag=_tag_of(flags),
                           wfixed=flags.get("-Wfixed", False))
 
     def az(v_deg):
@@ -1523,7 +1531,7 @@ def _slow_geod_lines(lines, ctx):
     from .kernels.geodesic import geod_direct, geod_inverse
 
     for line in lines:
-        if line[:1] == "#":  # tag passthrough at column 1 (geod.c:72-75)
+        if line[:1] == getattr(ctx, "tag", "#"):  # tag (geod.c:72-75)
             yield line
             continue
         # dmstor consumption per field (geod.c:76-86): garbage / short

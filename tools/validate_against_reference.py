@@ -720,6 +720,23 @@ def sweep_vprocess(rng):
           f"argument battery: {bat_ok}/{len(battery)} cases byte-identical"
           " (stdout+stderr+rc)")
 
+    # custom -t tag passthrough in all three filters
+    tag_lines = ["@ comment kept", "# not a tag anymore", "2 47"]
+    for tool, fn, args in [
+        ("proj", proj_main, ["-t@", "+proj=utm", "+zone=31",
+                             "+ellps=WGS84"]),
+        ("cs2cs", _cs2cs, ["-t@", "+proj=latlong", "+ellps=WGS84",
+                           "+to", "+proj=utm", "+zone=31",
+                           "+ellps=WGS84"]),
+        ("geod", m_geod, ["-t@", "+ellps=WGS84"]),
+    ]:
+        g, _, _ = run_engine_cli_full(fn, args, tag_lines)
+        r, _, _ = run_ref_full(tool, args, tag_lines)
+        good = g == r
+        print(f"[{'OK ' if good else 'FAIL'}] {tool} -t@ custom tag: "
+              f"byte-{'identical' if good else 'DIFF'}")
+        ok &= good
+
     # latlong-unsuitable + inverse-unavailable aborts
     for args in (["+proj=latlong", "+datum=NAD27"],
                  ["-I", "+proj=urm5", "+n=0.9", "+a=6400000"]):
