@@ -22,7 +22,7 @@ import sys
 import numpy as np
 
 from .crs import dmstor, rtodms
-from .kernels.common import DEG_TO_RAD, HALFPI, RAD_TO_DEG
+from .kernels.common import DEG_TO_RAD, HALFPI, PI, RAD_TO_DEG
 from .transform import Transform, make_transform
 
 
@@ -1100,41 +1100,166 @@ def _vprocess_lines(lines, t_fwd, t_inv, P, flags, stdout,
         print("", file=stdout)
 
 
-def _gen_cheby(flags, defn, stdout):
-    """proj -T lon_min,lon_max,lat_min,lat_max[,res[,NU[,NV]]]:
-    Chebyshev surrogate generation (src/proj.c:435-440 + gen_cheb.c).
-    Header/audit format follows gen_cheb; the coefficient dump is a
-    row-major '%d %d / u v c' table rather than p_series' packed text."""
-    from .kernels.cheby import ChebyshevSurrogate
-    from .transform import make_transform
+def _gen_cheby(flags, defn, stdout, stderr=None, argv=None):
+    """proj -T: C-exact gen_cheb port (src/gen_cheb.c + mk_cheby.c
+    family, kernels/mkcheby.py) — same parameter grammar (dmstor
+    forward / strtod inverse, strtol res/NU/NV so '1e-3' reads as 1,
+    ',P' power-series suffix), same header/audit/coefficient-dump
+    bytes as the binary (the run-line argv echo differs only in the
+    program path)."""
+    from .crs import CRS
+    from .kernels.mkcheby import mk_cheby, p_series
+    from .kernels.projections import generic_fwd, generic_inv
 
+    stderr = stderr or sys.stderr
+    inverse = "-I" in flags
     spec = flags["-T"]
-    parts = spec.split(",")
-    if len(parts) < 4:
-        print("proj: null or absent -T parameters", file=sys.stderr)
-        return 1
-    lon_min, lon_max = float(parts[0]), float(parts[1])
-    lat_min, lat_max = float(parts[2]), float(parts[3])
-    res = int(parts[4]) if len(parts) > 4 and parts[4] else -1
-    nu = int(parts[5]) if len(parts) > 5 and parts[5] else 15
-    nv = int(parts[6]) if len(parts) > 6 and parts[6] else 15
-    print("#proj_Chebyshev\n#    run-line:", file=stdout)
+    pos = 0
+    vals = []
+    errin = 0
+
+    def _consume_num(pos):
+        if inverse:
+            m = _STRTOD_RE().match(spec, pos)
+            if m and m.group(0).strip():
+                return float(m.group(0)), m.end()
+            return 0.0, pos
+        # dmstor stops at the ',' separator (not in its grammar):
+        # parse the comma-delimited segment
+        end = spec.find(",", pos)
+        if end < 0:
+            end = len(spec)
+        seg = spec[pos:end]
+        return (_parse_coord(seg) if seg else 0.0), end
+
+    for k in range(4):
+        if k == 0:
+            if pos < len(spec):
+                v, pos = _consume_num(pos)
+                vals.append(v)
+            else:
+                errin += 1
+        else:
+            if pos < len(spec) and spec[pos] == ",":
+                v, pos = _consume_num(pos + 1)
+                vals.append(v)
+            else:
+                errin += 1
+    if errin:
+        try:
+            emess(16, "null or absent -T parameters", "proj", stderr)
+        except SystemExit as exc:
+            return exc.code
+    low_u, upp_u, low_v, upp_v = vals
+    res, nu, nv = -1, 15, 15
+    for name in ("res", "NU", "NV"):
+        if pos < len(spec) and spec[pos] == ",":
+            pos += 1
+            if pos < len(spec) and spec[pos] != ",":
+                m = _re_strtol(spec, pos)
+                if name == "res":
+                    res = m[0]
+                elif name == "NU":
+                    nu = m[0]
+                else:
+                    nv = m[0]
+                pos = m[1]
+        else:
+            break
+    pwr = spec[pos:] == ",P"
+
+    print("#proj_%s\n#    run-line:" % ("Power" if pwr else "Chebyshev"),
+          file=stdout)
+    if argv:
+        # audit of non-'+' argv tokens, wrapped past column 50
+        # (gen_cheb.c:33-44); argv[0] is this program, not the C path
+        n = 0
+        line = ""
+        for arg in ["proj"] + list(argv):
+            if arg.startswith("+"):
+                continue
+            if n == 0:
+                line += "#"
+                n = 1
+            tok = f" {arg}"
+            line += tok
+            n += len(tok)
+            if n > 50:
+                line += "\n"
+                n = 0
+        if n:
+            line += "\n"
+        stdout.write(line)
     print("# projection parameters", file=stdout)
-    print("# " + defn, file=stdout)
-    ll = _latlong_from(defn)
-    t = make_transform(ll, defn)
-    f = lambda lo, la: t(lo, la)[:2]  # noqa: E731
-    sur = ChebyshevSurrogate.fit(
-        f, (lon_min, lon_max, lat_min, lat_max), deg=(nu - 1, nv - 1),
-        tol=(10.0 ** -res if res > 0 else 0.0))
-    err = sur.max_error(f)
-    print("# max approximation error over region: %g" % err, file=stdout)
-    for name, C in (("u", sur.cx), ("v", sur.cy)):
-        nz = np.argwhere(np.abs(C) > 0.0)
-        print("%s %d" % (name, len(nz)), file=stdout)
-        for i, j in nz:
-            print("%d %d %.12g" % (i, j, C[i, j]), file=stdout)
+    P = CRS(defn)
+    _pr_list(P, stdout)
+    try:
+        if low_u == upp_u or low_v >= upp_v:
+            emess(16, "approx. argument range error", "proj", stderr)
+        if low_u > upp_u:
+            low_u -= 2.0 * PI
+        if nu < 2 or nv < 2:
+            emess(16, f"approx. work dimensions ({nu} {nv}) too small",
+                  "proj", stderr)
+    except SystemExit as exc:
+        return exc.code
+
+    fscale = _proj_mscale(flags)
+    prescale = fscale is not None and inverse
+    postscale = fscale is not None and not inverse
+    if prescale:
+        fscale = 1.0 / fscale
+
+    def func(u, v):
+        # int_proj (src/proj.c:51-58): optional -m scale around the
+        # full pj_fwd / pj_inv wrapper
+        if prescale:
+            u, v = u * fscale, v * fscale
+        if inverse:
+            x, y = generic_inv(P, u, v)
+        else:
+            x, y = generic_fwd(P, u, v)
+        if postscale:
+            ok = np.isfinite(x)
+            x = np.where(ok, x * fscale, x)
+            y = np.where(ok, y * fscale, y)
+        return x, y
+
+    T, resid = mk_cheby((low_u, low_v), (upp_u, upp_v),
+                        (10.0 ** res) * 0.5, func, nu, nv, pwr)
+    if T is None:
+        try:
+            emess(16, "generation of approx failed\nreason: %s\n"
+                  % "tolerance condition error", "proj", stderr)
+        except SystemExit as exc:
+            return exc.code
+    print("%c,%.12g,%.12g,%.12g,%.12g,%.12g" % (
+        "I" if inverse else "F", P.lam0 * RAD_TO_DEG,
+        low_u * (1.0 if inverse else RAD_TO_DEG),
+        upp_u * (1.0 if inverse else RAD_TO_DEG),
+        low_v * (1.0 if inverse else RAD_TO_DEG),
+        upp_v * (1.0 if inverse else RAD_TO_DEG)), file=stdout)
+    if pwr:
+        fmt = "%.15g"
+    elif res <= 0:
+        fmt = f"%.{-res + 1}f"
+    else:
+        fmt = "%.0f"
+    p_series(T, fmt, stdout.write)
+    print("# |u,v| sums %g %g\n#end_proj_%s"
+          % (resid[0], resid[1], "Power" if pwr else "Chebyshev"),
+          file=stdout)
     return 0
+
+
+def _re_strtol(s, pos):
+    """C strtol: optional sign + decimal digits; (value, end)."""
+    import re
+
+    m = re.match(r"[+-]?\d+", s[pos:])
+    if not m:
+        return 0, pos
+    return int(m.group(0)), pos + m.end()
 
 
 def _pr_list(P, stdout, oform=None, very_verby=False):
@@ -1152,13 +1277,17 @@ def _pr_list(P, stdout, oform=None, very_verby=False):
 
     def params_pass(not_used):
         # pr_list (src/pj_pr_list.c:7-28): n counts strlen(param)+1
-        # (the printed ' ' but NOT the '+'), wraps when n + l > 72
+        # (the printed ' ' but NOT the '+'), wraps when n + l > 72;
+        # iterates the FULL paralist incl. shadowed duplicates (which
+        # are never marked used)
         flag = False
         n = 1
         line = "#"
-        for k in P.pl.keys():
-            if (k in P.pl.used) == (not not_used):
-                v = P.pl._d[k]
+        entries = getattr(P.pl, "entries", None) or [
+            (k, P.pl._d[k], False) for k in P.pl.keys()]
+        for k, v, shadow in entries:
+            entry_used = (not shadow) and k in P.pl.used
+            if entry_used == (not not_used):
                 param = f"{k}={v}" if v else k
                 l = len(param) + 1
                 if n + l > 72:
@@ -1283,7 +1412,7 @@ def proj_main(argv=None, stdin=None, stdout=None, stderr=None):
             if files:
                 emess(4, "data files when generating Chebychev"
                       " prohibited", "proj", stderr)
-            return _gen_cheby(flags, defn, stdout)
+            return _gen_cheby(flags, defn, stdout, stderr, argv)
         if "-I" in flags:
             t = make_transform(defn, ll)
         else:

@@ -416,6 +416,12 @@ class ParamList:
     def __init__(self):
         self._d: dict = {}
         self.used: set = set()
+        # full append-order record incl. SHADOWED duplicates: the C
+        # paralist keeps later same-name entries (first-match lookup
+        # never touches them, so pr_list shows them as NOT used) and
+        # drops only an exact name=value repeat (get_opt's full-string
+        # existence test, src/pj_init.c:186-201)
+        self.entries: list = []
 
     def append(self, token: str):
         if "=" in token:
@@ -424,6 +430,9 @@ class ParamList:
             k, v = token, ""
         if k not in self._d:
             self._d[k] = v
+            self.entries.append((k, v, False))
+        elif self._d[k] != v:
+            self.entries.append((k, v, True))  # shadowed duplicate
 
     def has(self, key: str) -> bool:
         if key in self._d:
@@ -543,13 +552,15 @@ class CRS:
         # suppressed when any earth-model param is already present
         # (get_opt "don't default ellipse", src/pj_init.c:188-201)
         if not pl.get_b("no_defs"):
-            for tok in PROJ_DEFAULTS.get(name, []):
-                pl.append(tok)
+            # get_defaults reads the general section FIRST, then the
+            # per-projection section (src/pj_init.c:228-231)
             has_earth = any(k in pl.keys()
                             for k in ("datum", "ellps", "a", "b", "rf", "f"))
             for tok in GENERAL_DEFAULTS:
                 if tok.startswith("ellps=") and has_earth:
                     continue
+                pl.append(tok)
+            for tok in PROJ_DEFAULTS.get(name, []):
                 pl.append(tok)
 
         self.pl = pl

@@ -156,17 +156,61 @@ def test_proj_listings():
 
 
 def test_proj_T_chebyshev():
-    """-T emits a Chebyshev coefficient dump whose recorded max error
-    meets the requested 10^-res resolution (gen_cheb role)."""
+    """-T emits the gen_cheb/p_series dump (src/gen_cheb.c): header,
+    audit line, pr_list block, the F-line, packed coefficient rows
+    and the residual-sums trailer.  The coefficients themselves
+    reconstruct the projection to the requested resolution."""
     lines = run(proj_main,
                 ["+proj=utm", "+zone=31", "+ellps=WGS84",
-                 "-T", "0,6,40,50,8,12,12"], "")
+                 "-T", "0,6,40,50,-3,12,12"], "")
     assert lines[0] == "#proj_Chebyshev"
-    err = float([ln for ln in lines if "max approximation error" in ln][0]
-                .split(":")[1])
-    assert err < 1e-2  # sub-cm over a UTM zone at degree 11
-    assert any(ln.startswith("u ") for ln in lines)
-    assert any(ln.startswith("v ") for ln in lines)
+    assert lines[1] == "#    run-line:"
+    assert lines[2].startswith("# proj -T")
+    fline = next(ln for ln in lines if ln.startswith("F,"))
+    assert fline == "F,3,0,6,40,50"
+    assert any(ln.startswith("u: ") for ln in lines)
+    assert any(ln.startswith("v: ") for ln in lines)
+    assert lines[-1] == "#end_proj_Chebyshev"
+    sums = next(ln for ln in lines if ln.startswith("# |u,v| sums"))
+    su, sv = (float(t) for t in sums.split()[3:5])
+    # residual below the requested half-resolution 10^-3 * 0.5
+    assert abs(su) < 5e-4 and abs(sv) < 5e-4
+
+    # Chebyshev reconstruction check: evaluate the dumped series at a
+    # midpoint and compare against the real transform
+    import re
+
+    import numpy as np
+
+    from proj_ray.transform import make_transform
+
+    rows = {"u": {}, "v": {}}
+    cur = None
+    for ln in lines:
+        m = re.match(r"([uv]): \d+$", ln)
+        if m:
+            cur = m.group(1)
+            continue
+        if cur and re.match(r"\d+ \d+", ln):
+            toks = ln.split()
+            rows[cur][int(toks[0])] = [float(x) for x in toks[2:]]
+    def cheb_eval(coef_rows, x, y):
+        # x, y normalized to [-1, 1]
+        total = 0.0
+        for i, cs in coef_rows.items():
+            ti = np.cos(i * np.arccos(x)) * (0.5 if i == 0 else 1.0)
+            for j, c in enumerate(cs):
+                tj = np.cos(j * np.arccos(y)) * (0.5 if j == 0 else 1.0)
+                total += c * ti * tj
+        return total
+    lon, lat = 2.5, 46.0
+    xn = (lon - 3.0) / 3.0
+    yn = (lat - 45.0) / 5.0
+    t = make_transform("+proj=latlong +ellps=WGS84",
+                       "+proj=utm +zone=31 +ellps=WGS84")
+    X, Y, _ = t(np.array([lon]), np.array([lat]))
+    assert abs(cheb_eval(rows["u"], xn, yn) - X[0]) < 0.5
+    assert abs(cheb_eval(rows["v"], xn, yn) - Y[0]) < 0.5
 
 
 def test_proj_v_monitor():

@@ -737,6 +737,56 @@ def sweep_vprocess(rng):
               f"byte-{'identical' if good else 'DIFF'}")
         ok &= good
 
+    # -T Chebyshev/Power generation: byte-identical except the
+    # run-line argv echo (contains the C binary's path) and the
+    # residual-sums trailer (sum of ~100 below-threshold |coefs| —
+    # ulp-level projection differences accumulate there; the printed
+    # coefficient TABLE itself must match byte-for-byte)
+    cheb_cases = [
+        (["-T", "-30,30,40,60,1e-3"], ["+proj=utm", "+zone=33",
+                                       "+ellps=WGS84"]),
+        (["-T", "-30,30,40,60,1e-3,10,12,P"], ["+proj=utm", "+zone=33",
+                                               "+ellps=WGS84"]),
+        (["-T", "5,15,45,55,-4"], ["+proj=lcc", "+lat_1=49",
+                                   "+lat_2=51", "+ellps=clrk66"]),
+        (["-T", "160,-160,-10,10"], ["+proj=merc", "+lon_0=180",
+                                     "+ellps=WGS84"]),
+        (["-I", "-T", "100000,900000,4400000,6600000,2"],
+         ["+proj=utm", "+zone=33", "+ellps=WGS84"]),
+        (["-T", "0,20,30,60,0,20,20"], ["+proj=moll", "+a=6371000"]),
+    ]
+    for targs, tdef in cheb_cases:
+        g, _, _ = run_engine_cli_full(proj_main, targs + tdef, [""])
+        r, _, _ = run_ref_full("proj", targs + tdef, [""])
+        def _norm(ls):
+            out = []
+            for i, l in enumerate(ls):
+                if i == 2 and l.startswith("# "):
+                    continue  # run-line argv echo
+                if l.startswith("# |u,v| sums"):
+                    continue  # checked with tolerance below
+                out.append(l)
+            return out
+        good = _norm(g) == _norm(r)
+        if good:
+            gs = [l for l in g if l.startswith("# |u,v| sums")]
+            rs = [l for l in r if l.startswith("# |u,v| sums")]
+            try:
+                gv = [float(t) for t in gs[0].split()[3:5]]
+                rv = [float(t) for t in rs[0].split()[3:5]]
+                good = all(abs(x - y) <= 1e-3 * max(abs(y), 1e-30)
+                           or abs(x - y) < 1e-9
+                           for x, y in zip(gv, rv))
+            except (IndexError, ValueError):
+                good = False
+        print(f"[{'OK ' if good else 'FAIL'}] proj "
+              f"{' '.join(targs)} {tdef[0]}: coefficient dump "
+              f"byte-{'identical' if good else 'DIFF'}")
+        if not good:
+            import difflib
+            print("\n".join(list(difflib.unified_diff(r, g, lineterm=""))[:10]))
+        ok &= good
+
     # latlong-unsuitable + inverse-unavailable aborts
     for args in (["+proj=latlong", "+datum=NAD27"],
                  ["-I", "+proj=urm5", "+n=0.9", "+a=6400000"]):
