@@ -26,6 +26,48 @@ from .kernels.common import DEG_TO_RAD, HALFPI, PI, RAD_TO_DEG
 from .transform import Transform, make_transform
 
 
+class _PjFwdFilter:
+    """The plain proj program's transform: raw pj_fwd / pj_inv
+    (src/proj.c:429-434) — NOT pj_transform.  No geocentric
+    conversion (geocent stays the identity pseudo-projection, scaled
+    by a), no axis denormalization, no datum step.  Presents the
+    minimal Transform surface the filter paths use."""
+
+    def __init__(self, P, inverse):
+        from types import SimpleNamespace
+
+        self.P = P
+        self.inverse = inverse
+        self.src = SimpleNamespace(is_latlong=not inverse)
+        self.dst = SimpleNamespace(is_latlong=bool(inverse))
+
+    def __call__(self, u, v, z=None):
+        import warnings
+
+        from .kernels.projections import generic_fwd, generic_inv
+
+        u = np.asarray(u, dtype=np.float64)
+        v = np.asarray(v, dtype=np.float64)
+        with np.errstate(all="ignore"), warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            if self.inverse:
+                lam, phi = generic_inv(self.P, u, v)
+                x, y = lam * RAD_TO_DEG, phi * RAD_TO_DEG
+            else:
+                x, y = generic_fwd(self.P, u * DEG_TO_RAD, v * DEG_TO_RAD)
+        if z is None:
+            z = np.zeros_like(x)
+        return x, y, z
+
+
+def _c_float_str(v, fmt):
+    """C printf for one double: glibc prints 'nan'/'-nan' (sign bit
+    kept) and 'inf'/'-inf'; Python's %-format drops the nan sign."""
+    if np.isnan(v):
+        return "-nan" if np.signbit(v) else "nan"
+    return fmt % v
+
+
 def _tag_of(flags) -> str:
     """The -t column-one tag char (default '#', proj.c:290-293)."""
     return next((k[2] for k in flags
@@ -112,9 +154,12 @@ def _slow_proj_lines(lines, transform: Transform, flags):
         if postscale:
             x, y = x * fscale, y * fscale
         for i in range(len(batch)):
-            if not (np.isfinite(x[i]) and np.isfinite(y[i])):
+            if x[i] == np.inf:
+                # oterr fires on data.u == HUGE_VAL ONLY (proj.c:115);
+                # nan / -inf lanes print through printf like the C
                 body = flags.get("-e", "*\t*")
-            elif dst_ll and fmt is None:
+            elif dst_ll and fmt is None and np.isfinite(x[i]) \
+                    and np.isfinite(y[i]):
                 prec = flags.get("-w", 3)
                 fx = flags.get("-Wfixed", False)
                 ox = rtodms(x[i] * DEG_TO_RAD, "E", "W", prec, fx)
@@ -122,7 +167,8 @@ def _slow_proj_lines(lines, transform: Transform, flags):
                 body = f"{oy}\t{ox}" if rev_out else f"{ox}\t{oy}"
             else:
                 f = fmt or "%.2f"
-                ox, oy = f % x[i], f % y[i]
+                ox = _c_float_str(x[i], f)
+                oy = _c_float_str(y[i], f)
                 body = f"{oy}\t{ox}" if rev_out else f"{ox}\t{oy}"
             pre = consumed[i] + "\t" if echo else ""
             yield pre + body + tails[i]
@@ -406,7 +452,14 @@ def _fast_proj_chunk(chunk, transform: Transform, flags):
     x, y, _z = transform(va, vb, np.zeros(va.shape[0]))
     if fscale is not None and not inverse:
         x, y = x * fscale, y * fscale
-    ok = np.isfinite(x) & np.isfinite(y)
+    # oterr fires ONLY on x == +HUGE_VAL (proj.c:115); nan / -inf
+    # lanes print through printf with the C's sign handling — rare
+    # (degenerate projection constants), so route them per-line
+    weird = (np.isnan(x) | np.isnan(y) | (x == -np.inf)
+             | ((x != np.inf) & np.isinf(y)))
+    if bool(weird.any()):
+        return None
+    ok = x != np.inf
     n = x.shape[0]
     allv = np.concatenate([np.where(ok, x, 0.0), np.where(ok, y, 0.0)])
     import re as _re
@@ -1413,10 +1466,9 @@ def proj_main(argv=None, stdin=None, stdout=None, stderr=None):
                 emess(4, "data files when generating Chebychev"
                       " prohibited", "proj", stderr)
             return _gen_cheby(flags, defn, stdout, stderr, argv)
-        if "-I" in flags:
-            t = make_transform(defn, ll)
-        else:
-            t = make_transform(ll, defn)
+        # the plain proj program maps through raw pj_fwd/pj_inv
+        # (proj.c:429-434) — no pj_transform datum/geocent/axis logic
+        t = _PjFwdFilter(P0, "-I" in flags)
     except SystemExit as exc:
         return exc.code
     except (ValueError, FileNotFoundError) as exc:
@@ -1434,8 +1486,8 @@ def proj_main(argv=None, stdin=None, stdout=None, stderr=None):
         from .crs import CRS
 
         P = CRS(defn)
-        t_fwd = make_transform(ll, defn)
-        t_inv = make_transform(defn, ll)
+        t_fwd = _PjFwdFilter(P, False)
+        t_inv = _PjFwdFilter(P, True)
         for fname, fobj in _open_inputs(files, stdin, "proj", stderr):
             _vprocess_lines(fobj, t_fwd, t_inv, P, flags, stdout,
                             stderr, fname)

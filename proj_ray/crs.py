@@ -26,6 +26,24 @@ from __future__ import annotations
 import math
 import os
 
+
+def _c_sqrt(x: float) -> float:
+    """C sqrt: negative input yields NaN silently (no Python
+    ValueError) — degenerate ellipse parameters (+es=2) must leave
+    init 'successful' with NaN constants like the reference."""
+    import numpy as np
+
+    with np.errstate(invalid="ignore"):
+        return float(np.sqrt(x))
+
+
+def _c_div(a: float, b: float) -> float:
+    """C double division: x/0 is inf, not ZeroDivisionError."""
+    import numpy as np
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return float(np.float64(a) / np.float64(b))
+
 from .kernels.common import DMS_DEG, DMS_MIN, DMS_SEC, SEC_TO_RAD
 
 # ---------------------------------------------------------------------------
@@ -579,7 +597,7 @@ class CRS:
         self.a, self.es = self._ell_set(pl)
         self.a_orig = self.a
         self.es_orig = self.es
-        self.e = math.sqrt(self.es)
+        self.e = _c_sqrt(self.es)
         self.ra = 1.0 / self.a
         self.one_es = 1.0 - self.es
         if self.one_es == 0.0:
@@ -633,10 +651,24 @@ class CRS:
         if pm is not None:
             value = PRIME_MERIDIANS.get(pm)
             if value is None:
-                try:
-                    self.from_greenwich = dmstor(pm)
-                except ValueError:
-                    raise ValueError(f"unknown prime meridian {pm!r} (-46)")
+                # accepted as a literal angle only when dmstor consumes
+                # the WHOLE token to a nonzero value, or it starts with
+                # '0' (src/pj_init.c:600-604); otherwise errno -46
+                import re as _re
+
+                ok = False
+                if _re.match(r"[+-]?[0-9.]", pm) and _re.fullmatch(
+                        r"[+-]?[0-9.dD'\"rR]+[NnSsEeWw]?", pm):
+                    try:
+                        ok = dmstor(pm) != 0.0 or pm[:1] == "0"
+                    except (ValueError, IndexError):
+                        ok = False
+                elif pm[:1] == "0":
+                    ok = True
+                if not ok:
+                    raise ValueError(
+                        "unknown prime meridian conversion id (-46)")
+                self.from_greenwich = dmstor(pm)
             else:
                 self.from_greenwich = dmstor(value)
         else:
@@ -645,7 +677,17 @@ class CRS:
         # projection-specific setup installs fwd/inv
         self.fwd = None
         self.inv = None
-        setup(self)
+        # the C runs setups with IEEE non-stop arithmetic: degenerate
+        # parameters (e.g. urm5 without +n) produce inf/nan constants
+        # silently and init "succeeds" — match that (no warnings, no
+        # Python ZeroDivisionError surfacing as a different error)
+        import warnings
+
+        import numpy as np
+
+        with np.errstate(all="ignore"), warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            setup(self)
 
     # -- pj_param-style accessors used by setup functions ---------------
     def param_t(self, key):
@@ -757,7 +799,7 @@ class CRS:
                 b = get("b")
                 es = 1.0 - (b * b) / (a * a)
             if not b:
-                b = a * math.sqrt(1.0 - es)
+                b = a * _c_sqrt(1.0 - es)
 
             SIXTH = 0.1666666666666666667
             RA4 = 0.04722222222222222222
@@ -774,7 +816,7 @@ class CRS:
                 a = 0.5 * (a + b)
                 es = 0.0
             elif pl.get_b("R_g"):
-                a = math.sqrt(a * b)
+                a = _c_sqrt(a * b)
                 es = 0.0
             elif pl.get_b("R_h"):
                 a = 2.0 * a * b / (a + b)
@@ -785,8 +827,8 @@ class CRS:
                 if abs(tmp) > math.pi / 2:
                     raise ValueError("|R_lat| > 90 (-11)")
                 tmp = 1.0 - es * tmp * tmp
-                a *= (0.5 * (1.0 - es + tmp) / (tmp * math.sqrt(tmp)) if arith
-                      else math.sqrt(1.0 - es) / tmp)
+                a *= (0.5 * (1.0 - es + tmp) / (tmp * _c_sqrt(tmp)) if arith
+                      else _c_sqrt(1.0 - es) / tmp)
                 es = 0.0
         if es < 0.0:
             raise ValueError("es < 0 (-12)")
@@ -808,10 +850,10 @@ class CRS:
         if s is not None:
             if "/" in s:
                 num, den = s.split("/", 1)
-                to_meter = float(num) / float(den)
+                to_meter = _c_div(float(num), float(den))
             else:
                 to_meter = float(s)
-            return to_meter, 1.0 / to_meter
+            return to_meter, _c_div(1.0, to_meter)
         if default is not None:
             return default
         return 1.0, 1.0

@@ -61,11 +61,19 @@ PJ_ERR_LIST = {
     -49: "invalid sweep axis, choose x or y",
 }
 
-_CODE_RE = re.compile(r"\((-\d+)\)")
+# trailing (-NN) or (NN) code; the reference has two setups
+# (PJ_lcca.c:57-58) that pass POSITIVE codes to E_ERROR
+_CODE_RE = re.compile(r"\((-?\d+)\)")
 
 
 def pj_strerrno(err: int) -> str:
-    """src/pj_strerrno.c: message for a pj_errno code."""
+    """src/pj_strerrno.c: message for a pj_errno code.  Positive codes
+    are system errnos; this build has no NLS message list, so the C
+    prints 'no system list, errno: %d\\n' — trailing newline included
+    (the note buffer keeps it, visible as a blank line in emess
+    output)."""
+    if err > 0:
+        return f"no system list, errno: {err}\n"
     if err in PJ_ERR_LIST:
         return PJ_ERR_LIST[err]
     return f"invalid projection system error ({err})"

@@ -746,7 +746,8 @@ def setup_urm5(P):
     alpha = P.param_r("alpha")
     t = n * np.sin(alpha)
     m = float(np.cos(alpha) / np.sqrt(1.0 - t * t))
-    rmn = 1.0 / (m * n)
+    # C float division: n = 0 (param absent) yields inf, not a raise
+    rmn = float(np.float64(1.0) / np.float64(m * n))
 
     def fwd(lam, phi):
         th = aasin(n * np.sin(phi))

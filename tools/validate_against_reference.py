@@ -534,6 +534,92 @@ def _check_v_lines(name, got, ref):
     return True
 
 
+_INIT_CASES = [
+    # per-projection E_ERROR validation paths + ellipse/unit/pm
+    # degeneracies; the reference accepts some quietly (NaN/inf
+    # constants, e.g. +es=2, +to_meter=0) and aborts on others —
+    # both behaviors must match byte-for-byte including the cause
+    "+proj=lcc +lat_1=30 +lat_2=-30 +ellps=WGS84",
+    "+proj=aea +lat_1=30 +lat_2=-30 +ellps=WGS84",
+    "+proj=utm +zone=0 +ellps=WGS84",
+    "+proj=utm +zone=61 +ellps=WGS84",
+    "+proj=utm +lon_0=500 +ellps=WGS84",
+    "+proj=tmerc +k=0 +ellps=WGS84",
+    "+proj=tmerc +k=-3 +ellps=WGS84",
+    "+proj=merc +lat_ts=91 +ellps=WGS84",
+    "+proj=eqdc +lat_1=10 +lat_2=-10 +ellps=WGS84",
+    "+proj=stere +lat_ts=30 +lat_0=90 +ellps=WGS84",
+    "+proj=omerc +lat_1=10 +lat_2=10 +lon_1=0 +lon_2=0 +ellps=WGS84",
+    "+proj=geos +h=0 +ellps=WGS84",
+    "+proj=nzmg +ellps=WGS84",
+    "+proj=ob_tran +ellps=WGS84",
+    "+proj=ob_tran +o_proj=moll +o_lat_p=45 +o_lon_p=0 +ellps=WGS84",
+    "+proj=lagrng +W=0 +a=6371000",
+    "+proj=bonne +ellps=WGS84",
+    "+proj=chamb +lat_1=10 +lon_1=0 +lat_2=20 +lon_2=10 +lat_3=30"
+    " +lon_3=20 +a=6371000",
+    "+proj=airy +lat_b=90 +a=6371000",
+    "+proj=gn_sinu +a=6371000",
+    "+proj=urmfps +n=0.2 +a=6371000",
+    "+proj=urmfps +a=6371000",
+    "+proj=oea +m=0 +n=0 +a=6371000",
+    "+proj=hammer +W=0 +a=6371000",
+    "+ellps=nosuchellipse +proj=tmerc",
+    "+proj=tmerc +a=-10",
+    "+proj=tmerc +es=2",
+    "+proj=lsat +lsat=9 +path=1 +ellps=WGS84",
+    "+proj=lsat +lsat=1 +path=0 +ellps=WGS84",
+    "+proj=tpeqd +lat_1=10 +lat_2=10 +lon_1=0 +lon_2=0 +a=6371000",
+    "+proj=imw_p +lat_1=30 +lat_2=30 +ellps=WGS84",
+    "+proj=wag3 +lat_ts=100 +a=6371000",
+    "+proj=tmerc +units=nosuchunit +ellps=WGS84",
+    "+proj=tmerc +to_meter=0 +ellps=WGS84",
+    "+proj=tmerc +to_meter=1/0.3048 +ellps=WGS84",
+    "+proj=tmerc +pm=nosuchpm +ellps=WGS84",
+    "+proj=tmerc +pm=7d30 +ellps=WGS84",
+    "+proj=tmerc +pm=paris +ellps=WGS84",
+    "+proj=tmerc +pm=0 +ellps=WGS84",
+]
+
+
+def sweep_init():
+    """Init-semantics differential: every pj_list head's MINIMAL
+    definition (defaults applied) plus the hand-picked invalid /
+    degenerate parameter battery, through `proj -v` — stdout, stderr
+    (the emess cause line) and exit code must all match."""
+    from proj_ray.cli import proj_main
+    from proj_ray.kernels.descr import PJ_LIST
+
+    import contextlib
+    import io
+
+    ok = True
+    bad = []
+    for defn in [f"+proj={pid}" for pid in PJ_LIST] + _INIT_CASES:
+        args = ["-v"] + defn.split()
+        # truly EMPTY stdin: this differential isolates INIT (a blank
+        # line would flow through the filter and test fwd instead)
+        out, err = io.StringIO(), io.StringIO()
+        with contextlib.redirect_stderr(err):
+            grc = proj_main(args, stdin=io.StringIO(""), stdout=out)
+        g, ge = out.getvalue().splitlines(), err.getvalue().splitlines()
+        pr = subprocess.run([os.path.join(BUILD, "src", "proj")] + args,
+                            input="", text=True, capture_output=True,
+                            env=ENV)
+        r, re_, rrc = (pr.stdout.splitlines(), pr.stderr.splitlines(),
+                       pr.returncode)
+        if g != r or ge != re_ or (grc or 0) != rrc:
+            bad.append(defn)
+    n = len(PJ_LIST) + len(_INIT_CASES)
+    good = not bad
+    print(f"[{'OK ' if good else 'FAIL'}] init differential: "
+          f"{n - len(bad)}/{n} definitions byte-identical "
+          "(stdout+stderr+rc)")
+    for b in bad[:10]:
+        print("  DIVERGES:", b)
+    return ok and good
+
+
 def sweep_vprocess(rng):
     """proj -V / -S / listings / emess differentials vs the binary."""
     from proj_ray.cli import proj_main
@@ -787,6 +873,16 @@ def sweep_vprocess(rng):
             print("\n".join(list(difflib.unified_diff(r, g, lineterm=""))[:10]))
         ok &= good
 
+    # plain proj uses RAW pj_fwd (no pj_transform): geocent stays the
+    # identity pseudo-projection scaled by a (proj.c:429-434)
+    g, _, _ = run_engine_cli_full(proj_main, ["+proj=geocent"],
+                                  ["2 47", "0 0"])
+    r, _, _ = run_ref_full("proj", ["+proj=geocent"], ["2 47", "0 0"])
+    good = g == r
+    print(f"[{'OK ' if good else 'FAIL'}] proj +proj=geocent raw-fwd "
+          f"semantics: byte-{'identical' if good else 'DIFF'}")
+    ok &= good
+
     # latlong-unsuitable + inverse-unavailable aborts
     for args in (["+proj=latlong", "+datum=NAD27"],
                  ["-I", "+proj=urm5", "+n=0.9", "+a=6400000"]):
@@ -963,6 +1059,7 @@ def main():
     ok &= sweep_projections(rng, make_transform)
     ok &= sweep_inverse(rng, make_transform)
     ok &= sweep_vprocess(rng)
+    ok &= sweep_init()
 
     print("ALL OK" if ok else "MISMATCHES FOUND")
     return 0 if ok else 1
