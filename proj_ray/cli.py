@@ -568,6 +568,11 @@ def _pj_transform_lane_errno(transform: Transform, lon_d, lat_d):
                                            - dst.lam0]))[0])
             if dlam < -HALFPI or dlam > HALFPI:
                 return -14
+    # deferred grid-load failure (lazy C semantics): the datum /
+    # vgrid step poisoned the lane with the recorded errno
+    le = getattr(transform, "lane_errno", None)
+    if le is not None:
+        return le
     return -20
 
 
@@ -933,8 +938,23 @@ def cs2cs_main(argv=None, stdin=None, stdout=None, stderr=None):
         # no +to: destination = base geographic CRS of source
         # (pj_latlong_from_proj semantics, src/cs2cs.c:357-369)
         to_def = _latlong_from(from_def)
-    if "-I" in flags:  # inverse: swap source and destination (cs2cs -I)
+
+    if "-I" in flags:
+        # inverse reverses the argv lists BEFORE init (cs2cs.c:321-324)
         from_def, to_def = to_def, from_def
+    # per-side init so a failure attributes its side: the C prints
+    # 'Using from/to definition: <args>' to STDOUT before the emess
+    # abort (cs2cs.c:346-388)
+    from .crs import CRS as _CRS
+    for side, sdef in (("from", from_def), ("to", to_def)):
+        try:
+            _CRS(sdef)
+        except (ValueError, FileNotFoundError) as exc:
+            args_txt = " ".join(tok.lstrip("+") for tok in sdef.split())
+            print(f"Using {side} definition: " + (args_txt + " "
+                                                  if args_txt else ""),
+                  file=stdout)
+            return _init_failure("cs2cs", exc)
     try:
         t = make_transform(from_def, to_def)
     except (ValueError, FileNotFoundError) as exc:

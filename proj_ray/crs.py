@@ -281,6 +281,13 @@ def init_db_lookup(fname: str, key: str) -> str | None:
     return _INIT_DB.get((fname, key))
 
 
+def init_db_has_file(fname: str) -> bool:
+    """Whether the bundled DB carries the named init file at all (the
+    pj_open_lib existence question, distinct from key lookup)."""
+    init_db_lookup("epsg", "4326")  # ensure loaded
+    return any(f == fname for f, _ in _INIT_DB)
+
+
 def read_init_file(path: str, section: str) -> str | None:
     """Keyed init-file lookup (src/pj_init.c get_init/get_opt:97-291).
 
@@ -537,6 +544,17 @@ class CRS:
             if defn_str is None and fname == "epsg":
                 defn_str = EPSG_INIT.get(key)
             if defn_str is None:
+                file_known = init_db_has_file(fname) or fname == "epsg"
+                if proj_lib and os.path.isfile(
+                        os.path.join(proj_lib, fname)):
+                    file_known = True
+                if not file_known:
+                    # pj_open_lib fopen failure leaves the POSITIVE
+                    # system errno: 'no system list, errno: 2'
+                    import errno as _errno
+
+                    raise FileNotFoundError(
+                        _errno.ENOENT, f"init file {fname!r} (2)")
                 raise ValueError(f"unknown init key {init!r} (-2)")
             for tok in _parse_tokens(defn_str):
                 pl.append(tok)

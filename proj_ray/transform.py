@@ -106,7 +106,13 @@ def _load_catalog(catalog_name, grid_loader=None):
         if proj_lib and os.path.isfile(os.path.join(proj_lib, catalog_name)):
             path = os.path.join(proj_lib, catalog_name)
         else:
-            raise FileNotFoundError(f"grid catalog {catalog_name!r} (-38)")
+            # the C's pj_gc_readcatalog fails on the raw fopen and
+            # leaves the POSITIVE system errno (ENOENT) in pj_errno —
+            # pj_strerrno then prints 'no system list, errno: 2'
+            import errno as _errno
+
+            raise FileNotFoundError(
+                _errno.ENOENT, f"grid catalog {catalog_name!r} (2)")
     base = os.path.dirname(os.path.abspath(path))
     loader = grid_loader or (lambda name: read_any_grid(os.path.join(base, name))[0])
     return read_catalog_csv(path, loader)
@@ -162,23 +168,66 @@ class Transform:
         # back to pj_open_lib-style PROJ_LIB resolution
         vgrid_loader = vgrid_loader or grid_loader or default_grid_loader
         grid_loader = grid_loader or default_grid_loader
-        if self.src.datum_type == PJD_GRIDSHIFT:
+        # the C loads grids LAZILY at the first transform
+        # (pj_apply_gridshift.c / pj_gridlist.c): a same-datum pipeline
+        # never loads them at all, and a missing mandatory grid fails
+        # PER POINT with errno -38, not at init.  We still load once
+        # here (the actor-__init__ model), but (a) skip loading when
+        # the datum step is elided and (b) DEFER a load failure into
+        # lane_errno — every lane of the failing step goes HUGE and
+        # the CLI reports 'pj_transform(): <cause>' per line.
+        self.lane_errno = None
+        self._h_fail = self._v_fail = False
+
+        def _lazy(load):
+            try:
+                return load(), False
+            except (ValueError, FileNotFoundError, OSError) as exc:
+                from .errors import errno_from_exception
+
+                if self.lane_errno is None:
+                    code = errno_from_exception(exc)
+                    if code is None and isinstance(exc, OSError) \
+                            and exc.errno:
+                        # a raw open() failure keeps the POSITIVE
+                        # system errno (the C's catalog path)
+                        code = exc.errno
+                    self.lane_errno = code or -38
+                return None, True
+
+        elide = (self.src.datum_type == PJD_UNKNOWN
+                 or self.dst.datum_type == PJD_UNKNOWN
+                 or self.src.same_datum(self.dst))
+        if not elide and self.src.datum_type == PJD_GRIDSHIFT:
             if getattr(self.src, "catalog_name", None):
-                self._src_catalog = _load_catalog(self.src.catalog_name, grid_loader)
+                self._src_catalog, f = _lazy(
+                    lambda: _load_catalog(self.src.catalog_name, grid_loader))
             else:
-                self._src_grids = gridlist_from_nadgrids(self.src.nadgrids, grid_loader)
-        if self.dst.datum_type == PJD_GRIDSHIFT:
+                self._src_grids, f = _lazy(
+                    lambda: gridlist_from_nadgrids(self.src.nadgrids,
+                                                   grid_loader))
+            self._h_fail |= f
+        if not elide and self.dst.datum_type == PJD_GRIDSHIFT:
             if getattr(self.dst, "catalog_name", None):
-                self._dst_catalog = _load_catalog(self.dst.catalog_name, grid_loader)
+                self._dst_catalog, f = _lazy(
+                    lambda: _load_catalog(self.dst.catalog_name, grid_loader))
             else:
-                self._dst_grids = gridlist_from_nadgrids(self.dst.nadgrids, grid_loader)
-        # vertical geoid grids (+geoidgrids, steps 5/7 of pj_transform)
+                self._dst_grids, f = _lazy(
+                    lambda: gridlist_from_nadgrids(self.dst.nadgrids,
+                                                   grid_loader))
+            self._h_fail |= f
+        # vertical geoid grids (+geoidgrids, steps 5/7 of pj_transform;
+        # never elided — both steps always run when configured)
         self._src_vgrids = self._dst_vgrids = None
         vloader = vgrid_loader or grid_loader
         if getattr(self.src, "has_geoid_vgrids", False):
-            self._src_vgrids = gridlist_from_nadgrids(self.src.geoidgrids, vloader)
+            self._src_vgrids, f = _lazy(
+                lambda: gridlist_from_nadgrids(self.src.geoidgrids, vloader))
+            self._v_fail |= f
         if getattr(self.dst, "has_geoid_vgrids", False):
-            self._dst_vgrids = gridlist_from_nadgrids(self.dst.geoidgrids, vloader)
+            self._dst_vgrids, f = _lazy(
+                lambda: gridlist_from_nadgrids(self.dst.geoidgrids, vloader))
+            self._v_fail |= f
 
     # -- datum step (src/pj_transform.c:602-720) ------------------------
     def _datum_transform(self, x, y, z):
@@ -187,6 +236,13 @@ class Transform:
             return x, y, z
         if src.same_datum(dst):
             return x, y, z
+        if self._h_fail:
+            # deferred grid-load failure: every lane errors like the
+            # C's per-point pj_transform() -38; z stays untouched (the
+            # C aborts the point before any z step runs — cs2cs then
+            # prints the ORIGINAL z, cs2cs.c:150-155)
+            bad = np.full_like(np.asarray(x, dtype=np.float64), HUGE)
+            return bad, bad.copy(), z
 
         src_a, src_es = src.a_orig, src.es_orig
         dst_a, dst_es = dst.a_orig, dst.es_orig
@@ -252,6 +308,10 @@ class Transform:
         if src.from_greenwich != 0.0:
             x = np.where(np.isfinite(x), x + src.from_greenwich, x)
         # 5. source geoid -> ellipsoidal vertical shift (+geoidgrids)
+        if self._v_fail:
+            # deferred vgrid failure: x/y poisoned, original z kept
+            x = np.full_like(x, HUGE)
+            y = np.full_like(y, HUGE)
         if self._src_vgrids:
             from .kernels.grid import apply_vgridshift
 

@@ -105,11 +105,17 @@ def test_cli_init_failure_diagnostics(capsys):
     assert "cause: unknown projection id" in err
     assert err.rstrip().endswith("program abnormally terminated")
 
+    # lazy grid loading (pj_apply_gridshift/pj_gc semantics): a
+    # missing catalog/grid does NOT fail init — each point fails with
+    # the per-line pj_transform() diagnostic instead
+    out = io.StringIO()
     rc = cs2cs_main(["+proj=latlong", "+catalog=missing.csv", "+ellps=WGS84",
                      "+to", "+proj=latlong", "+datum=WGS84"],
-                    stdin=io.StringIO("0 0\n"), stdout=io.StringIO())
+                    stdin=io.StringIO("0 0\n"), stdout=out)
     err = capsys.readouterr().err
-    assert rc == 3 and "cause: failed to load datum shift file" in err
+    assert rc == 0
+    assert out.getvalue().startswith("*\t* ")
+    assert "pj_transform(): no system list, errno: 2" in err
 
     rc = geod_main(["+ellps=nosuchell"], stdin=io.StringIO("0d 0d 0d 1d\n"),
                    stdout=io.StringIO())

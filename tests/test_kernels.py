@@ -385,8 +385,10 @@ def test_init_file_reader(tmp_path, monkeypatch):
     P3 = CRS("+init=epsg:4326")
     assert P3.proj_name in ("longlat", "latlong")
     monkeypatch.delenv("PROJ_LIB")
-    with pytest.raises(ValueError):
-        CRS("+init=myepsg:9999")  # unknown without PROJ_LIB
+    with pytest.raises(FileNotFoundError):
+        # unknown init FILE without PROJ_LIB: the C's pj_open_lib
+        # failure keeps the positive system errno (2)
+        CRS("+init=myepsg:9999")
 
 
 def test_catalog_datum_transform_e2e(tmp_path, monkeypatch):

@@ -617,7 +617,43 @@ def sweep_init():
           "(stdout+stderr+rc)")
     for b in bad[:10]:
         print("  DIVERGES:", b)
-    return ok and good
+    ok = ok and good
+
+    # cs2cs-side init semantics: datum/init-file/towgs84 failures with
+    # the 'Using from definition:' attribution, and the LAZY grid
+    # loading (missing mandatory nadgrids/geoidgrids/catalog inits
+    # fine, fails PER POINT with the right cause; same-datum pipelines
+    # never load at all)
+    from proj_ray.cli import cs2cs_main as _cs2cs_i
+    W = "+to +proj=latlong +datum=WGS84"
+    cs_cases = [
+        "+proj=latlong +datum=nosuchdatum " + W,
+        "-I +proj=latlong +datum=nosuchdatum " + W,
+        "+proj=latlong +towgs84=1,2 " + W,
+        "+init=epsg:99999999 " + W,
+        "+init=nosuchfile:123 " + W,
+        "+proj=latlong +ellps=WGS84 +nadgrids=nosuchgrid.gsb " + W,
+        "+proj=latlong +ellps=WGS84 +nadgrids=@nosuchgrid.gsb " + W,
+        "+proj=latlong +ellps=WGS84 +geoidgrids=nosuch.gtx " + W,
+        "+proj=latlong +ellps=WGS84 +catalog=nosuch.csv +date=1990.5 "
+        + W,
+        "+proj=latlong +ellps=clrk66 +nadgrids=nosuch.gsb +to "
+        "+proj=latlong +ellps=clrk66 +nadgrids=nosuch.gsb",
+    ]
+    cbad = []
+    for defn in cs_cases:
+        args = defn.split()
+        g, ge, grc = run_engine_cli_full(_cs2cs_i, args, ["2 47"])
+        r, re_, rrc = run_ref_full("cs2cs", args, ["2 47"])
+        if g != r or ge != re_ or (grc or 0) != rrc:
+            cbad.append(defn)
+    cgood = not cbad
+    print(f"[{'OK ' if cgood else 'FAIL'}] cs2cs init/lazy-grid "
+          f"differential: {len(cs_cases) - len(cbad)}/{len(cs_cases)} "
+          "byte-identical (stdout+stderr+rc)")
+    for b in cbad:
+        print("  DIVERGES:", b)
+    return ok and cgood
 
 
 def sweep_vprocess(rng):
