@@ -1593,19 +1593,30 @@ def geod_main(argv=None, stdin=None, stdout=None):
     from .crs import UNITS, CRS
     from .kernels.geodesic import geod_direct, geod_inverse
 
+    # geod_set runs only pj_ell_set + its OWN unit lookup
+    # (geod_set.c:20-35) — strip +units so an unknown id reaches the
+    # geod-specific emess, not the generic ellipse failure
+    toks = defn.split()
+    unit = next((t.split("=", 1)[1] for t in toks
+                 if t.lstrip("+").startswith("units=")), None)
+    ell_def = " ".join(t for t in toks
+                       if not t.lstrip("+").startswith("units="))
     try:
-        crs = CRS(defn if "proj=" in defn else defn + " +proj=latlong")
+        crs = CRS(ell_def if "proj=" in ell_def
+                  else ell_def + " +proj=latlong")
     except (ValueError, FileNotFoundError) as exc:
         return _init_failure("geod", exc,
                              msg="ellipse setup failure", rc=1)
     a = crs.a
     f = crs.es / (1 + (1 - crs.es) ** 0.5) if crs.es else 0.0
-    unit = crs.pl.get_s("units")
     to_meter = 1.0
     if unit:
         if unit not in UNITS:
-            print(f"geod: {unit} unknown unit conversion id", file=sys.stderr)
-            return 1
+            try:
+                emess(1, f"{unit} unknown unit conversion id", "geod",
+                      stderr)
+            except SystemExit as exc:
+                return exc.code
         expr = UNITS[unit]
         to_meter = (float(expr.split("/")[0]) / float(expr.split("/")[1])
                     if "/" in expr else float(expr))

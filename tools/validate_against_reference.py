@@ -640,6 +640,18 @@ def sweep_init():
         "+proj=latlong +ellps=clrk66 +nadgrids=nosuch.gsb +to "
         "+proj=latlong +ellps=clrk66 +nadgrids=nosuch.gsb",
     ]
+    # geod init: unit-id error path (geod_set.c:31) + units scaling
+    from proj_ray.cli import geod_main as m_geod
+    for gdef in ("+ellps=WGS84 +units=nosuchunit",
+                 "+ellps=WGS84 +units=km", "+ellps=nosuchell"):
+        gargs = gdef.split()
+        g, ge, grc = run_engine_cli_full(m_geod, gargs, ["10 20 30 1000"])
+        r, re_, rrc = run_ref_full("geod", gargs, ["10 20 30 1000"])
+        good = g == r and ge == re_ and (grc or 0) == rrc
+        print(f"[{'OK ' if good else 'FAIL'}] geod init {gdef}: "
+              f"rc {grc}/{rrc}")
+        ok &= good
+
     cbad = []
     for defn in cs_cases:
         args = defn.split()
