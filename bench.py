@@ -120,8 +120,8 @@ def _cpu_control(n):
 def _burn(_):
     import numpy as np
 
-    a = np.random.default_rng(1).random(2_000_000)
-    for _ in range(30):
+    a = np.random.default_rng(1).random(1_000_000)
+    for _ in range(15):
         a2 = np.sin(a) * np.cos(a) + np.sqrt(np.abs(a))
     return float(a2[0])
 
