@@ -460,10 +460,9 @@ class ParamList:
             self.entries.append((k, v, True))  # shadowed duplicate
 
     def has(self, key: str) -> bool:
-        if key in self._d:
-            self.used.add(key)
-            return True
-        return False
+        # pj_param type 't' is a PRESENCE probe: it does NOT set the
+        # used flag (src/pj_param.c:48-49) — only value reads do
+        return key in self._d
 
     def get_s(self, key: str):
         if key in self._d:

@@ -112,6 +112,9 @@ def setup_chamb(P):
 @register("labrd", "Laborde")
 def setup_labrd(P):
     EPS = 1e-10
+    # the C reads bno_rot into P->rot but never uses it in the math
+    # (src/PJ_labrd.c:89) — replicate the used-flag mark
+    P.param_b("no_rot")
     Az = P.param_r("azi")
     e = P.e
     es = P.es

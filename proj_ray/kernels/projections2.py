@@ -444,6 +444,38 @@ def setup_aeqd(P):
 
     else:
         en = enfn(es)
+        if P.param_b("guam"):
+            # Guam elliptical variant (src/PJ_aeqd.c:58-67,140-152):
+            # series in lam around the origin meridian, 3-step
+            # inverse-mlfn iteration with the C's exact update order
+            M1 = float(mlfn(np.float64(phi0), np.sin(phi0),
+                            np.cos(phi0), en))
+            e_ = float(np.sqrt(es))
+
+            def fwd(lam, phi):
+                cosphi = np.cos(phi)
+                sinphi = np.sin(phi)
+                t = 1.0 / np.sqrt(1.0 - es * sinphi * sinphi)
+                x = lam * cosphi * t
+                y = (mlfn(phi, sinphi, cosphi, en) - M1
+                     + 0.5 * lam * lam * cosphi * sinphi * t)
+                return x, y
+
+            def inv(x, y):
+                x = np.asarray(x, dtype=np.float64)
+                x2 = 0.5 * x * x
+                phi = np.full_like(x, phi0)
+                t = np.ones_like(x)
+                for _ in range(3):
+                    t = e_ * np.sin(phi)
+                    t = np.sqrt(1.0 - t * t)
+                    phi = inv_mlfn(M1 + y - x2 * np.tan(phi) * t, es, en)
+                lam = x * t / np.cos(phi)
+                return lam, phi
+
+            P.fwd = fwd
+            P.inv = inv
+            return
         # Mp at the projection pole (PJ_aeqd.c setup: +-HALFPI by mode)
         mp_phi = -HALFPI if mode == "s_pole" else HALFPI
         Mp = float(mlfn(np.float64(mp_phi), np.sin(mp_phi), np.cos(mp_phi), en))

@@ -34,7 +34,8 @@ from .projections import EPS10, register
 def setup_omerc(P):
     TOL = 1.0e-7
     EPS = 1.0e-10
-    no_rot = P.param_b("no_rot")
+    # the C probes tno_rot (presence only, PJ_omerc.c:103)
+    no_rot = P.param_t("no_rot")
     alp = P.param_t("alpha")
     gam = P.param_t("gamma")
     alpha_c = P.param_r("alpha") if alp else 0.0

@@ -28,13 +28,18 @@ def setup_krovak(P):
     P.ra = 1.0 / P.a
     P.one_es = 1.0 - P.es
     P.rone_es = 1.0 / P.one_es
+    # the C reads +lat_ts into a variable it never uses
+    # (src/PJ_krovak.c:224 'ts') — replicate the used-flag mark
+    P.param_r("lat_ts")
     if not P.param_t("lat_0"):
         P.phi0 = 0.863937979737193
     if not P.param_t("lon_0"):
         P.lam0 = 0.7417649320975901 - 0.308341501185665
     if not P.param_t("k"):
         P.k0 = 0.9999
-    czech = P.param_b("czech")
+    # the C probes 'tczech' only (PJ_krovak.c:124,179) —
+    # presence check, no used-flag mark
+    czech = P.param_t("czech")
     lam0 = P.lam0
 
     s45 = 0.785398163397448

@@ -668,6 +668,65 @@ def sweep_init():
     return ok and cgood
 
 
+def sweep_param_fuzz(rng):
+    """Randomized parameter fuzz: every head x 4 trials with random
+    subsets of common parameters (incl. presence-only booleans like
+    +czech/+guam/+no_rot that exercise the pj_param 't'-vs-value
+    used-flag semantics) through `proj -v` — stdout, stderr and exit
+    code byte-compared against the binary."""
+    import contextlib
+    import io
+
+    from proj_ray.cli import proj_main
+    from proj_ray.kernels.descr import PJ_LIST
+
+    bad = []
+    checked = 0
+    for pid in PJ_LIST:
+        if pid in ("latlong", "longlat", "latlon", "lonlat", "geocent"):
+            continue
+        for _trial in range(4):
+            parts = [f"+proj={pid}", "+ellps=WGS84"]
+            lat1 = rng.uniform(5, 60)
+            pool = [f"+lon_0={rng.uniform(-170, 170):.6f}",
+                    f"+lat_0={rng.uniform(-60, 60):.6f}",
+                    f"+k={rng.uniform(0.5, 1.5):.6f}",
+                    f"+x_0={rng.uniform(-1e6, 1e6):.3f}",
+                    f"+lat_1={lat1:.6f}",
+                    f"+lat_2={lat1 + rng.uniform(2, 20):.6f}",
+                    f"+lat_ts={rng.uniform(0, 60):.6f}",
+                    "+czech", "+south", "+over", "+geoc", "+no_rot",
+                    "+R_A", f"+W={rng.uniform(0.5, 2):.4f}",
+                    f"+h={rng.uniform(1e6, 4e7):.1f}", "+no_cut",
+                    f"+M={rng.uniform(0.5, 2):.4f}", "+no_off",
+                    "+hyperbolic", f"+q={rng.uniform(0.5, 2):.4f}",
+                    "+guam", "+lotsa"]
+            k = int(rng.integers(1, 7))
+            parts += list(rng.choice(pool, size=k, replace=False))
+            args = ["-v"] + parts
+            out, err = io.StringIO(), io.StringIO()
+            try:
+                with contextlib.redirect_stderr(err):
+                    grc = proj_main(args, stdin=io.StringIO(""),
+                                    stdout=out)
+            except Exception as exc:  # engine crash = divergence
+                bad.append((pid, parts, f"EXC {exc}"))
+                continue
+            pr = subprocess.run(
+                [os.path.join(BUILD, "src", "proj")] + args, input="",
+                text=True, capture_output=True, env=ENV)
+            checked += 1
+            if (out.getvalue() != pr.stdout or err.getvalue() != pr.stderr
+                    or (grc or 0) != pr.returncode):
+                bad.append((pid, parts, (pr.returncode, grc)))
+    good = not bad
+    print(f"[{'OK ' if good else 'FAIL'}] param fuzz: {checked} random "
+          f"definitions, {len(bad)} diverge")
+    for b in bad[:8]:
+        print("  DIVERGES:", b[0], " ".join(map(str, b[1][2:])), b[2])
+    return good
+
+
 def sweep_vprocess(rng):
     """proj -V / -S / listings / emess differentials vs the binary."""
     from proj_ray.cli import proj_main
@@ -1108,6 +1167,7 @@ def main():
     ok &= sweep_inverse(rng, make_transform)
     ok &= sweep_vprocess(rng)
     ok &= sweep_init()
+    ok &= sweep_param_fuzz(np.random.default_rng(424242))
 
     print("ALL OK" if ok else "MISMATCHES FOUND")
     return 0 if ok else 1
