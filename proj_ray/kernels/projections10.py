@@ -299,12 +299,17 @@ def _mod_ster_setup(P, name):
     P.lam0 = DEG_TO_RAD * spec["lam0"]
     P.phi0 = DEG_TO_RAD * spec["phi0"]
     if spec.get("sphere"):
+        # the C zeroes P->es but NOT P->e (PJ_mod_ster.c mil_os/
+        # lee_os/gs48 entries): the forward/inverse chi computation
+        # keeps the USER's eccentricity while setup's chio test sees
+        # es == 0 and uses the geodetic phi0 — a faithful reference
+        # inconsistency (output depends on the +ellps given)
         P.es = 0.0
-        P.e = 0.0
         coef = np.array(spec["coef"])
         if "a" in spec:
+            # pj_init's ra stays computed from the USER ellipse
+            # (pj_init.c:473) — pj_inv divides by the stale value
             P.a = spec["a"]
-            P.ra = 1.0 / P.a
     else:
         # fixed Clarke 1866 ellipsoid or authalic sphere (PJ_mod_ster.c)
         if P.es:
@@ -315,9 +320,7 @@ def _mod_ster_setup(P, name):
         else:
             coef = np.array(spec["coef_s"])
             P.a = 6370997.0
-        P.ra = 1.0 / P.a
-        P.one_es = 1.0 - P.es
-        P.rone_es = 1.0 / P.one_es
+        # ra/one_es/rone_es stay the pj_init (user-ellipse) values
     e = P.e
     phi0 = P.phi0
     if P.es:

@@ -25,9 +25,10 @@ def setup_krovak(P):
     P.a = 6377397.155
     P.es = 0.006674372230614
     P.e = np.sqrt(P.es)
-    P.ra = 1.0 / P.a
-    P.one_es = 1.0 - P.es
-    P.rone_es = 1.0 / P.one_es
+    # NOTE: pj_init computed ra/one_es/rone_es from the USER ellipse
+    # BEFORE this entry runs (pj_init.c:473-476) and never refreshes
+    # them — pj_inv divides by the stale ra, so krovak's inverse
+    # depends on the +ellps given (faithful reference inconsistency)
     # the C reads +lat_ts into a variable it never uses
     # (src/PJ_krovak.c:224 'ts') — replicate the used-flag mark
     P.param_r("lat_ts")

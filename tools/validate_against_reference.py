@@ -727,6 +727,38 @@ def sweep_param_fuzz(rng):
     return good
 
 
+def sweep_stale_ra():
+    """Entry-time a/es overrides leave pj_init's ra/one_es STALE
+    (pj_init.c:473 runs before the entry at :613): krovak and the
+    mod_ster family invert with the USER-ellipse ra while projecting
+    with their own hardcoded a — and the sphere-mode mod_ster entries
+    zero es but keep the user's e in the chi computation.  Both are
+    faithful reference inconsistencies; outputs depend on +ellps."""
+    from proj_ray.cli import proj_main
+
+    cases = [
+        ("-I -f %.9f +proj=krovak +ellps=WGS84", ["500000 1000000",
+                                                  "-200000 400000"]),
+        ("-I -f %.9f +proj=krovak +ellps=bessel", ["500000 1000000"]),
+        ("-f %.6f +proj=gs48 +ellps=WGS84", ["-100 40", "-130 -50"]),
+        ("-I -f %.9f +proj=gs48 +ellps=WGS84", ["-1000000 2000000"]),
+        ("-f %.6f +proj=mil_os +ellps=WGS84", ["25 20", "15 30"]),
+        ("-f %.6f +proj=lee_os +ellps=WGS84", ["-160 -12", "-170 0"]),
+        ("-I -f %.9f +proj=alsk +ellps=WGS84", ["500000 1000000"]),
+        ("-I -f %.9f +proj=gs50 +R=6370997", ["500000 1000000"]),
+        ("-f %.6f +proj=aeqd +guam +lat_0=13.4724663527"
+         " +lon_0=144.7487507055 +ellps=clrk66", ["144.75 13.47"]),
+    ]
+    ok = True
+    for argstr, pts in cases:
+        args = argstr.split()
+        g, _, _ = run_engine_cli_full(proj_main, args, pts)
+        r, _, _ = run_ref_full("proj", args, pts)
+        good = check_text(f"stale-ra/e {argstr}", g, r, 1e-8)
+        ok &= good
+    return ok
+
+
 def sweep_vprocess(rng):
     """proj -V / -S / listings / emess differentials vs the binary."""
     from proj_ray.cli import proj_main
@@ -1168,6 +1200,7 @@ def main():
     ok &= sweep_vprocess(rng)
     ok &= sweep_init()
     ok &= sweep_param_fuzz(np.random.default_rng(424242))
+    ok &= sweep_stale_ra()
 
     print("ALL OK" if ok else "MISMATCHES FOUND")
     return 0 if ok else 1
