@@ -739,3 +739,33 @@ def test_imw_p_roundtrip():
     assert ok.mean() > 0.95
     np.testing.assert_allclose(b1[ok], lon[ok], atol=1e-8)
     np.testing.assert_allclose(b2[ok], lat[ok], atol=1e-8)
+
+
+def test_reference_init_inconsistencies_pinned():
+    """Faithful reference quirks (values from the built 4.9.1 binary):
+    entry-time a/es overrides leave pj_init's ra stale (krovak,
+    mod_ster invert through the USER-ellipse ra), sphere-mode
+    mod_ster keeps the user's e in the chi computation, and aeqd
+    +guam uses the Guam elliptical series."""
+    import numpy as np
+
+    from proj_ray.crs import CRS
+    from proj_ray.kernels.projections import generic_fwd, generic_inv
+
+    D2R = np.pi / 180.0
+    # krovak -I +ellps=WGS84: stale ra = 1/6378137 while a = Bessel
+    P = CRS("+proj=krovak +ellps=WGS84")
+    lam, phi = generic_inv(P, np.array([500000.0]), np.array([1000000.0]))
+    np.testing.assert_allclose([lam[0] / D2R, phi[0] / D2R],
+                               [35.532096288, 68.491102299], atol=2e-8)
+    # gs48 fwd +ellps=WGS84: es zeroed but e kept -> conformal chi
+    P = CRS("+proj=gs48 +ellps=WGS84")
+    x, y = generic_fwd(P, np.array([-100.0 * D2R]), np.array([40.0 * D2R]))
+    np.testing.assert_allclose([x[0], y[0]],
+                               [-2368594.605416, 17368986.383100], atol=2e-3)
+    # aeqd +guam elliptical series (binary: 135.271583843 -272.847717596)
+    P = CRS("+proj=aeqd +guam +lat_0=13.4724663527 +lon_0=144.7487507055"
+            " +ellps=clrk66")
+    x, y = generic_fwd(P, np.array([144.75 * D2R]), np.array([13.47 * D2R]))
+    np.testing.assert_allclose([x[0], y[0]],
+                               [135.271583843, -272.847717596], atol=2e-6)
