@@ -49,6 +49,69 @@ def cosine_topk_partial(batch: pa.Table, Q: np.ndarray, k: int,
     })
 
 
+_CAND_SCHEMA = pa.schema([("qj", pa.int64()), ("vec_id", pa.int64()),
+                          ("sim", pa.float64())])
+
+
+def topk_candidates(tb: pa.Table, k: int) -> pa.Table:
+    """Per-query top-k over a candidate table (qj, vec_id, sim) under
+    the total-order comparator (-sim, vec_id).  The comparator has no
+    ties (vec_id is unique per qj), so the selection is ASSOCIATIVE:
+    reducing any partition of the candidate stream and then reducing
+    the concatenation of those results yields the same final top-k —
+    which is what lets this run as an intermediate map_batches level
+    without changing the answer.  Output rows are sorted by
+    (qj asc, sim desc, vec_id asc)."""
+    if tb.num_rows == 0:
+        return _CAND_SCHEMA.empty_table()
+    qj = tb["qj"].to_numpy()
+    ids = tb["vec_id"].to_numpy()
+    sims = tb["sim"].to_numpy()
+    order = np.lexsort((ids, -sims, qj))
+    qs = qj[order]
+    starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+    seg = np.diff(np.r_[starts, len(qs)])
+    rank = np.arange(len(qs)) - np.repeat(starts, seg)
+    keep = order[rank < k]
+    return pa.table({"qj": pa.array(qj[keep], pa.int64()),
+                     "vec_id": pa.array(ids[keep], pa.int64()),
+                     "sim": pa.array(sims[keep], pa.float64())})
+
+
+def collect_topk(cand, k: int, reduce_batch: int = 1 << 18) -> pa.Table:
+    """Two-level candidate merge: an intermediate map_batches top-k
+    level bounds each reduce task's output to k x nq rows, so the
+    driver concatenates at most k*nq*ceil(#cand/reduce_batch) rows
+    instead of k*nq*#blocks (at 10^6 blocks the one-level merge was a
+    tens-of-MB driver concat; this keeps it a few thousand rows).  The
+    reduce is associative (see topk_candidates), so the result is
+    bit-identical to the one-level merge."""
+    red = cand.map_batches(lambda t: topk_candidates(t, k),
+                           batch_format="pyarrow", batch_size=reduce_batch)
+    chunks = list(red.iter_batches(batch_size=1 << 20,
+                                   batch_format="pyarrow"))
+    tb = pa.concat_tables(chunks) if chunks else _CAND_SCHEMA.empty_table()
+    return topk_candidates(tb, k)
+
+
+def finalize_topk(tb: pa.Table, k: int) -> pa.Table:
+    """(qj, vec_id, sim) already reduced to top-k per query (sorted by
+    qj asc, sim desc, vec_id asc) -> (qid, vec_id, rank, sim)."""
+    qj = tb["qj"].to_numpy()
+    if len(qj) == 0:
+        return pa.table({"qid": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "sim": pa.array([], pa.float64())})
+    starts = np.flatnonzero(np.r_[True, qj[1:] != qj[:-1]])
+    seg = np.diff(np.r_[starts, len(qj)])
+    rank = np.arange(len(qj)) - np.repeat(starts, seg) + 1
+    return pa.table({"qid": pa.array(qj, pa.int64()),
+                     "vec_id": tb["vec_id"],
+                     "rank": pa.array(rank, pa.int64()),
+                     "sim": tb["sim"]})
+
+
 def ann_cosine_topk(ds, queries: np.ndarray, k=10, id_col="vec_id",
                     vec_col="embedding", batch_size=None) -> pa.Table:
     """Exact brute-force cosine top-k (the baseline the ANN variants are
@@ -61,21 +124,7 @@ def ann_cosine_topk(ds, queries: np.ndarray, k=10, id_col="vec_id",
 
     cand = ds.map_batches(part, batch_format="pyarrow", batch_size=batch_size,
                           zero_copy_batch=True)
-    chunks = list(cand.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
-    schema = pa.schema([("qj", pa.int64()), ("vec_id", pa.int64()), ("sim", pa.float64())])
-    tb = pa.concat_tables(chunks) if chunks else schema.empty_table()
-    qj = tb["qj"].to_numpy()
-    ids = tb["vec_id"].to_numpy()
-    sims = tb["sim"].to_numpy()
-    rows = {"qid": [], "vec_id": [], "rank": [], "sim": []}
-    for j in range(queries.shape[0]):
-        m = qj == j
-        order = np.lexsort((ids[m], -sims[m]))[:k]
-        rows["qid"].extend([j] * len(order))
-        rows["vec_id"].extend(ids[m][order].tolist())
-        rows["rank"].extend(range(1, len(order) + 1))
-        rows["sim"].extend(sims[m][order].tolist())
-    return pa.table({k2: pa.array(v) for k2, v in rows.items()})
+    return finalize_topk(collect_topk(cand, k), k)
 
 
 def pack_embeddings(M: np.ndarray) -> pa.Array:
@@ -239,22 +288,7 @@ def ann_ivf_topk(ds, queries: np.ndarray, sample: np.ndarray, k: int = 10,
 
     cand = ds.map_batches(part, batch_format="pyarrow", batch_size=None,
                           zero_copy_batch=True)
-    chunks = list(cand.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
-    schema = pa.schema([("qj", pa.int64()), ("vec_id", pa.int64()),
-                        ("sim", pa.float64())])
-    tb = pa.concat_tables(chunks) if chunks else schema.empty_table()
-    qj = tb["qj"].to_numpy()
-    ids = tb["vec_id"].to_numpy()
-    sims = tb["sim"].to_numpy()
-    rows = {"qid": [], "vec_id": [], "rank": [], "sim": []}
-    for j in range(Qn.shape[0]):
-        m = qj == j
-        order = np.lexsort((ids[m], -sims[m]))[:k]
-        rows["qid"].extend([j] * len(order))
-        rows["vec_id"].extend(ids[m][order].tolist())
-        rows["rank"].extend(range(1, len(order) + 1))
-        rows["sim"].extend(sims[m][order].tolist())
-    return pa.table({k2: pa.array(v) for k2, v in rows.items()})
+    return finalize_topk(collect_topk(cand, k), k)
 
 
 # ---------------------------------------------------------------------------
@@ -345,28 +379,8 @@ def ivf_search_partitioned(index_dir: str, queries: np.ndarray, k: int = 10,
                          "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
                          "sim": pa.array(np.concatenate(out_s), pa.float64())})
 
-    if files:
-        src = rd.read_parquet(files, columns=[id_col, vec_col, "cell"])
-        cand = src.map_batches(part, batch_format="pyarrow", batch_size=None)
-    else:
-        cand = None
-    schema = pa.schema([("qj", pa.int64()), ("vec_id", pa.int64()),
-                        ("sim", pa.float64())])
-    if cand is None:
-        tb = schema.empty_table()
-    else:
-        chunks = list(cand.iter_batches(batch_size=1 << 20,
-                                        batch_format="pyarrow"))
-        tb = pa.concat_tables(chunks) if chunks else schema.empty_table()
-    qj = tb["qj"].to_numpy()
-    ids = tb["vec_id"].to_numpy()
-    sims = tb["sim"].to_numpy()
-    rows = {"qid": [], "vec_id": [], "rank": [], "sim": []}
-    for j in range(Qn.shape[0]):
-        m = qj == j
-        order = np.lexsort((ids[m], -sims[m]))[:k]
-        rows["qid"].extend([j] * len(order))
-        rows["vec_id"].extend(ids[m][order].tolist())
-        rows["rank"].extend(range(1, len(order) + 1))
-        rows["sim"].extend(sims[m][order].tolist())
-    return pa.table({k2: pa.array(v) for k2, v in rows.items()})
+    if not files:
+        return finalize_topk(_CAND_SCHEMA.empty_table(), k)
+    src = rd.read_parquet(files, columns=[id_col, vec_col, "cell"])
+    cand = src.map_batches(part, batch_format="pyarrow", batch_size=None)
+    return finalize_topk(collect_topk(cand, k), k)
