@@ -214,3 +214,29 @@ def test_minhash_lsh_candidates_paths_agree(ray_session):
                 ["doc_id"])
     pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
     assert len(a) > 0
+
+
+def test_segment_median_paths_agree(ray_session):
+    """Exact whole-group-shuffle branch vs mergeable sparse-cent-
+    histogram branch of segment_acctbal_median: both are exact, so the
+    results must be identical (and match numpy's quantile directly)."""
+    from proj_ray.pipelines.queries import segment_acctbal_median
+
+    sf = "/root/testdata/sf0.001"
+    a = _sorted(segment_acctbal_median(sf, path="group"),
+                ["c_mktsegment"])
+    b = _sorted(segment_acctbal_median(sf, path="hist"),
+                ["c_mktsegment"])
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+    assert len(a) > 0
+    import duckdb
+
+    ref = duckdb.sql(
+        f"SELECT c_mktsegment, c_acctbal FROM '{sf}/customer.parquet'"
+    ).fetchdf()
+    for _, row in b.iterrows():
+        v = ref.loc[ref["c_mktsegment"] == row["c_mktsegment"],
+                    "c_acctbal"].to_numpy()
+        expect = int(np.floor(np.quantile(v, 0.5) * 1000.0 + 0.5))
+        assert int(row["median_milli"]) == expect
+        assert int(row["n_customers"]) == len(v)
