@@ -208,6 +208,60 @@ def make_planes(dim: int, nbits: int = 12, seed: int = 42) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal((nbits, dim)).astype(np.float32)
 
 
+def capped_bucket_pairs(ids: np.ndarray, sig: np.ndarray, get_ext,
+                        n_ext_levels: int, cap: int):
+    """All within-bucket pairs, with oversized buckets RECURSIVELY split
+    by extension signatures before pairing — the mechanism that keeps
+    hyperplane-LSH pair generation from going quadratic in hot buckets.
+
+    ``sig`` assigns each row a bucket; any bucket larger than ``cap``
+    is refined by ``get_ext(level, rows)`` (an int64 sub-signature for
+    those rows, level 0..n_ext_levels-1) and the split recurses until
+    the group fits the cap or extension bits run out (a residual
+    oversized group at the last level — near-identical vectors that no
+    hyperplane separates — pairs in full: its output is legitimately
+    quadratic because the pairs themselves are all near-dups).
+
+    ``get_ext`` must be a pure per-row function (the same row gets the
+    same extension signature regardless of which rows it is grouped
+    with) so the driver, distributed and scalar implementations agree
+    bit-for-bit.  Returns (ia, ib) row-index arrays with
+    ids[ia] < ids[ib]."""
+    out_a: list = []
+    out_b: list = []
+
+    def emit(rows):
+        ia, ib = np.triu_indices(len(rows), k=1)
+        out_a.append(rows[ia])
+        out_b.append(rows[ib])
+
+    def rec(rows, level):
+        # rows: global indices, already ascending by ids
+        if len(rows) < 2:
+            return
+        if len(rows) <= cap or level >= n_ext_levels:
+            emit(rows)
+            return
+        k = get_ext(level, rows)
+        o = np.argsort(k, kind="stable")  # stable keeps id order per key
+        rs, ks = rows[o], k[o]
+        st = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        en = np.r_[st[1:], len(ks)]
+        for s, e in zip(st, en):
+            rec(rs[s:e], level + 1)
+
+    order = np.lexsort((ids, sig))
+    s = sig[order]
+    st = np.flatnonzero(np.r_[True, s[1:] != s[:-1]]) if len(s) else np.array([], np.int64)
+    en = np.r_[st[1:], len(s)]
+    for a, b in zip(st, en):
+        rec(order[a:b], 0)
+    if not out_a:
+        z = np.array([], dtype=np.int64)
+        return z, z
+    return np.concatenate(out_a), np.concatenate(out_b)
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the second scale path next to LSH bucketing.
 # A small deterministic spherical k-means gives coarse centroids; every
