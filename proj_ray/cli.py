@@ -74,6 +74,19 @@ def _tag_of(flags) -> str:
                  if k.startswith("-t") and len(k) > 2), "#")
 
 
+def _fast_tag_safe(chunk, tag: str) -> bool:
+    """A custom -t tag can begin a numeric line (-t1, -t., -t-): the
+    vectorized fast paths would parse and transform such a tagged line
+    instead of echoing it, diverging from the per-line paths and the
+    reference (which compare the RAW first char, proj.c:337).  Any
+    chunk holding a line that starts with a non-'#' tag must take the
+    per-line path; the default '#' is safe because the Arrow
+    cast/regex frontends reject it."""
+    if tag == "#":
+        return True
+    return not any(ln.startswith(tag) for ln in chunk)
+
+
 def _parse_coord(tok: str) -> float:
     try:
         return dmstor(tok)
@@ -272,6 +285,8 @@ def _fast_chunk(chunk, transform: Transform, flags, stderr=None,
     eff_fmt = fmt if (fmt or dst_ll) else "%.2f"
     if not eff_fmt or eff_fmt.count("%") != 1:
         return None  # DMS output (or odd format): per-line path
+    if not _fast_tag_safe(chunk, _tag_of(flags)):
+        return None  # custom tag line present: per-line path
     z_fmt = eff_fmt
     arr = pa.array(chunk, pa.string())
     ext = tails_pa = None
@@ -401,6 +416,8 @@ def _fast_proj_chunk(chunk, transform: Transform, flags):
     eff_fmt = fmt or "%.2f"
     if eff_fmt.count("%") != 1:
         return None
+    if not _fast_tag_safe(chunk, _tag_of(flags)):
+        return None  # custom tag line present: per-line path
     arr = pa.array(chunk, pa.string())
     ext = None
     tails_pa = None
@@ -954,11 +971,11 @@ def cs2cs_main(argv=None, stdin=None, stdout=None, stderr=None):
             print(f"Using {side} definition: " + (args_txt + " "
                                                   if args_txt else ""),
                   file=stdout)
-            return _init_failure("cs2cs", exc)
+            return _init_failure("cs2cs", exc, stderr)
     try:
         t = make_transform(from_def, to_def)
     except (ValueError, FileNotFoundError) as exc:
-        return _init_failure("cs2cs", exc)
+        return _init_failure("cs2cs", exc, stderr)
     if "-v" in flags:
         # monitor dump of both systems (src/cs2cs.c:395-400)
         tag = next((k[2] for k in flags
@@ -1470,7 +1487,7 @@ def proj_main(argv=None, stdin=None, stdout=None, stderr=None):
 
         P0 = _CRS(defn)
     except (ValueError, FileNotFoundError) as exc:
-        return _init_failure("proj", exc)
+        return _init_failure("proj", exc, stderr)
     try:
         if P0.is_latlong:
             # proj.c:423-427: the filter requires a projected CRS
@@ -1492,7 +1509,7 @@ def proj_main(argv=None, stdin=None, stdout=None, stderr=None):
     except SystemExit as exc:
         return exc.code
     except (ValueError, FileNotFoundError) as exc:
-        return _init_failure("proj", exc)
+        return _init_failure("proj", exc, stderr)
     if "-v" in flags or "-V" in flags:
         from .crs import CRS
 
@@ -1605,7 +1622,7 @@ def geod_main(argv=None, stdin=None, stdout=None):
         crs = CRS(ell_def if "proj=" in ell_def
                   else ell_def + " +proj=latlong")
     except (ValueError, FileNotFoundError) as exc:
-        return _init_failure("geod", exc,
+        return _init_failure("geod", exc, stderr,
                              msg="ellipse setup failure", rc=1)
     a = crs.a
     f = crs.es / (1 + (1 - crs.es) ** 0.5) if crs.es else 0.0
@@ -1804,6 +1821,8 @@ def _fast_geod_chunk(chunk, ctx):
     oform, osform = ctx.oform, ctx.osform
     if oform is None or oform.count("%") != 1 or osform.count("%") != 1:
         return None
+    if not _fast_tag_safe(chunk, getattr(ctx, "tag", "#")):
+        return None  # custom tag line present: per-line path
     arr = pa.array(chunk, pa.string())
     parts = pc.utf8_split_whitespace(arr)
     lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False)

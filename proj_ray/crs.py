@@ -443,12 +443,16 @@ class ParamList:
         self.used: set = set()
         # full append-order record incl. SHADOWED duplicates: the C
         # paralist keeps later same-name entries (first-match lookup
-        # never touches them, so pr_list shows them as NOT used) and
-        # drops only an exact name=value repeat (get_opt's full-string
-        # existence test, src/pj_init.c:186-201)
+        # never touches them, so pr_list shows them as NOT used).
+        # pj_mkparam appends UNCONDITIONALLY (run-line argv,
+        # src/pj_init.c:419; datum expansion, src/pj_datum_set.c:77-81)
+        # — even an exact name=value repeat gets its own node — while
+        # the init-file / defaults merge path drops a token whose full
+        # name=value already exists (get_opt's existence test,
+        # src/pj_init.c:186-201): ``unconditional`` selects which.
         self.entries: list = []
 
-    def append(self, token: str):
+    def append(self, token: str, unconditional: bool = True):
         if "=" in token:
             k, v = token.split("=", 1)
         else:
@@ -456,7 +460,7 @@ class ParamList:
         if k not in self._d:
             self._d[k] = v
             self.entries.append((k, v, False))
-        elif self._d[k] != v:
+        elif unconditional or self._d[k] != v:
             self.entries.append((k, v, True))  # shadowed duplicate
 
     def has(self, key: str) -> bool:
@@ -556,7 +560,7 @@ class CRS:
                         _errno.ENOENT, f"init file {fname!r} (2)")
                 raise ValueError(f"unknown init key {init!r} (-2)")
             for tok in _parse_tokens(defn_str):
-                pl.append(tok)
+                pl.append(tok, unconditional=False)  # get_opt merge
 
         name = pl.get_s("proj")
         if not name:
@@ -594,9 +598,9 @@ class CRS:
             for tok in GENERAL_DEFAULTS:
                 if tok.startswith("ellps=") and has_earth:
                     continue
-                pl.append(tok)
+                pl.append(tok, unconditional=False)  # get_opt merge
             for tok in PROJ_DEFAULTS.get(name, []):
-                pl.append(tok)
+                pl.append(tok, unconditional=False)  # get_opt merge
 
         self.pl = pl
         self.is_latlong = False

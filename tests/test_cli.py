@@ -615,3 +615,59 @@ def test_run_line_parsing_parity_pins(capsys):
     assert "/no/such/file" in err
     lines = out.getvalue().splitlines()
     assert lines[0].startswith("423974.69\t") and len(lines) == 2
+
+
+def test_custom_tag_fast_path_bails():
+    """A -t tag that can begin a numeric line (-t1, -t-, -t.) must be
+    honored by the vectorized fast paths: tagged lines echo verbatim
+    instead of parsing as data (ADVICE r3; pinned byte-identical to
+    the built reference binaries in validate_against_reference.py)."""
+    lines = "1 2\n3 4\n-5 6\n.5 .25\n12 34 tail\n"
+    out = io.StringIO()
+    rc = proj_main(["-t1", "+proj=merc", "+ellps=WGS84"],
+                   stdin=io.StringIO(lines), stdout=out)
+    got = out.getvalue().splitlines()
+    assert rc == 0
+    assert got[0] == "1 2"                       # tagged: echoed
+    assert got[1] == "333958.47\t442661.64"      # parsed
+    assert got[4] == "12 34 tail"                # starts with '1': echoed
+    out = io.StringIO()
+    proj_main(["-t-", "+proj=merc", "+ellps=WGS84"],
+              stdin=io.StringIO(lines), stdout=out)
+    got = out.getvalue().splitlines()
+    assert got[2] == "-5 6"                      # '-'-tagged: echoed
+    out = io.StringIO()
+    proj_main(["-t.", "+proj=merc", "+ellps=WGS84"],
+              stdin=io.StringIO(lines), stdout=out)
+    assert out.getvalue().splitlines()[3] == ".5 .25"
+
+
+def test_runline_exact_duplicate_param_listed_twice():
+    """pj_mkparam appends run-line tokens UNCONDITIONALLY
+    (src/pj_init.c:419): an exact +a=X +a=X repeat keeps both nodes,
+    the second printed in the -v NOT-used block (ADVICE r3; verified
+    byte-identical to the built reference binary)."""
+    out = io.StringIO()
+    proj_main(["+proj=merc", "+a=6378137", "+a=6378137", "-v"],
+              stdin=io.StringIO("1 1\n"), stdout=out)
+    txt = out.getvalue()
+    assert txt.count("+a=6378137") == 2
+    assert "#--- following specified but NOT used" in txt
+    assert "\n# +a=6378137\n" in txt  # the shadowed node, own line
+
+
+def test_init_failure_routed_to_caller_stderr():
+    """_init_failure writes to the caller-provided stderr stream, not
+    the process stream (ADVICE r3)."""
+    err = io.StringIO()
+    out = io.StringIO()
+    rc = proj_main(["+init=nosuchfile:0", "+ellps=WGS84"],
+                   stdin=io.StringIO(""), stdout=out, stderr=err)
+    assert rc == 3
+    assert "projection initialization failure" in err.getvalue()
+    err = io.StringIO()
+    rc = cs2cs_main(["+init=nosuchfile:0", "+to", "+proj=merc",
+                     "+ellps=WGS84"], stdin=io.StringIO(""),
+                    stdout=io.StringIO(), stderr=err)
+    assert rc == 3
+    assert "projection initialization failure" in err.getvalue()

@@ -892,6 +892,38 @@ def sweep_vprocess(rng):
             print("\n".join(list(difflib.unified_diff(r, g, lineterm=""))[:10]))
         ok &= good
 
+    # custom -t tag chars that can BEGIN a numeric line (-t1, -t-,
+    # -t.): tagged lines must be echoed, not parsed — the fast chunk
+    # paths bail to the per-line path on these (cli._fast_tag_safe)
+    tag_lines = ["1 2", "3 4", "-5 6", ".5 .25", "12 34 tail", "# hash"]
+    for tg in ["1", "-", "."]:
+        args = ["-t" + tg, "+proj=merc", "+ellps=WGS84"]
+        g, ge, _ = run_engine_cli_full(proj_main, args, tag_lines)
+        r, re_, _ = run_ref_full("proj", args, tag_lines)
+        good = g == r and ge == re_
+        print(f"[{'OK ' if good else 'FAIL'}] proj custom tag -t{tg}: "
+              f"byte-{'identical' if good else 'DIFF'}")
+        if not good:
+            import difflib
+            print("\n".join(list(difflib.unified_diff(r, g, lineterm=""))[:8]))
+        ok &= good
+    args = ["-t1", "+proj=latlong", "+ellps=WGS84", "+to", "+proj=merc",
+            "+ellps=WGS84"]
+    g, ge, _ = run_engine_cli_full(_cs2cs, args, tag_lines)
+    r, re_, _ = run_ref_full("cs2cs", args, tag_lines)
+    good = g == r and ge == re_
+    print(f"[{'OK ' if good else 'FAIL'}] cs2cs custom tag -t1: "
+          f"byte-{'identical' if good else 'DIFF'}")
+    ok &= good
+    args = ["-t1", "-f", "%.6f", "+ellps=WGS84"]
+    gtag = ["10 20 30 1000", "1 2 3 4", "12N 34E 45 10000"]
+    g, ge, _ = run_engine_cli_full(m_geod, args, gtag)
+    r, re_, _ = run_ref_full("geod", args, gtag)
+    good = g == r
+    print(f"[{'OK ' if good else 'FAIL'}] geod custom tag -t1: "
+          f"stdout byte-{'identical' if good else 'DIFF'}")
+    ok &= good
+
     # run-line argument parsing battery: invalid/combined options,
     # tag chars, -e sentinel, -m validation, listing exits, file
     # arguments (missing-file Sys errno), stdin mixing, arc-mode file
