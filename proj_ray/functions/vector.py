@@ -188,13 +188,20 @@ def cosine_pairs_f64(A: np.ndarray, B: np.ndarray) -> np.ndarray:
 def hyperplane_signatures_f64(M: np.ndarray, planes: np.ndarray) -> np.ndarray:
     """LSH bucket ids via dimension-ordered float64 projections —
     deterministic across matmul implementations (cf. dot_f64_ordered);
-    used where bucket ids feed an exact-match golden."""
+    used where bucket ids feed an exact-match golden.
+
+    All planes accumulate together per dimension: for each (row,
+    plane) element the terms still add in strict dimension order, so
+    the result is BIT-IDENTICAL to a per-plane dot_f64_ordered loop
+    (pinned in tests) while issuing D kernels instead of D x nplanes."""
     n = M.shape[0]
-    sig = np.zeros(n, dtype=np.int64)
-    for b in range(planes.shape[0]):
-        bits = dot_f64_ordered(M, planes[b]) > 0.0
-        sig |= bits.astype(np.int64) << np.int64(b)
-    return sig
+    P64 = planes.astype(np.float64)
+    acc = np.zeros((n, planes.shape[0]), dtype=np.float64)
+    for d in range(M.shape[1]):
+        acc += M[:, d].astype(np.float64)[:, None] * P64[:, d][None, :]
+    bits = acc > 0.0
+    weights = (np.int64(1) << np.arange(planes.shape[0], dtype=np.int64))
+    return (bits.astype(np.int64) * weights[None, :]).sum(axis=1)
 
 
 def hyperplane_signatures(M: np.ndarray, planes: np.ndarray) -> np.ndarray:

@@ -77,3 +77,22 @@ def test_ds_group_quantiles_vs_exact(ray_session):
         lo_q = np.quantile(v, 0.5, method="lower") - width
         hi_q = np.quantile(v, 0.5, method="higher") + width
         assert lo_q - 1e-9 <= approx[k] <= hi_q + 1e-9, (k, approx[k], lo_q, hi_q)
+
+
+def test_hyperplane_signatures_f64_matches_per_plane_dots():
+    """The all-planes-per-dimension accumulation is bit-identical to a
+    per-plane dot_f64_ordered loop (same per-element term order) — the
+    property that lets scalar goldens reproduce every bucket id."""
+    from proj_ray.functions.vector import (dot_f64_ordered,
+                                           hyperplane_signatures_f64,
+                                           make_planes)
+
+    rng = np.random.default_rng(3)
+    M = rng.standard_normal((2000, 64)).astype(np.float32)
+    planes = make_planes(64, nbits=96, seed=99)
+    got = hyperplane_signatures_f64(M, planes)
+    sig = np.zeros(M.shape[0], dtype=np.int64)
+    for b in range(planes.shape[0]):
+        bits = dot_f64_ordered(M, planes[b]) > 0.0
+        sig |= bits.astype(np.int64) << np.int64(b)
+    assert np.array_equal(got, sig)
