@@ -38,3 +38,22 @@ def test_every_oracle_sql_compiles():
         except Exception as e:  # pragma: no cover
             pytest.fail(f"oracle SQL for {name!r} does not compile: {e}")
     con.close()
+
+
+def test_driver_priority_queries_inside_50_window():
+    """The correctness driver records only the FIRST 50 registrations;
+    every query named in _DRIVER_PRIORITY (never driver-checked before
+    round 4, or new/changed) must stay inside that window, and the
+    registry must keep all entries intact after the reorder."""
+    from proj_ray.pipelines.queries import (_DRIVER_PRIORITY, _DRIVER_TAIL,
+                                            QUERIES)
+
+    names = list(QUERIES)
+    first50 = set(names[:50])
+    missing = [n for n in _DRIVER_PRIORITY if n not in first50]
+    assert not missing, missing
+    assert names[:len(_DRIVER_PRIORITY)] == _DRIVER_PRIORITY
+    assert names[-len(_DRIVER_TAIL):] == _DRIVER_TAIL
+    assert len(names) == len(set(names))
+    for spec in QUERIES.values():
+        assert callable(spec["fn"])
