@@ -260,3 +260,58 @@ def test_loxim_matches_scalar_reference():
     assert np.max(np.abs(y)) < 1e-6
     np.testing.assert_allclose(
         x, [R * _adjlon(v * D2R) * cosphi1 for v in lon5], atol=1e-6)
+
+
+def test_vandg4_matches_scalar_reference():
+    """PJ_vandg4.c s_forward, op for op (incl. the (|lam|-HALFPI)<0
+    sign test on RADIANS and the 1/dt pole amplification)."""
+    TOL = 1e-10
+    TWORPI = 0.63661977236758134308
+
+    def sfwd(lon, lat):
+        lam = _adjlon(lon * D2R)
+        phi = lat * D2R
+        if abs(phi) < TOL:
+            x, y = lam, 0.0
+        elif abs(lam) < TOL or abs(abs(phi) - HALFPI) < TOL:
+            x, y = 0.0, phi
+        else:
+            bt = abs(TWORPI * phi)
+            bt2 = bt * bt
+            ct = 0.5 * (bt * (8.0 - bt * (2.0 + bt2)) - 5.0) / \
+                (bt2 * (bt - 1.0))
+            ct2 = ct * ct
+            dt = TWORPI * lam
+            dt = dt + 1.0 / dt
+            dt = math.sqrt(dt * dt - 4.0)
+            if (abs(lam) - HALFPI) < 0.0:
+                dt = -dt
+            dt2 = dt * dt
+            x1 = bt + ct
+            x1 *= x1
+            t = bt + 3.0 * ct
+            ft = x1 * (bt2 + ct2 * dt2 - 1.0) + (1.0 - bt2) * (
+                bt2 * (t * t + 4.0 * ct2) +
+                ct2 * (12.0 * bt * ct + 4.0 * ct2))
+            x1 = (dt * (x1 + ct2 - 1.0) + 2.0 * math.sqrt(ft)) / \
+                (4.0 * x1 + dt2)
+            x = HALFPI * x1
+            y = HALFPI * math.sqrt(1.0 + dt * abs(x1) - x1 * x1)
+            if lam < 0.0:
+                x = -x
+            if phi < 0.0:
+                y = -y
+        return R * x, R * y
+
+    fwd = make_transform("+proj=latlong +R=6370997",
+                         "+proj=vandg4 +R=6370997")
+    rng = np.random.default_rng(11)
+    lon = np.concatenate([rng.uniform(-179, 179, 300),
+                          rng.uniform(-1, 1, 300)])
+    lat = rng.uniform(-80, 80, 600)
+    x, y, _ = fwd(lon.copy(), lat.copy())
+    exp = np.array([sfwd(a, b) for a, b in zip(lon, lat)])
+    both = np.isfinite(x) & np.isfinite(exp[:, 0])
+    assert (np.isfinite(x) == np.isfinite(exp[:, 0])).all()
+    d = np.abs(np.column_stack([x, y])[both] - exp[both])
+    assert np.max(d) < 1e-5
