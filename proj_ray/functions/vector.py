@@ -237,31 +237,42 @@ def capped_bucket_pairs(ids: np.ndarray, sig: np.ndarray, get_ext,
     out_a: list = []
     out_b: list = []
 
-    def emit(rows):
-        ia, ib = np.triu_indices(len(rows), k=1)
-        out_a.append(rows[ia])
-        out_b.append(rows[ib])
+    def emit_segments(order, st, ln):
+        # all-pairs inside every segment, batched by segment SIZE so
+        # the Python-level loop runs once per distinct size (not once
+        # per bucket — thousands of tiny buckets is the common case)
+        for size in np.unique(ln):
+            ia, ib = np.triu_indices(int(size), k=1)
+            base = st[ln == size]
+            out_a.append(order[(base[:, None] + ia[None, :]).ravel()])
+            out_b.append(order[(base[:, None] + ib[None, :]).ravel()])
 
     def rec(rows, level):
-        # rows: global indices, already ascending by ids
-        if len(rows) < 2:
-            return
-        if len(rows) <= cap or level >= n_ext_levels:
-            emit(rows)
-            return
+        # rows: global indices, already ascending by ids (oversized
+        # groups only — the rare path)
         k = get_ext(level, rows)
         o = np.argsort(k, kind="stable")  # stable keeps id order per key
         rs, ks = rows[o], k[o]
         st = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
         en = np.r_[st[1:], len(ks)]
-        for s, e in zip(st, en):
+        ln = en - st
+        fits = (ln <= cap) | (level + 1 >= n_ext_levels)
+        small = fits & (ln >= 2)
+        if small.any():
+            emit_segments(rs, st[small], ln[small])
+        for s, e in zip(st[~fits], en[~fits]):
             rec(rs[s:e], level + 1)
 
     order = np.lexsort((ids, sig))
     s = sig[order]
     st = np.flatnonzero(np.r_[True, s[1:] != s[:-1]]) if len(s) else np.array([], np.int64)
     en = np.r_[st[1:], len(s)]
-    for a, b in zip(st, en):
+    ln = en - st
+    fits = (ln <= cap) | (n_ext_levels <= 0)
+    small = fits & (ln >= 2)
+    if small.any():
+        emit_segments(order, st[small], ln[small])
+    for a, b in zip(st[~fits], en[~fits]):
         rec(order[a:b], 0)
     if not out_a:
         z = np.array([], dtype=np.int64)
