@@ -233,7 +233,12 @@ def capped_bucket_pairs(ids: np.ndarray, sig: np.ndarray, get_ext,
     same extension signature regardless of which rows it is grouped
     with) so the driver, distributed and scalar implementations agree
     bit-for-bit.  Returns (ia, ib) row-index arrays with
-    ids[ia] < ids[ib]."""
+    ids[ia] < ids[ib].
+
+    Scale property: after recursion every pairing group is <= cap (or
+    a last-level near-identical cluster), so each row's candidate
+    degree is bounded by ~cap per table — candidate volume grows
+    linearly in N with a cap-sized constant, never N^2/#buckets."""
     out_a: list = []
     out_b: list = []
 
