@@ -96,3 +96,57 @@ def test_hyperplane_signatures_f64_matches_per_plane_dots():
         bits = dot_f64_ordered(M, planes[b]) > 0.0
         sig |= bits.astype(np.int64) << np.int64(b)
     assert np.array_equal(got, sig)
+
+
+def test_capped_bucket_pairs_hot_bucket_splits_and_bounds_degree():
+    """A hot bucket (one signature shared by many rows) must split by
+    extension signatures before pairing: the pair set equals brute
+    force WITHIN final sub-buckets, per-row candidate degree stays
+    ~cap-bounded, and a last-level identical cluster still pairs in
+    full (its output is legitimately quadratic)."""
+    from proj_ray.functions.vector import capped_bucket_pairs
+
+    rng = np.random.default_rng(12)
+    n = 4000
+    ids = np.arange(n, dtype=np.int64)
+    sig = np.zeros(n, dtype=np.int64)       # ONE hot bucket
+    ext1 = rng.integers(0, 64, n)           # level-0 extension: 64 keys
+    ext2 = rng.integers(0, 64, n)           # level-1 extension
+
+    def get_ext(level, rows):
+        return (ext1 if level == 0 else ext2)[rows]
+
+    ia, ib = capped_bucket_pairs(ids, sig, get_ext, 2, cap=32)
+    # expected: brute force within (ext1, ext2) groups of size > cap
+    # at level 0, within ext1 groups that already fit the cap
+    got = set(zip(ia.tolist(), ib.tolist()))
+    expected = set()
+    import itertools
+    for k1 in np.unique(ext1):
+        rows = np.flatnonzero(ext1 == k1)
+        if len(rows) <= 32:
+            expected |= set(itertools.combinations(rows.tolist(), 2))
+        else:
+            for k2 in np.unique(ext2[rows]):
+                sub = rows[ext2[rows] == k2].tolist()
+                expected |= set(itertools.combinations(sub, 2))
+    assert got == expected
+    # identical cluster at the last level: still paired in full
+    m = 50
+    ids2 = np.arange(m, dtype=np.int64)
+    z = np.zeros(m, dtype=np.int64)
+    ia, ib = capped_bucket_pairs(ids2, z, lambda l, r: z[r], 2, cap=8)
+    assert len(ia) == m * (m - 1) // 2
+
+
+def test_capped_bucket_pairs_ids_ordering_and_empty():
+    from proj_ray.functions.vector import capped_bucket_pairs
+
+    ids = np.array([9, 3, 7, 1], dtype=np.int64)
+    sig = np.array([5, 5, 5, 5], dtype=np.int64)
+    ia, ib = capped_bucket_pairs(ids, sig, lambda l, r: None, 0, cap=10)
+    assert (ids[ia] < ids[ib]).all()
+    assert len(ia) == 6
+    e = np.array([], dtype=np.int64)
+    ia, ib = capped_bucket_pairs(e, e, lambda l, r: None, 0, cap=10)
+    assert len(ia) == 0
