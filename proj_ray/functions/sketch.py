@@ -188,11 +188,18 @@ class TDigest:
         return self.means.copy(), self.weights.copy()
 
 
-def ds_quantile_tdigest(ds, val_col: str, qs, delta: int = 200):
+def ds_quantile_tdigest(ds, val_col: str, qs, delta: int = 200,
+                        reduce_batch: int = 2048):
     """Distributed quantiles via t-digest: per-batch partial digests
     inside map_batches (each shipped as (means, weights) arrays — a
-    few KB), merged on the driver; the corpus itself is never
-    collected.  Works with no prior knowledge of the value range."""
+    few KB), tree-reduced through an intermediate merge level (one
+    digest out per ``reduce_batch`` partials, so the driver sees
+    #blocks/reduce_batch rows instead of #blocks — at 10^6 blocks the
+    one-level merge would be GBs), then merged on the driver; the
+    corpus itself is never collected.  Works with no prior knowledge
+    of the value range.  The estimate depends on the merge tree (any
+    correct tree satisfies the documented rank bound — what the
+    events_value_quantiles certificate gates)."""
     import pyarrow as _pa
 
     def partial(t):
@@ -201,7 +208,18 @@ def ds_quantile_tdigest(ds, val_col: str, qs, delta: int = 200):
         return _pa.table({"means": _pa.array([m.tolist()]),
                           "weights": _pa.array([w.tolist()])})
 
-    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    def merge_level(t):
+        acc = TDigest(delta)
+        for m, w in zip(t["means"].to_pylist(), t["weights"].to_pylist()):
+            acc = acc.merge(TDigest(delta, m, w))
+        m, w = acc.to_arrays()
+        return _pa.table({"means": _pa.array([m.tolist()]),
+                          "weights": _pa.array([w.tolist()])})
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=None)
+             .map_batches(merge_level, batch_format="pyarrow",
+                          batch_size=reduce_batch))
     acc = TDigest(delta)
     for b in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
         for m, w in zip(b["means"].to_pylist(), b["weights"].to_pylist()):
