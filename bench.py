@@ -68,6 +68,8 @@ def run_bench():
         # iterative real-grid inverse, vector near-dup
         "segment_acctbal_p90", "ann_ivf_partitioned",
         "grid_shift_real_inv", "embedding_near_dups",
+        # round-4 addition: raster -> vector connected-component vectorize
+        "raster_polygonize",
     ]
     qtimes = {}
     for name in bench_queries:

@@ -86,3 +86,23 @@ def test_raster_polygonize_matches_duckdb_sf0001():
     # structure sanity at this sf (frozen by the derivation math)
     assert len(eng) == 322
     assert eng["n_cells"].sum() == 623
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_zonal_stats_matches_duckdb_sf0001():
+    from proj_ray.pipelines.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    eng = QUERIES["zonal_stats"]["fn"](sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS "
+                f"SELECT * FROM read_parquet('{sf}/lineitem.parquet')")
+    ora = con.execute(QUERIES["zonal_stats"]["sql"]).fetchdf()
+    ora = ora.astype({k: "int64" for k in ora.columns if k != "polygon_id"})
+    pd.testing.assert_frame_equal(
+        eng.reset_index(drop=True), ora.reset_index(drop=True))
+    # every AOI zone is populated at this sf, and zone totals are a
+    # strict subset of the corpus
+    assert set(eng["polygon_id"]) == {
+        "concave_c", "eu_blob", "na_box", "overlap_eu", "south_band"}
+    assert 0 < eng["total_points"].sum() < 6001 * 10
