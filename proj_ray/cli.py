@@ -60,6 +60,27 @@ class _PjFwdFilter:
         return x, y, z
 
 
+def block_lazy_pandas():
+    """CLI-process startup hook: keep pyarrow's pandas shim from lazily
+    importing pandas (~0.27 s) on the first ``pa.array`` call.
+
+    The text filters never use pandas; pyarrow's ``_PandasAPIShim``
+    catches the ImportError once and caches "unavailable", after which
+    every Arrow kernel the fast paths use (split/cast/format/join,
+    primitive ``to_numpy``) works normally.  Installed only by the
+    ``python -m proj_ray.{cs2cs,proj,geod,...}`` entry modules — a
+    no-op in library use, and harmless if pandas is already imported
+    (sys.modules wins before meta_path is consulted)."""
+    import importlib.abc
+
+    class _BlockPandas(importlib.abc.MetaPathFinder):
+        def find_spec(self, name, path=None, target=None):
+            if name == "pandas" or name.startswith("pandas."):
+                raise ImportError("pandas blocked in proj_ray CLI process")
+
+    sys.meta_path.insert(0, _BlockPandas())
+
+
 def _c_float_str(v, fmt):
     """C printf for one double: glibc prints 'nan'/'-nan' (sign bit
     kept) and 'inf'/'-inf'; Python's %-format drops the nan sign."""

@@ -2,4 +2,7 @@
 from .cli import cs2cs_main
 
 if __name__ == "__main__":
+    from .cli import block_lazy_pandas
+
+    block_lazy_pandas()
     raise SystemExit(cs2cs_main())

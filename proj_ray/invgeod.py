@@ -9,6 +9,10 @@ from .cli import geod_main
 if __name__ == "__main__":
     import sys
 
+    from .cli import block_lazy_pandas
+
+    block_lazy_pandas()
+
     args = sys.argv[1:]
     if not args:
         from .cli import PJ_RELEASE, _USAGE
