@@ -19,12 +19,15 @@ Pipeline shape (the 100-TB story):
    resolution, e.g. 72x32 here, zoom-12 -> 16M cells), not the corpus.
 3. **Vectorize** — 4-adjacency edges via two vectorized merges (right
    and down neighbors; no Python loop over cells), then connected
-   components through :func:`proj_ray.functions.dedup.cc_min_label`,
-   which itself size-dispatches (driver-side vectorized rounds below
-   2M edges, distributed min-label propagation above — the branch a
-   fine raster takes).  Isolated active cells are their own
-   components.  Output: one row per region with cell count, bounding
-   box and the summed cell values.
+   components through :func:`proj_ray.functions.dedup.cc_min_label`.
+   This module's :func:`polygonize` builds the edges driver-side — the
+   raster (not the corpus) bounds that table, which stays
+   driver-tractable up to ~zoom-12 (16M cells); a corpus-scale raster
+   would build edges distributively (the same two merges as Dataset
+   joins) and pass the edge Dataset to cc_min_label, whose dispatch
+   takes the distributed min-label path past 2M edges.  Isolated
+   active cells are their own components.  Output: one row per region
+   with cell count, bounding box and the summed cell values.
 """
 
 from __future__ import annotations
