@@ -1,0 +1,127 @@
+"""S2 cell index: vectorized kernel vs scalar Python-int reference,
+self-consistency (roundtrips, containment, Hilbert adjacency), and the
+oracle-determinism pin (numpy vs DuckDB trig bit-equality on the
+synthetic centidegree domain).  No Ray needed — pure kernels; the Ray
+stage itself is gated end-to-end by the s2_cell_agg / s2_cell_center
+driver queries."""
+
+import numpy as np
+import pytest
+
+from proj_ray.kernels import s2cell as s2
+from tools.scalar_ref import s2_cell_id_scalar, s2_center_scalar
+
+
+def _grid_points(n, seed=3):
+    rng = np.random.default_rng(seed)
+    lon = rng.integers(-18000, 18000, n).astype(np.float64) / 100.0
+    lat = rng.integers(-8000, 8000, n).astype(np.float64) / 100.0
+    return lon, lat
+
+
+# poles, date line, face-tie directions (|x|=|y|, |y|=|z|, corners)
+_SPECIAL = np.array([
+    (0.0, 90.0), (0.0, -90.0), (180.0, 0.0), (-180.0, 0.0),
+    (179.999999, 45.0), (-179.999999, -45.0),
+    (45.0, 0.0), (-45.0, 0.0), (135.0, 0.0), (-135.0, 0.0),
+    (0.0, 45.0), (0.0, -45.0), (90.0, 45.0),
+    (45.0, 35.26438968275465),   # (1,1,1)/sqrt(3) corner direction
+    (0.0, 0.0), (1e-14, -1e-14),
+])
+
+
+def test_scalar_parity_bitwise():
+    lon, lat = _grid_points(3000)
+    lon = np.concatenate([lon, _SPECIAL[:, 0]])
+    lat = np.concatenate([lat, _SPECIAL[:, 1]])
+    for level in (30, 17, 7, 1, 0):
+        vec = s2.cell_id_from_lonlat(lon, lat, level)
+        sc = np.array([s2_cell_id_scalar(a, b, level)
+                       for a, b in zip(lon, lat)], dtype=np.uint64)
+        assert (vec == sc).all(), level
+
+
+def test_center_scalar_parity_and_roundtrip():
+    lon, lat = _grid_points(1500, seed=11)
+    leaf = s2.cell_id_from_lonlat(lon, lat)
+    for level in (30, 23, 9, 4, 0):
+        ids = s2.id_at_level(leaf, level) if level < 30 else leaf
+        assert (s2.level_of(ids) == level).all()
+        clon, clat = s2.cell_center_lonlat(ids)
+        # re-encoding the exact center at the same level returns the id
+        assert (s2.cell_id_from_lonlat(clon, clat, level) == ids).all()
+        sc = np.array([s2_center_scalar(int(c)) for c in ids])
+        np.testing.assert_allclose(clon, sc[:, 0], atol=1e-12)
+        np.testing.assert_allclose(clat, sc[:, 1], atol=1e-12)
+
+
+def test_hilbert_roundtrip_and_adjacency():
+    rng = np.random.default_rng(5)
+    f = rng.integers(0, 6, 4000).astype(np.uint64)
+    i = rng.integers(0, 1 << 30, 4000).astype(np.uint64)
+    j = rng.integers(0, 1 << 30, 4000).astype(np.uint64)
+    pos = s2.hilbert_pos(f, i, j)
+    i2, j2 = s2.hilbert_ij(f, pos)
+    assert (i2 == i).all() and (j2 == j).all()
+    # consecutive curve positions are 4-adjacent cells on every face —
+    # the locality property that makes range-partitioning by id a
+    # spatial shard key
+    for face in range(6):
+        seq = np.arange(4096, dtype=np.uint64) << np.uint64(2 * (30 - 6))
+        ii, jj = s2.hilbert_ij(np.full(4096, face, np.uint64), seq)
+        ii >>= np.uint64(24)
+        jj >>= np.uint64(24)
+        step = (np.abs(np.diff(ii.astype(np.int64)))
+                + np.abs(np.diff(jj.astype(np.int64))))
+        assert step.max() == 1
+
+
+def test_containment_and_range():
+    lon, lat = _grid_points(2000, seed=17)
+    leaf = s2.cell_id_from_lonlat(lon, lat)
+    for level in (2, 9, 16, 29):
+        ids = s2.id_at_level(leaf, level)
+        lo, hi = s2.cell_range(ids)
+        assert ((leaf >= lo) & (leaf <= hi)).all()
+        # parent at a coarser level contains the child's whole interval
+        par = s2.id_at_level(ids, level - 2)
+        plo, phi = s2.cell_range(par)
+        assert ((lo >= plo) & (hi <= phi)).all()
+
+
+def test_int64_view_parent_arithmetic():
+    """The SQL oracle coarsens on the int64 bit-pattern view with
+    two's-complement & / |; must equal the uint64 kernel arithmetic,
+    including faces 4-5 where the int64 view is negative."""
+    lon = np.array([-170.0, -100.0, 10.0, 100.0, 170.0, 0.0])
+    lat = np.array([-70.0, -10.0, 5.0, 10.0, 70.0, -89.0])
+    leaf = s2.cell_id_from_lonlat(lon, lat)
+    assert (leaf.view(np.int64) < 0).any()  # negative-view faces hit
+    for level in (3, 11, 21):
+        want = s2.id_at_level(leaf, level)
+        lsb = 1 << (2 * (30 - level))
+        got = np.array([(int(v) & -lsb) | lsb
+                        for v in leaf.view(np.int64)], dtype=np.int64)
+        assert (got.view(np.uint64) == want).all()
+
+
+def test_duckdb_trig_bit_parity():
+    """Oracle-determinism pin: DuckDB's cos/sin/pi agree bit-for-bit
+    with numpy's over the full centidegree domain the synthetic points
+    live on — the only transcendental step in the s2_cell_agg oracle;
+    everything after is order-matched IEEE arithmetic."""
+    duckdb = pytest.importorskip("duckdb")
+    import pyarrow as pa
+
+    con = duckdb.connect()
+    assert con.execute("SELECT pi()").fetchone()[0] == np.pi
+    for vals in (np.arange(-18000, 18000, dtype=np.float64) / 100.0,
+                 np.arange(-8000, 8000, dtype=np.float64) / 100.0):
+        rad = vals * (np.pi / 180.0)
+        con.register("t", pa.table({"v": vals}))
+        got = con.execute(
+            "SELECT cos(v * (pi()/180.0)) AS c, sin(v * (pi()/180.0)) AS s"
+            " FROM t").fetchnumpy()
+        con.unregister("t")
+        assert (np.cos(rad).view(np.uint64) == got["c"].view(np.uint64)).all()
+        assert (np.sin(rad).view(np.uint64) == got["s"].view(np.uint64)).all()

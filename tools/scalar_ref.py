@@ -715,3 +715,102 @@ def ntv2_transform_scalar(grids, lon_deg, lat_deg, inverse=False):
         out_lon[idx] = o_lam * _RAD_TO_DEG
         out_lat[idx] = o_phi * _RAD_TO_DEG
     return out_lon, out_lat
+
+
+# ---------------------------------------------------------------------------
+# Scalar S2 cell ids (published S2 geometry scheme; independent
+# per-point Python-int port of the construction the vectorized
+# proj_ray/kernels/s2cell.py implements with uint64 lanes)
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+_S2_POS_TO_IJ = ((0, 1, 3, 2), (0, 2, 3, 1), (3, 2, 0, 1), (3, 1, 0, 2))
+_S2_POS_TO_ORIENT = (1, 0, 0, 3)
+_S2_IJ_TO_POS = tuple(
+    tuple(row.index(ij) for ij in range(4)) for row in _S2_POS_TO_IJ)
+_S2_MAX = 30
+
+
+def s2_cell_id_scalar(lon_deg, lat_deg, level=_S2_MAX):
+    """One lon/lat (degrees) -> S2 cell id at ``level`` as a Python int
+    (uint64 value).  math.* libm trig; every step a plain Python-int
+    statement, so vectorized lane/dtype bugs cannot be shared."""
+    lon = float(lon_deg) * (_math.pi / 180.0)
+    lat = float(lat_deg) * (_math.pi / 180.0)
+    cl = _math.cos(lat)
+    x, y, z = cl * _math.cos(lon), cl * _math.sin(lon), _math.sin(lat)
+    ax, ay, az = abs(x), abs(y), abs(z)
+    if ax >= ay:
+        axis = 0 if ax >= az else 2
+    else:
+        axis = 1 if ay >= az else 2
+    major = (x, y, z)[axis]
+    face = axis if major >= 0 else axis + 3
+    if face == 0:
+        u, v = y / x, z / x
+    elif face == 1:
+        u, v = -x / y, z / y
+    elif face == 2:
+        u, v = -x / z, -y / z
+    elif face == 3:
+        u, v = z / x, y / x
+    elif face == 4:
+        u, v = z / y, -x / y
+    else:
+        u, v = -y / z, -x / z
+
+    def st(c):
+        return (0.5 * _math.sqrt(1.0 + 3.0 * c) if c >= 0.0
+                else 1.0 - 0.5 * _math.sqrt(1.0 - 3.0 * c))
+
+    def ij(s):
+        return min(max(int(_math.floor(s * (1 << _S2_MAX))), 0),
+                   (1 << _S2_MAX) - 1)
+
+    i, j = ij(st(u)), ij(st(v))
+    orient = face & 1
+    pos = 0
+    for k in range(_S2_MAX - 1, -1, -1):
+        q = (((i >> k) & 1) << 1) | ((j >> k) & 1)
+        child = _S2_IJ_TO_POS[orient][q]
+        pos = (pos << 2) | child
+        orient ^= _S2_POS_TO_ORIENT[child]
+    cid = (face << 61) | (pos << 1) | 1
+    if level < _S2_MAX:
+        lsb = 1 << (2 * (_S2_MAX - level))
+        cid = (cid & ~(2 * lsb - 1)) | lsb
+    return cid
+
+
+def s2_center_scalar(cid):
+    """Center lon/lat (degrees) of one cell id (published GetCenterSiTi
+    delta rule), Python-int decode."""
+    face = cid >> 61
+    orient = face & 1
+    i = j = 0
+    for r in range(_S2_MAX):
+        child = (cid >> (59 - 2 * r)) & 3
+        q = _S2_POS_TO_IJ[orient][child]
+        i = (i << 1) | (q >> 1)
+        j = (j << 1) | (q & 1)
+        orient ^= _S2_POS_TO_ORIENT[child]
+    if cid & 1:
+        delta = 1
+    else:
+        delta = 2 if ((i ^ (cid >> 2)) & 1) else 0
+    si, ti = 2 * i + delta, 2 * j + delta
+    s = si / float(1 << (_S2_MAX + 1))
+    t = ti / float(1 << (_S2_MAX + 1))
+
+    def uv(c):
+        return ((1.0 / 3.0) * (4.0 * c * c - 1.0) if c >= 0.5
+                else (1.0 / 3.0) * (1.0 - 4.0 * (1.0 - c) * (1.0 - c)))
+
+    u, v = uv(s), uv(t)
+    xyz = ((1.0, u, v), (-u, 1.0, v), (-u, -v, 1.0),
+           (-1.0, -v, -u), (v, -1.0, -u), (v, u, -1.0))[face]
+    x, y, z = xyz
+    lon = _math.degrees(_math.atan2(y, x))
+    lat = _math.degrees(_math.atan2(z, _math.hypot(x, y)))
+    return lon, lat
