@@ -68,8 +68,11 @@ def run_bench():
         # iterative real-grid inverse, vector near-dup
         "segment_acctbal_p90", "ann_ivf_partitioned",
         "grid_shift_real_inv", "embedding_near_dups",
-        # round-4 addition: raster -> vector connected-component vectorize
-        "raster_polygonize",
+        # round-4 additions: raster -> vector connected-component
+        # vectorize, vector -> raster zonal stats, t-digest quantiles
+        # over a continuous domain, S2 Hilbert cell aggregate
+        "raster_polygonize", "zonal_stats", "events_value_quantiles",
+        "s2_cell_agg",
     ]
     qtimes = {}
     for name in bench_queries:

@@ -295,3 +295,112 @@ def cell_range(ids):
     ids = np.asarray(ids, dtype=np.uint64)
     lsb = ids & (~ids + _U1)
     return ids - (lsb - _U1), ids + (lsb - _U1)
+
+
+# ---------------------------------------------------------------------------
+# Region covering: level-L cells intersecting a lon/lat bbox.
+# Exact-SUPERSET guarantee (never misses an intersecting cell; may
+# include extra boundary cells): per face, an analytic (u, v) bounding
+# rectangle of the bbox image — u = tan(dlon) and v = tan(lat)/cos(dlon)
+# on equatorial faces (monotone per variable, so endpoint+critical-point
+# evaluation bounds them), u/v = -cos/sin(lon)/tan(lat) on polar faces —
+# then every level-L cell whose (i, j) square intersects the rect.
+# The no-miss property is what shard pruning rests on; pinned against
+# brute-force membership in tests/test_s2cell.py.
+# ---------------------------------------------------------------------------
+
+_POLAR_MIN_LAT = 35.26  # < atan(1/sqrt(2)) deg: every polar-face point
+#                         has |lat| >= 35.2643...; the slack keeps the
+#                         clip strictly conservative
+
+
+def _face_rects(lon0, lon1, lat0, lat1):
+    """Per-face conservative (u_lo, u_hi, v_lo, v_hi) rectangles of the
+    bbox image, clamped to the face square; None when provably empty."""
+    d2r = np.pi / 180.0
+    rects = {}
+    # equatorial faces: center longitudes 0, 90, 180, -90.  In face
+    # coordinates, t = tan(dlon) and w = tan(lat)/cos(dlon); the face
+    # table (xyz_to_face_uv) orients them as (u, v) = (t, w) on faces
+    # 0-1 but (u, v) = (-w, t) on faces 3-4 (x or y negative flips and
+    # transposes the axes).
+    for face, lon_c in ((0, 0.0), (1, 90.0), (3, 180.0), (4, -90.0)):
+        t_lo = t_hi = None
+        w_cand = []
+        for shift in (-360.0, 0.0, 360.0):
+            d0 = lon0 - lon_c + shift
+            d1 = lon1 - lon_c + shift
+            a = max(d0, -89.9999)
+            b = min(d1, 89.9999)
+            if a > b:
+                continue
+            ta, tb = np.tan(a * d2r), np.tan(b * d2r)
+            t_lo = ta if t_lo is None else min(t_lo, ta)
+            t_hi = tb if t_hi is None else max(t_hi, tb)
+            dl_cand = [a, b] + ([0.0] if a <= 0.0 <= b else [])
+            for la in (lat0, lat1):
+                for dl in dl_cand:
+                    w_cand.append(np.tan(la * d2r) / np.cos(dl * d2r))
+        if t_lo is None:
+            continue
+        if face in (0, 1):
+            rect = (max(t_lo, -1.0), min(t_hi, 1.0),
+                    max(min(w_cand), -1.0), min(max(w_cand), 1.0))
+        else:
+            rect = (max(-max(w_cand), -1.0), min(-min(w_cand), 1.0),
+                    max(t_lo, -1.0), min(t_hi, 1.0))
+        if rect[0] <= rect[1] and rect[2] <= rect[3]:
+            rects[face] = rect
+    # polar faces: u/v are (+-cos, +-sin)(lon) / tan(lat)
+    for face, sgn in ((2, 1.0), (5, -1.0)):
+        la0 = max(lat0, _POLAR_MIN_LAT) if sgn > 0 else max(-lat1,
+                                                            _POLAR_MIN_LAT)
+        la1 = min(lat1, 90.0) if sgn > 0 else min(-lat0, 90.0)
+        if la0 > la1:
+            continue
+        # r = 1/tan(|lat|) in [r_lo, r_hi], 0 at the pole
+        r_hi = 1.0 / np.tan(la0 * d2r)
+        r_lo = 0.0 if la1 >= 90.0 else 1.0 / np.tan(la1 * d2r)
+        cos_c = [np.cos(lon0 * d2r), np.cos(lon1 * d2r)]
+        sin_c = [np.sin(lon0 * d2r), np.sin(lon1 * d2r)]
+        for crit, is_cos in ((0.0, True), (180.0, True), (-180.0, True),
+                             (90.0, False), (-90.0, False)):
+            if lon0 <= crit <= lon1:
+                (cos_c if is_cos else sin_c).append(
+                    np.cos(crit * d2r) if is_cos else np.sin(crit * d2r))
+        if face == 2:
+            # u = -cos(lon)*r, v = -sin(lon)*r
+            uc = [-c * r for c in cos_c for r in (r_lo, r_hi)]
+            vc = [-s * r for s in sin_c for r in (r_lo, r_hi)]
+        else:
+            # z < 0: u = -y/z = sin(lon)*r, v = -x/z = cos(lon)*r
+            uc = [s * r for s in sin_c for r in (r_lo, r_hi)]
+            vc = [c * r for c in cos_c for r in (r_lo, r_hi)]
+        rect = (max(min(uc), -1.0), min(max(uc), 1.0),
+                max(min(vc), -1.0), min(max(vc), 1.0))
+        if rect[0] <= rect[1] and rect[2] <= rect[3]:
+            rects[face] = rect
+    return rects
+
+
+def bbox_covering(lon0, lon1, lat0, lat1, level: int):
+    """All level-``level`` cell ids whose cell could intersect the
+    non-wrapping bbox [lon0, lon1] x [lat0, lat1] (degrees) — an exact
+    superset of the truly-intersecting set.  Returns sorted uint64 ids."""
+    if lon0 > lon1 or lat0 > lat1:
+        return np.array([], dtype=np.uint64)
+    shift = np.uint64(MAX_LEVEL - level)
+    out = []
+    for face, (u0, u1, v0, v1) in _face_rects(lon0, lon1, lat0, lat1).items():
+        i0 = int(st_to_ij(uv_to_st(np.float64(u0)))) >> (MAX_LEVEL - level)
+        i1 = int(st_to_ij(uv_to_st(np.float64(u1)))) >> (MAX_LEVEL - level)
+        j0 = int(st_to_ij(uv_to_st(np.float64(v0)))) >> (MAX_LEVEL - level)
+        j1 = int(st_to_ij(uv_to_st(np.float64(v1)))) >> (MAX_LEVEL - level)
+        ic, jc = np.meshgrid(np.arange(i0, i1 + 1, dtype=np.uint64),
+                             np.arange(j0, j1 + 1, dtype=np.uint64))
+        fa = np.full(ic.size, face, dtype=np.uint64)
+        ids = leaf_id(fa, ic.ravel() << shift, jc.ravel() << shift)
+        out.append(id_at_level(ids, level))
+    if not out:
+        return np.array([], dtype=np.uint64)
+    return np.unique(np.concatenate(out))

@@ -125,3 +125,44 @@ def test_duckdb_trig_bit_parity():
         con.unregister("t")
         assert (np.cos(rad).view(np.uint64) == got["c"].view(np.uint64)).all()
         assert (np.sin(rad).view(np.uint64) == got["s"].view(np.uint64)).all()
+
+
+def test_bbox_covering_no_miss():
+    """The shard-pruning contract: bbox_covering is an exact SUPERSET —
+    the level-L cell of any point inside the bbox is always in the
+    covering (randomized boxes incl. pole caps, antimeridian-adjacent
+    strips, face corners and degenerate slivers)."""
+    rng = np.random.default_rng(123)
+    boxes = [(-180.0, 180.0, -90.0, 90.0), (170.0, 180.0, 80.0, 90.0),
+             (-180.0, -170.0, -90.0, -80.0), (-1.0, 1.0, 89.0, 90.0),
+             (44.0, 46.0, 34.0, 36.0), (-180.0, 180.0, -0.01, 0.01)]
+    for _ in range(40):
+        lon0 = rng.uniform(-180, 179)
+        lon1 = min(180.0, lon0 + rng.uniform(0.01, 200))
+        lat0 = rng.uniform(-90, 89)
+        lat1 = min(90.0, lat0 + rng.uniform(0.01, 100))
+        boxes.append((lon0, lon1, lat0, lat1))
+    for lon0, lon1, lat0, lat1 in boxes:
+        level = int(rng.integers(1, 9))
+        cover = set(s2.bbox_covering(lon0, lon1, lat0, lat1, level).tolist())
+        lon = rng.uniform(lon0, lon1, 3000)
+        lat = rng.uniform(lat0, lat1, 3000)
+        # edges + corners
+        lon = np.concatenate([lon, [lon0, lon1, lon0, lon1],
+                              rng.uniform(lon0, lon1, 40),
+                              [lon0] * 40, [lon1] * 40])
+        lat = np.concatenate([lat, [lat0, lat0, lat1, lat1],
+                              [lat0] * 40, rng.uniform(lat0, lat1, 40),
+                              [lat1] * 40])
+        ids = s2.id_at_level(s2.cell_id_from_lonlat(lon, lat), level)
+        missing = [int(i) for i in np.unique(ids) if int(i) not in cover]
+        assert not missing, (lon0, lon1, lat0, lat1, level, missing[:3])
+
+
+def test_bbox_covering_empty_and_tight():
+    assert len(s2.bbox_covering(10.0, 5.0, 0.0, 1.0, 4)) == 0  # inverted
+    # a sliver well inside one face covers a handful of cells, not a face
+    c = s2.bbox_covering(10.0, 10.1, 10.0, 10.1, 6)
+    assert 1 <= len(c) <= 9
+    full = s2.bbox_covering(-180.0, 180.0, -90.0, 90.0, 2)
+    assert len(full) == 6 * 4 ** 2  # whole sphere at level 2
