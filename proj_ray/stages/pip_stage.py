@@ -52,6 +52,22 @@ def _tile_of(lon, lat, zoom):
     return int(tx[0]), int(ty[0])
 
 
+def bucket_polygons_s2(polygons, level: int):
+    """cell -> [poly_index] S2 covering-bucket index.  Uses the
+    exact-superset bbox_covering (kernels.s2cell), so unlike the
+    Web-Mercator bucketing no ±85° latitude clamp is needed — polar
+    polygons bucket correctly; over-cover is harmless (exact pnpoly
+    test per point)."""
+    from ..kernels.s2cell import bbox_covering
+
+    buckets: dict = {}
+    for k, p in enumerate(polygons):
+        x0, y0, x1, y1 = p.bbox
+        for c in bbox_covering(x0, x1, y0, y1, level).view(np.int64):
+            buckets.setdefault(int(c), []).append(k)
+    return buckets
+
+
 class PIPJoinActor:
     """PIP join stage: usable BOTH as an actor-pool class (pass the class
     to map_batches with fn_constructor_kwargs — state built once per
@@ -70,11 +86,20 @@ class PIPJoinActor:
     """
 
     def __init__(self, poly_defs, zoom=7, lon_col="lon", lat_col="lat",
-                 id_cols=("pid",), direct_threshold=64):
+                 id_cols=("pid",), direct_threshold=64, index="tile"):
+        # index="tile": Web-Mercator quadtree buckets (kernels.tiling);
+        # index="s2": S2 Hilbert cell buckets (kernels.s2cell) — full
+        # sphere, no polar clamp; ``zoom`` is the S2 level in that mode
         self.polygons = make_polygons(poly_defs)
         self.zoom = zoom
+        self.index = index
         self.direct = len(self.polygons) <= direct_threshold
-        self.buckets = None if self.direct else bucket_polygons(self.polygons, zoom)
+        if self.direct:
+            self.buckets = None
+        elif index == "s2":
+            self.buckets = bucket_polygons_s2(self.polygons, zoom)
+        else:
+            self.buckets = bucket_polygons(self.polygons, zoom)
         self.lon_col = lon_col
         self.lat_col = lat_col
         self.id_cols = id_cols
@@ -95,7 +120,12 @@ class PIPJoinActor:
         return pa.table(cols)
 
     def _bucketed(self, lon, lat):
-        cells = cell_id_of(lon, lat, self.zoom)
+        if self.index == "s2":
+            from ..kernels.s2cell import cell_id_from_lonlat
+
+            cells = cell_id_from_lonlat(lon, lat, self.zoom).view(np.int64)
+        else:
+            cells = cell_id_of(lon, lat, self.zoom)
         pt_idx_out = []
         poly_out = []
         order = np.argsort(cells, kind="stable")

@@ -166,3 +166,38 @@ def test_bbox_covering_empty_and_tight():
     assert 1 <= len(c) <= 9
     full = s2.bbox_covering(-180.0, 180.0, -90.0, 90.0, 2)
     assert len(full) == 6 * 4 ** 2  # whole sphere at level 2
+
+
+def test_pip_s2_bucketed_matches_direct_incl_polar():
+    """S2-bucketed PIP probe equals the direct all-polygons evaluation,
+    including a polar-cap polygon the ±85°-clamped Web-Mercator
+    bucketing cannot index cleanly (no Ray: the actor class is callable
+    on a plain Arrow table)."""
+    import pyarrow as pa
+
+    from proj_ray.stages.pip_stage import PIPJoinActor
+
+    polys = [
+        ("cap_n", [(-180.0, 86.0), (-60.0, 86.0), (60.0, 86.0),
+                   (180.0, 86.0), (180.0, 90.0), (-180.0, 90.0)]),
+        ("box_eu", [(-10.0, 35.0), (30.0, 35.0), (30.0, 60.0),
+                    (-10.0, 60.0)]),
+        ("box_pac", [(150.0, -20.0), (179.0, -20.0), (179.0, 20.0),
+                     (150.0, 20.0)]),
+    ]
+    rng = np.random.default_rng(9)
+    lon = np.concatenate([rng.uniform(-180, 180, 4000),
+                          rng.uniform(-180, 180, 500)])
+    lat = np.concatenate([rng.uniform(-90, 90, 4000),
+                          rng.uniform(85.5, 90, 500)])  # polar stress
+    t = pa.table({"pid": pa.array(np.arange(len(lon)), pa.int64()),
+                  "lon": pa.array(lon), "lat": pa.array(lat)})
+    direct = PIPJoinActor(polys, id_cols=("pid",),
+                          direct_threshold=64)(t).to_pandas()
+    s2b = PIPJoinActor(polys, zoom=6, id_cols=("pid",), direct_threshold=0,
+                       index="s2")(t).to_pandas()
+    key = ["pid", "polygon_id"]
+    d = direct.sort_values(key).reset_index(drop=True)
+    b = s2b.sort_values(key).reset_index(drop=True)
+    assert len(d) and (d["polygon_id"] == "cap_n").any()
+    assert d.equals(b)
