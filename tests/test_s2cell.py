@@ -201,3 +201,34 @@ def test_pip_s2_bucketed_matches_direct_incl_polar():
     b = s2b.sort_values(key).reset_index(drop=True)
     assert len(d) and (d["polygon_id"] == "cap_n").any()
     assert d.equals(b)
+
+
+def test_knn_s2_certified_forced_doubling(tmp_path, ray_session):
+    """The radius-doubling certificate: starting from a radius far too
+    small (several doublings forced), the pruned kNN still returns
+    exactly the brute-force top-k with the (d2, id) tie-break."""
+    import pandas as pd
+    import ray.data as rd
+
+    from proj_ray.pipelines.queries import knn_s2_certified
+    from proj_ray.stages.knn_stage import knn_topk
+    from proj_ray.stages.s2_stage import s2_shard_write
+
+    rng = np.random.default_rng(31)
+    n = 20000
+    df = pd.DataFrame({"pid": np.arange(n, dtype=np.int64),
+                       "lon": rng.uniform(-180, 180, n),
+                       "lat": rng.uniform(-90, 90, n)})
+    ds = rd.from_pandas(df)
+    idx = str(tmp_path / "shards")
+    s2_shard_write(ds, idx, shard_level=3)
+    queries = [(0, -100.0, 40.0), (1, 0.0, 0.0), (2, 179.5, 88.0),
+               (3, -180.0, -90.0)]
+    got = knn_s2_certified(idx, queries, k=5, shard_level=3,
+                           r0=0.05).to_pandas()
+    want = knn_topk(rd.from_pandas(df), queries, k=5,
+                    id_col="pid").to_pandas()
+    key = ["qid", "rank"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert got.equals(want)
