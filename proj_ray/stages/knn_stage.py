@@ -1,30 +1,82 @@
 """kNN stage: top-k nearest stream points to a small broadcast query set.
 
 Pattern: the query side is tiny (a handful of probe points / vectors),
-so kNN is a broadcast + per-batch PARTIAL top-k + tiny final reduce —
-no shuffle of the point stream:
+so kNN is a broadcast + per-batch PARTIAL top-k + bounded associative
+reduce — no shuffle of the point stream:
 
   1. each batch computes distances of its points to all queries
      (vectorized (B,Q) matrix) and keeps only its local top-k per query
-  2. the per-batch candidates (<= batches * Q * k rows, tiny) are
-     reduced on the driver / in one task to the global top-k
+  2. an intermediate map_batches top-k level re-reduces candidate
+     blocks (associative: the comparator (d, id) is a total order), so
+     the driver concatenates at most k*Q*ceil(#cand/reduce_batch) rows
+     instead of k*Q*#blocks
+  3. one final reduce yields the global top-k
 
-Distance is squared-euclidean in the given coordinate columns —
-deterministic identical IEEE arithmetic, so ranks match an oracle
-exactly (ties broken by id). The geodesic refine path recomputes true
-ellipsoidal distance (kernels.geodesic) on the tiny candidate set only.
+Metrics:
+
+- ``planar`` — squared-euclidean in the given coordinate columns;
+  deterministic identical IEEE arithmetic, so ranks match a SQL oracle
+  exactly (ties broken by id).  Output (qid, id, rank, d2).
+- ``geodesic`` — TRUE ellipsoidal distance via the Karney order-6
+  inverse (kernels.geodesic.geod_inverse, the reference's
+  src/geodesic.c:944), computed vectorized per batch per query.  This
+  is the north star's "refine with Karney geodesic distance" leg made
+  exact: the metric itself is geodesic, not a planar prefilter with a
+  recall gap.  Output (qid, id, rank, s12_mm) — integer millimetres
+  (ranking uses the full f64 distance; ids break ties).
 """
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 
+from ..kernels.geodesic import geod_inverse
+
+_WGS84_A = 6378137.0
+_WGS84_F = 1.0 / 298.257223563
+_E2 = _WGS84_F * (2.0 - _WGS84_F)
+_B_MIN = _WGS84_A * (1.0 - _WGS84_F)        # semi-minor axis
+_M_MIN = _WGS84_A * (1.0 - _E2)             # min meridional curvature radius
+
+_CAND_SCHEMA = pa.schema([("qj", pa.int64()), ("id", pa.int64()),
+                          ("d", pa.float64())])
+
+
+def _topk_per_query(qj, ids, d, k):
+    """Vectorized per-query top-k by the total order (d, id): one
+    lexsort, then the first k rows of each qj segment."""
+    if qj.size == 0:
+        return qj, ids, d
+    order = np.lexsort((ids, d, qj))
+    qs, idss, ds = qj[order], ids[order], d[order]
+    starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+    seg = np.diff(np.r_[starts, len(qs)])
+    within = np.arange(len(qs)) - np.repeat(starts, seg)
+    keep = within < k
+    return qs[keep], idss[keep], ds[keep]
+
+
+def _reduce_candidates(t: pa.Table, k: int) -> pa.Table:
+    qj = t["qj"].to_numpy(zero_copy_only=False)
+    ids = t["id"].to_numpy(zero_copy_only=False)
+    d = t["d"].to_numpy(zero_copy_only=False)
+    qs, idss, ds = _topk_per_query(qj, ids, d, k)
+    return pa.table({"qj": pa.array(qs, pa.int64()),
+                     "id": pa.array(idss, pa.int64()),
+                     "d": pa.array(ds, pa.float64())})
+
 
 def knn_topk(ds, queries, k=5, lon_col="lon", lat_col="lat", id_col="pid",
-             batch_size=None, refine_geodesic=False):
+             batch_size=None, metric="planar"):
     """``queries`` = [(qid, qlon, qlat), ...] (small). Returns a pyarrow
-    Table (qid, id, rank, d2) with rank 1..k by (d2, id)."""
+    Table with rank 1..k per query by (distance, id):
+    (qid, id, rank, d2) for ``metric="planar"``,
+    (qid, id, rank, s12_mm) for ``metric="geodesic"``."""
+    if metric not in ("planar", "geodesic"):
+        raise ValueError(f"unknown metric {metric!r}")
     q = np.asarray([[ql, qa] for _, ql, qa in queries], dtype=np.float64)
     qids = [qid for qid, _, _ in queries]
     nq = len(qids)
@@ -33,46 +85,93 @@ def knn_topk(ds, queries, k=5, lon_col="lon", lat_col="lat", id_col="pid",
         lon = batch[lon_col].to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
         lat = batch[lat_col].to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-        dl = lon[:, None] - q[None, :, 0]
-        dp = lat[:, None] - q[None, :, 1]
-        d2 = dl * dl + dp * dp  # (B, Q)
-        out_q, out_id, out_d2 = [], [], []
-        kk = min(k, d2.shape[0])
-        for j in range(nq):
-            col = d2[:, j]
-            # local top-k with deterministic (d2, id) tie-break
-            part = np.lexsort((ids, col))[:kk]
-            out_q.append(np.full(part.shape, j, dtype=np.int64))
-            out_id.append(ids[part])
-            out_d2.append(col[part])
-        return pa.table({
-            "qj": pa.array(np.concatenate(out_q) if out_q else [], pa.int64()),
-            "id": pa.array(np.concatenate(out_id) if out_id else [], pa.int64()),
-            "d2": pa.array(np.concatenate(out_d2) if out_d2 else [], pa.float64()),
-        })
+        n = lon.size
+        if metric == "planar":
+            dl = lon[:, None] - q[None, :, 0]
+            dp = lat[:, None] - q[None, :, 1]
+            dmat = dl * dl + dp * dp  # (B, Q)
+        else:
+            dmat = np.empty((n, nq), dtype=np.float64)
+            for j in range(nq):
+                s12, _, _, _ = geod_inverse(
+                    lon, lat, np.full(n, q[j, 0]), np.full(n, q[j, 1]))
+                dmat[:, j] = s12
+        qj = np.repeat(np.arange(nq, dtype=np.int64), n)
+        qs, idss, dsel = _topk_per_query(qj, np.tile(ids, nq),
+                                         dmat.T.reshape(-1), k)
+        return pa.table({"qj": pa.array(qs, pa.int64()),
+                         "id": pa.array(idss, pa.int64()),
+                         "d": pa.array(dsel, pa.float64())})
 
     cand = ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size,
                           zero_copy_batch=True)
-    # iter_batches(batch_format="pyarrow") yields pa.Table chunks
-    chunks = list(cand.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
-    schema = pa.schema([("qj", pa.int64()), ("id", pa.int64()), ("d2", pa.float64())])
-    tbl = pa.concat_tables(chunks) if chunks else schema.empty_table()
-    qj = tbl["qj"].to_numpy()
-    ids = tbl["id"].to_numpy()
-    d2 = tbl["d2"].to_numpy()
-    rows = {"qid": [], "id": [], "rank": [], "d2": []}
-    for j, qid in enumerate(qids):
-        m = qj == j
-        order = np.lexsort((ids[m], d2[m]))[:k]
-        sel_ids = ids[m][order]
-        sel_d2 = d2[m][order]
-        rows["qid"].extend([qid] * len(order))
-        rows["id"].extend(sel_ids.tolist())
-        rows["rank"].extend(range(1, len(order) + 1))
-        rows["d2"].extend(sel_d2.tolist())
-    return pa.table({
-        "qid": pa.array(rows["qid"], pa.int64()),
-        "id": pa.array(rows["id"], pa.int64()),
-        "rank": pa.array(rows["rank"], pa.int64()),
-        "d2": pa.array(rows["d2"], pa.float64()),
-    })
+    # associative intermediate reduce bounds the driver concat
+    red = cand.map_batches(lambda t: _reduce_candidates(t, k),
+                           batch_format="pyarrow", batch_size=1 << 18)
+    chunks = list(red.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    tbl = pa.concat_tables(chunks) if chunks else _CAND_SCHEMA.empty_table()
+    final = _reduce_candidates(tbl, k)
+    qj = final["qj"].to_numpy()
+    ids = final["id"].to_numpy()
+    d = final["d"].to_numpy()
+    # finalize: map qj -> qid, compute 1-based ranks per segment
+    if len(qj):
+        starts = np.flatnonzero(np.r_[True, qj[1:] != qj[:-1]])
+        seg = np.diff(np.r_[starts, len(qj)])
+        rank = np.arange(len(qj)) - np.repeat(starts, seg) + 1
+    else:
+        rank = np.array([], dtype=np.int64)
+    qid_arr = np.asarray(qids, dtype=np.int64)[qj] if len(qj) else np.array([], dtype=np.int64)
+    cols = {"qid": pa.array(qid_arr, pa.int64()),
+            "id": pa.array(ids, pa.int64()),
+            "rank": pa.array(rank.astype(np.int64), pa.int64())}
+    if metric == "planar":
+        cols["d2"] = pa.array(d, pa.float64())
+    else:
+        cols["s12_mm"] = pa.array(np.floor(d * 1e3 + 0.5).astype(np.int64),
+                                  pa.int64())
+    return pa.table(cols)
+
+
+def geodesic_box_lb(qx, qy, lon0, lon1, lat0, lat1):
+    """Lower bound (metres) on the WGS84 ellipsoidal geodesic distance
+    from the query point (qx, qy) — inside the closed box
+    [lon0,lon1]x[lat0,lat1] — to ANY point on the ellipsoid outside it.
+
+    Any surface path from q to an outside point crosses the box
+    boundary at some point c, and s(q, p) >= s(q, c); c lies on a
+    latitude edge or on a longitude edge, each of which admits a
+    closed-form bound:
+
+    - latitude edge (geodetic lat = latE): the metric is
+      ds^2 = M(phi)^2 dphi^2 + (N cos phi)^2 dlam^2 >= M_min^2 dphi^2
+      with M_min = a(1-e^2) (the meridional curvature radius is
+      minimal at the equator), so s(q, c) >= M_min * |qy - latE| rad.
+    - longitude edge (meridian half-plane lam = lonE): every point of
+      the ellipsoid lies outside the closed ball of radius b, and
+      nearest-point projection onto a convex ball is 1-Lipschitz, so
+      radially projecting a surface path onto the b-sphere never
+      lengthens it; endpoints project to their GEOCENTRIC directions.
+      Hence s(q, c) >= b * angle(q_hat, c_hat), and the angular
+      distance from q_hat to the full meridian great circle of lonE is
+      asin(cos(phi_c) * |sin(qx - lonE)|) with phi_c the geocentric
+      latitude of q (tan phi_c = (1-e^2) tan qy).
+
+    Edges clamped away (lat edge at +-90, or the box spanning all 360
+    degrees of longitude) contribute no constraint; with no edges at
+    all the read was a full scan and the bound is +inf.  Used by
+    knn_s2_certified(metric="geodesic") to certify that a shard-pruned
+    top-k equals the full-scan answer: unread points are outside the
+    box, so their distance is >= this bound.
+    """
+    bounds = []
+    if lat0 > -90.0:
+        bounds.append(_M_MIN * math.radians(qy - lat0))
+    if lat1 < 90.0:
+        bounds.append(_M_MIN * math.radians(lat1 - qy))
+    if not (lon0 <= -180.0 and lon1 >= 180.0):
+        phic = math.atan((1.0 - _E2) * math.tan(math.radians(qy)))
+        s_edge = min(abs(math.sin(math.radians(qx - lon0))),
+                     abs(math.sin(math.radians(qx - lon1))))
+        bounds.append(_B_MIN * math.asin(math.cos(phic) * s_edge))
+    return min(bounds) if bounds else math.inf

@@ -232,3 +232,91 @@ def test_knn_s2_certified_forced_doubling(tmp_path, ray_session):
     got = got.sort_values(key).reset_index(drop=True)
     want = want.sort_values(key).reset_index(drop=True)
     assert got.equals(want)
+
+
+def test_geodesic_box_lb_is_a_true_lower_bound():
+    """Property: for random query points and boxes, EVERY point outside
+    the box has Karney distance >= geodesic_box_lb — including
+    polar-adjacent boxes, clamped edges, and anti-meridian neighbours."""
+    from proj_ray.kernels.geodesic import geod_inverse
+    from proj_ray.stages.knn_stage import geodesic_box_lb
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    lon = rng.uniform(-180, 180, n)
+    lat = rng.uniform(-90, 90, n)
+    cases = [(-100.0, 40.0, 3.0), (0.0, 0.0, 0.5), (179.0, 88.0, 5.0),
+             (-179.5, -40.0, 2.0), (10.0, 50.0, 0.05), (120.0, -89.0, 1.0),
+             (0.0, 89.9, 10.0), (-60.0, 10.0, 170.0)]
+    for qx, qy, r in cases:
+        lon0, lon1 = max(qx - r, -180.0), min(qx + r, 180.0)
+        lat0, lat1 = max(qy - r, -90.0), min(qy + r, 90.0)
+        lb = geodesic_box_lb(qx, qy, lon0, lon1, lat0, lat1)
+        outside = ~((lon >= lon0) & (lon <= lon1)
+                    & (lat >= lat0) & (lat <= lat1))
+        if not outside.any():
+            continue
+        s12, _, _, _ = geod_inverse(lon[outside], lat[outside],
+                                    np.full(outside.sum(), qx),
+                                    np.full(outside.sum(), qy))
+        assert float(s12.min()) >= lb - 1e-6, (qx, qy, r, s12.min(), lb)
+
+
+def test_knn_geodesic_pruned_matches_brute_force(tmp_path, ray_session):
+    """Geodesic-metric certified pruned kNN == brute-force geodesic
+    kNN, with several forced radius doublings and polar/anti-meridian
+    queries (where geodesic_box_lb degrades to a full-domain read)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from proj_ray.pipelines.queries import knn_s2_certified
+    from proj_ray.stages.knn_stage import knn_topk
+    from proj_ray.stages.s2_stage import s2_shard_write
+
+    rng = np.random.default_rng(97)
+    n = 20000
+    df = pd.DataFrame({"pid": np.arange(n, dtype=np.int64),
+                       "lon": rng.uniform(-180, 180, n),
+                       "lat": rng.uniform(-90, 90, n)})
+    ds = rd.from_pandas(df)
+    idx = str(tmp_path / "gshards")
+    s2_shard_write(ds, idx, shard_level=3)
+    queries = [(0, -100.0, 40.0), (1, 0.0, 0.0), (2, 179.5, 88.0),
+               (3, -180.0, -90.0)]
+    got = knn_s2_certified(idx, queries, k=5, shard_level=3, r0=0.05,
+                           metric="geodesic").to_pandas()
+    want = knn_topk(rd.from_pandas(df), queries, k=5, id_col="pid",
+                    metric="geodesic").to_pandas()
+    key = ["qid", "rank"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert got.equals(want)
+    assert (want["s12_mm"] > 0).all()
+
+
+def test_knn_geodesic_matches_scalar_karney(ray_session):
+    """Engine geodesic kNN over a small stream == per-point scalar
+    Karney port + plain sort (independent implementation)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from proj_ray.stages.knn_stage import knn_topk
+    from tools.scalar_ref import karney_inverse_scalar
+
+    rng = np.random.default_rng(11)
+    n = 800
+    lon = rng.uniform(-180, 180, n)
+    lat = rng.uniform(-85, 85, n)
+    pid = np.arange(n, dtype=np.int64)
+    df = pd.DataFrame({"pid": pid, "lon": lon, "lat": lat})
+    queries = [(0, 12.5, 41.9), (1, -70.0, -33.4)]
+    got = knn_topk(rd.from_pandas(df), queries, k=7, id_col="pid",
+                   metric="geodesic").to_pandas()
+    for qid, qx, qy in queries:
+        dist = [karney_inverse_scalar(lon[i], lat[i], qx, qy)[0]
+                for i in range(n)]
+        order = sorted(range(n), key=lambda i: (dist[i], i))[:7]
+        sub = got[got["qid"] == qid].sort_values("rank")
+        assert sub["id"].tolist() == [int(i) for i in order]
+        want_mm = [int(np.floor(dist[i] * 1e3 + 0.5)) for i in order]
+        assert sub["s12_mm"].tolist() == want_mm
