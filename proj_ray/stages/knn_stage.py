@@ -175,3 +175,44 @@ def geodesic_box_lb(qx, qy, lon0, lon1, lat0, lat1):
                      abs(math.sin(math.radians(qx - lon1))))
         bounds.append(_B_MIN * math.asin(math.cos(phic) * s_edge))
     return min(bounds) if bounds else math.inf
+
+
+def _geocentric_lat(lat_deg):
+    return math.atan((1.0 - _E2) * math.tan(math.radians(lat_deg)))
+
+
+def geodesic_radius_box(qx, qy, radius_m):
+    """Exact-superset lon/lat box for a geodesic radius query: EVERY
+    point of the WGS84 ellipsoid within ``radius_m`` of (qx, qy) lies
+    inside the returned box.  Returns (dlat_deg, dlon_deg) half-widths;
+    dlon_deg is None when no longitude bound is safe (query or band too
+    close to a pole, or the radius wraps) — read the full lon range.
+
+    - latitude: ds >= M_min |dphi| (minimum meridional curvature
+      radius), so s <= R implies |dlat| <= R / M_min.
+    - longitude: s >= b * angle(q_hat, p_hat) (1-Lipschitz radial
+      projection onto the b-sphere, see geodesic_box_lb), and the
+      angle from q_hat to p's meridian circle is
+      asin(cos(phi_c_q) |sin dlam|); hence s <= R implies
+      |sin dlam| <= sin(R/b) / cos(phi_c_q).  This bounds |dlam| only
+      on [0, 90deg] (sin is not monotonic past 90), so points with
+      |dlam| > 90deg must be excluded separately: there
+      cos(angle) = sin(pc_q) sin(pc_p) + cos(pc_q) cos(pc_p) cos(dlam)
+      <= sin(pc_q) sin(pc_p) <= sin^2(pc_max) over the latitude band,
+      so when sin^2(pc_max) <= cos(R/b) every such point is >= R away
+      and the asin bound is a true superset.  When that guard (or
+      sin(R/b) < cos(phi_c_q)) fails, fall back to the full range.
+    """
+    dlat = math.degrees(radius_m / _M_MIN)
+    lat_lo = max(qy - dlat, -90.0)
+    lat_hi = min(qy + dlat, 90.0)
+    rb = radius_m / _B_MIN
+    if rb >= math.pi / 2:
+        return dlat, None
+    pc_max = max(abs(_geocentric_lat(lat_lo)), abs(_geocentric_lat(lat_hi)))
+    if math.sin(pc_max) ** 2 > math.cos(rb):
+        return dlat, None
+    t = math.sin(rb) / math.cos(_geocentric_lat(qy))
+    if t >= 1.0:
+        return dlat, None
+    return dlat, math.degrees(math.asin(t))

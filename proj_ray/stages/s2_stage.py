@@ -72,6 +72,29 @@ def s2_shard_bbox_read(index_dir: str, lon0, lon1, lat0, lat1,
 
     cover = bbox_covering(lon0, lon1, lat0, lat1, shard_level)
     shards = {int(v) for v in cover.view(np.int64)}
+    return _read_shards(index_dir, shards)
+
+
+def s2_shard_boxes_read(index_dir: str, boxes, shard_level: int):
+    """Multi-box variant of ``s2_shard_bbox_read`` for queries whose
+    exact-superset region wraps the anti-meridian (two disjoint lon
+    intervals): the shard sets of all boxes are UNIONED before the
+    read, so a shard touched by several boxes is read exactly once —
+    no duplicate candidate rows."""
+    from ..kernels.s2cell import bbox_covering
+
+    shards = set()
+    for lon0, lon1, lat0, lat1 in boxes:
+        cover = bbox_covering(lon0, lon1, lat0, lat1, shard_level)
+        shards.update(int(v) for v in cover.view(np.int64))
+    return _read_shards(index_dir, shards)
+
+
+def _read_shards(index_dir: str, shards):
+    import os
+
+    import ray.data as rd
+
     all_dirs = sorted(d for d in os.listdir(index_dir)
                       if d.startswith("s2_shard="))
     hit = [d for d in all_dirs if int(d.split("=", 1)[1]) in shards]

@@ -320,3 +320,67 @@ def test_knn_geodesic_matches_scalar_karney(ray_session):
         assert sub["id"].tolist() == [int(i) for i in order]
         want_mm = [int(np.floor(dist[i] * 1e3 + 0.5)) for i in order]
         assert sub["s12_mm"].tolist() == want_mm
+
+
+def test_geodesic_radius_box_is_exact_superset():
+    """Property: every point within R Karney metres of q lies inside
+    the (dlat, dlon) box from geodesic_radius_box — across equatorial,
+    mid-lat, polar-adjacent and anti-meridian queries and radii from
+    10 km to 3000 km."""
+    from proj_ray.kernels.geodesic import geod_inverse
+    from proj_ray.stages.knn_stage import geodesic_radius_box
+
+    rng = np.random.default_rng(23)
+    n = 6000
+    lon = rng.uniform(-180, 180, n)
+    lat = rng.uniform(-90, 90, n)
+    cases = [(-100.0, 40.0, 3e5), (0.0, 0.0, 1e4), (179.5, 60.0, 5e5),
+             (-179.9, -10.0, 3e5), (20.0, 85.0, 3e5), (0.0, 89.5, 1e5),
+             (50.0, -40.0, 3e6)]
+    for qx, qy, r in cases:
+        dlat, dlon = geodesic_radius_box(qx, qy, r)
+        s12, _, _, _ = geod_inverse(lon, lat, np.full(n, qx), np.full(n, qy))
+        inside_r = s12 <= r
+        in_lat = np.abs(lat - qy) <= dlat
+        assert in_lat[inside_r].all(), (qx, qy, r, "lat bound violated")
+        if dlon is not None:
+            dl = np.abs((lon - qx + 180.0) % 360.0 - 180.0)
+            assert (dl[inside_r] <= dlon + 1e-9).all(), \
+                (qx, qy, r, "lon bound violated")
+
+
+def test_radius_search_pruned_matches_brute_force(tmp_path, ray_session):
+    """Pruned geodesic radius search == brute-force Karney filter,
+    including an anti-meridian site (two disjoint lon boxes, shard
+    sets unioned) and a polar site (lon bound degrades to full range)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from proj_ray.kernels.geodesic import geod_inverse
+    from proj_ray.pipelines.queries import radius_search_geodesic
+    from proj_ray.stages.s2_stage import s2_shard_write
+
+    rng = np.random.default_rng(41)
+    n = 20000
+    lon = rng.uniform(-180, 180, n)
+    lat = rng.uniform(-90, 90, n)
+    pid = np.arange(n, dtype=np.int64)
+    df = pd.DataFrame({"pid": pid, "lon": lon, "lat": lat})
+    idx = str(tmp_path / "radshards")
+    s2_shard_write(rd.from_pandas(df), idx, shard_level=3)
+    queries = [(0, -100.0, 40.0), (1, 179.8, 20.0), (2, 10.0, 89.0),
+               (3, -180.0, -60.0)]
+    R = 800_000.0
+    got = radius_search_geodesic(idx, queries, R, shard_level=3).to_pandas()
+    got = got.sort_values(["qid", "id"]).reset_index(drop=True)
+    rows = {"qid": [], "id": [], "s12_mm": []}
+    for qid, qx, qy in queries:
+        s12, _, _, _ = geod_inverse(lon, lat, np.full(n, qx), np.full(n, qy))
+        m = s12 <= R
+        rows["qid"].extend([qid] * int(m.sum()))
+        rows["id"].extend(pid[m].tolist())
+        rows["s12_mm"].extend(np.floor(s12[m] * 1e3 + 0.5).astype(np.int64).tolist())
+    import pandas as pd2
+    want = pd2.DataFrame(rows).sort_values(["qid", "id"]).reset_index(drop=True)
+    assert len(want) > 0 and all(want.groupby("qid").size() > 0)
+    assert got.astype("int64").equals(want.astype("int64"))
