@@ -277,3 +277,30 @@ def test_simhash_near_dups_matches_brute_force(ray_session, sf_dir):
     sims = simhash64_batch(t["text"])
     assert got_set == _brute_hamming_pairs(ids, sims, 3)
     assert len(got) == len(got_set)  # no duplicate pairs
+
+
+def test_scalar_jaccard_and_band_hash_views_match_batch_kernels():
+    """The per-pair scalar `jaccard_ngrams` and single-signature
+    `lsh_band_hashes` are the definitional twins of the segmented batch
+    kernels the queries run; pin the equivalence on varied texts
+    (empty, short-below-k, unicode, near-identical)."""
+    import pyarrow as pa
+
+    from proj_ray.functions.dedup import (jaccard_ngrams, jaccard_pairs,
+                                          lsh_band_hashes,
+                                          lsh_band_hashes_batch,
+                                          minhash_signatures)
+
+    texts = ["", "ab", "abcdef", "abcdeg", "the quick brown fox " * 4,
+             "the quick brown fox " * 4 + "!", "héllo wörld ünïcode",
+             "aaaaaaaaaaaa", "abababababab"]
+    pairs = [(a, b) for a in texts for b in texts]
+    got = jaccard_pairs(pa.array([p[0] for p in pairs]),
+                        pa.array([p[1] for p in pairs]))
+    want = np.array([jaccard_ngrams(a, b) for a, b in pairs])
+    np.testing.assert_array_equal(got, want)
+
+    sigs = minhash_signatures([t for t in texts if t])
+    batch = lsh_band_hashes_batch(sigs)
+    for i in range(sigs.shape[0]):
+        assert (lsh_band_hashes(sigs[i]) == batch[i]).all()

@@ -94,3 +94,23 @@ def test_karney_interpolate_line_endpoints():
     np.testing.assert_allclose(lats[0, 0], 10.0, atol=1e-9)
     np.testing.assert_allclose(lons[0, -1], 30.0, atol=1e-8)
     np.testing.assert_allclose(lats[0, -1], 50.0, atol=1e-8)
+
+
+def test_vincenty_direct_agrees_with_karney_direct():
+    """The retained Vincenty direct stand-in agrees with the Karney
+    direct kernel to sub-mm away from the antipodal region (its
+    documented validity domain)."""
+    import numpy as np
+
+    from proj_ray.kernels.geodesic import geod_direct, vincenty_direct
+
+    rng = np.random.default_rng(3)
+    n = 300
+    lon = rng.uniform(-180, 180, n)
+    lat = rng.uniform(-80, 80, n)
+    azi = rng.uniform(-180, 180, n)
+    s12 = rng.uniform(1.0, 5e6, n)
+    klon, klat, kazi = geod_direct(lon, lat, azi, s12)
+    vlon, vlat, vazi = vincenty_direct(lon, lat, azi, s12)
+    dlon = np.abs((vlon - klon + 180.0) % 360.0 - 180.0)
+    assert np.nanmax(dlon) < 1e-7 and np.nanmax(np.abs(vlat - klat)) < 1e-7
