@@ -379,9 +379,12 @@ def ivf_build_index(ds, out_dir: str, centroids: np.ndarray,
                     id_col="vec_id", vec_col="embedding") -> None:
     """Write an IVF-partitioned index: assign each row its coarse cell
     (argmax cosine vs the broadcast centroids) and write parquet
-    partitioned by ``ivf_cell`` (one directory per cell — also the
-    resumable-output layout: a failed build re-runs only missing
-    cells).  Centroids are stored alongside as centroids.npy."""
+    partitioned by ``ivf_cell``.  One directory per cell is the
+    resume-FRIENDLY layout (searches prune by directory), but this
+    builder itself is single-run (one streaming write_parquet); a
+    multi-run resumable build follows the explicit-fragment pattern of
+    stages.s2_stage.s2_shard_write_resumable / state.run_resumable_shards.
+    Centroids are stored alongside as centroids.npy."""
     import os
 
     C = np.ascontiguousarray(centroids, dtype=np.float32)

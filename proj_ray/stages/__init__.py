@@ -29,7 +29,9 @@ _tune_worker_threads()
 from .transform_stage import TransformStage, transform_points_stage
 from .geoparse import GeoparseStage, synth_pages_stage
 from .tile_stage import tile_stage
-from .s2_stage import s2_stage, s2_shard_write, s2_shard_bbox_read
+from .s2_stage import (s2_stage, s2_shard_write,
+                       s2_shard_write_resumable, s2_shard_bbox_read,
+                       s2_shard_boxes_read)
 from .pip_stage import PIPJoinActor, make_polygons
 from .knn_stage import knn_topk
 from .agg import partial_group_sums
@@ -42,7 +44,9 @@ __all__ = [
     "tile_stage",
     "s2_stage",
     "s2_shard_write",
+    "s2_shard_write_resumable",
     "s2_shard_bbox_read",
+    "s2_shard_boxes_read",
     "PIPJoinActor",
     "make_polygons",
     "knn_topk",

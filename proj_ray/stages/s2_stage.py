@@ -35,8 +35,10 @@ def s2_shard_write(ds, out_dir: str, shard_level: int,
     Because S2 ids are Hilbert-ordered, each shard is a CONTIGUOUS id
     range holding spatially-adjacent rows — the locality-preserving
     100-TB layout: a spatial query prunes whole shards by range
-    intersection, and a failed build re-runs only missing shard
-    directories (same resumable contract as vector.ivf_build_index)."""
+    intersection.  SINGLE RUN ONLY (one streaming write_parquet); for
+    multi-run resumable builds use ``s2_shard_write_resumable``, which
+    tracks an explicit input-fragment work plan in the lineage
+    manifest."""
     import os
 
     from ..kernels.s2cell import cell_id_from_lonlat, id_at_level
@@ -54,6 +56,105 @@ def s2_shard_write(ds, out_dir: str, shard_level: int,
     (ds.map_batches(assign, batch_format="pyarrow", batch_size=None,
                     zero_copy_batch=True)
      .write_parquet(out_dir, partition_cols=["s2_shard"]))
+
+
+def s2_shard_write_resumable(fragments, read_fragment, out_dir: str,
+                             shard_level: int, lon_col="lon",
+                             lat_col="lat", max_in_flight=None):
+    """Multi-run RESUMABLE build of the Hilbert shard layout.
+
+    ``fragments`` is the explicit work plan [(frag_id, spec), ...]
+    (input files, row-group ranges, key ranges); ``read_fragment(spec)
+    -> pyarrow.Table``.  Each fragment task assigns cells and writes
+    ONE part file per touched cell directory, named
+    ``part-<frag_id>.parquet`` via atomic tmp+rename — idempotent, so a
+    crashed fragment's re-run simply overwrites its own files.  A
+    fragment is recorded in the lineage manifest (config-hashed) only
+    AFTER its task completes, so completed fragments are skipped on
+    restart and half-written ones re-run.  Refuses to resume over a
+    manifest written under a different config (a level change would
+    leave stale cell dirs behind).  The result is byte-compatible with
+    ``s2_shard_write``'s layout and prunable by the same readers.
+
+    Returns (n_run, n_skipped)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..kernels.s2cell import cell_id_from_lonlat, id_at_level
+    from ..state import LineageManifest, config_hash
+
+    cfg = config_hash({"op": "s2_shard_write", "level": int(shard_level),
+                       "lon": lon_col, "lat": lat_col})
+    os.makedirs(out_dir, exist_ok=True)
+    man = LineageManifest(out_dir)
+    recs = man.load()
+    other = {r.get("config_hash") for r in recs.values()} - {cfg}
+    if other:
+        raise RuntimeError(
+            f"{out_dir} holds a manifest for a different shard config "
+            f"({other}); resuming would mix layouts — use a fresh dir")
+    # completed = manifest record (written only after the fragment's
+    # files were atomically renamed) cross-checked against the cell
+    # dirs: a fragment with rows must still have at least one of its
+    # part files on disk (manifest-without-data means someone removed
+    # the layout — re-run).
+    have_files = set()
+    for d in os.listdir(out_dir):
+        if d.startswith("s2_shard="):
+            for f in os.listdir(os.path.join(out_dir, d)):
+                if f.startswith("part-") and f.endswith(".parquet"):
+                    have_files.add(f[len("part-"):-len(".parquet")])
+    done = {pid for pid, r in recs.items()
+            if r.get("config_hash") == cfg
+            and (pid in have_files or r.get("row_count") == 0)}
+    todo = [(fid, spec) for fid, spec in fragments if str(fid) not in done]
+    n_skipped = len(fragments) - len(todo)
+
+    @ray.remote
+    def _run(fid, spec):
+        t = read_fragment(spec)
+        lon = t[lon_col].to_numpy(zero_copy_only=False).astype(
+            np.float64, copy=False)
+        lat = t[lat_col].to_numpy(zero_copy_only=False).astype(
+            np.float64, copy=False)
+        shard = id_at_level(cell_id_from_lonlat(lon, lat),
+                            shard_level).view(np.int64)
+        order = np.argsort(shard, kind="stable")
+        ts = t.take(pa.array(order))
+        sh = shard[order]
+        starts = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1]])
+        ends = np.r_[starts[1:], sh.size]
+        for lo, hi in zip(starts, ends):
+            d = os.path.join(out_dir, f"s2_shard={int(sh[lo])}")
+            os.makedirs(d, exist_ok=True)
+            final = os.path.join(d, f"part-{fid}.parquet")
+            tmp = final + f".tmp-{os.getpid()}"
+            pq.write_table(ts.slice(int(lo), int(hi - lo)), tmp)
+            os.replace(tmp, final)
+        return str(fid), int(sh.size)
+
+    if max_in_flight is None:
+        max_in_flight = max(4, 2 * int(ray.cluster_resources().get("CPU", 8)))
+    pending = []
+    it = iter(todo)
+    ran = 0
+    while True:
+        while len(pending) < max_in_flight:
+            nxt = next(it, None)
+            if nxt is None:
+                break
+            pending.append(_run.remote(nxt[0], nxt[1]))
+        if not pending:
+            break
+        ready, pending = ray.wait(pending, num_returns=1)
+        for fid, rows in ray.get(ready):
+            man.record({"partition_id": fid, "input_fragment": fid,
+                        "config_hash": cfg, "row_count": rows,
+                        "error_count": 0})
+            ran += 1
+    return ran, n_skipped
 
 
 def s2_shard_bbox_read(index_dir: str, lon0, lon1, lat0, lat1,

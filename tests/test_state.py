@@ -103,3 +103,57 @@ def test_write_partitioned_refuses_second_run(ray_session, tmp_path):
         write_partitioned(ds2, out, {"cfg": 9}, error_cols=("x",))
     # different config => fresh manifest namespace, allowed
     write_partitioned(ds2, out, {"cfg": 10}, error_cols=("x",))
+
+
+def test_s2_shard_write_resumable(tmp_path, ray_session):
+    """Multi-run resumable Hilbert shard build: an interrupted run
+    (first 3 of 8 fragments) resumes by running ONLY the remaining
+    fragments; the final layout equals the one-shot s2_shard_write
+    (same rows through the same pruned reader), re-running is a
+    no-op, and a foreign-config manifest is refused."""
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from proj_ray.stages.s2_stage import (s2_shard_bbox_read, s2_shard_write,
+                                          s2_shard_write_resumable)
+
+    rng = np.random.default_rng(77)
+    n = 8000
+    df = pd.DataFrame({"pid": np.arange(n, dtype=np.int64),
+                       "lon": rng.uniform(-180, 180, n),
+                       "lat": rng.uniform(-90, 90, n)})
+    frag_rows = np.array_split(np.arange(n), 8)
+    fragments = [(i, (int(r[0]), int(r[-1]) + 1)) for i, r in enumerate(frag_rows)]
+
+    def read_fragment(spec):
+        lo, hi = spec
+        return pa.Table.from_pandas(df.iloc[lo:hi], preserve_index=False)
+
+    out = str(tmp_path / "resumable")
+    # "crash" after 3 fragments
+    ran, skipped = s2_shard_write_resumable(fragments[:3], read_fragment,
+                                            out, shard_level=3)
+    assert (ran, skipped) == (3, 0)
+    # resume: only the remaining 5 run
+    ran, skipped = s2_shard_write_resumable(fragments, read_fragment,
+                                            out, shard_level=3)
+    assert (ran, skipped) == (5, 3)
+    # idempotent re-run: everything skipped
+    ran, skipped = s2_shard_write_resumable(fragments, read_fragment,
+                                            out, shard_level=3)
+    assert (ran, skipped) == (0, 8)
+
+    ref = str(tmp_path / "oneshot")
+    s2_shard_write(rd.from_pandas(df), ref, shard_level=3)
+    box = (-40.0, 60.0, -20.0, 50.0)
+    got, _ = s2_shard_bbox_read(out, *box, 3)
+    want, _ = s2_shard_bbox_read(ref, *box, 3)
+    g = got.to_pandas().sort_values("pid").reset_index(drop=True)
+    w = want.to_pandas().sort_values("pid").reset_index(drop=True)
+    assert g[["pid", "lon", "lat"]].equals(w[["pid", "lon", "lat"]])
+
+    # a different shard level over the same dir must be refused
+    with pytest.raises(RuntimeError, match="different shard config"):
+        s2_shard_write_resumable(fragments, read_fragment, out, shard_level=4)
