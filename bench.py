@@ -73,9 +73,11 @@ def run_bench():
         # over a continuous domain, S2 Hilbert cell aggregate
         "raster_polygonize", "zonal_stats", "events_value_quantiles",
         "s2_cell_agg",
-        # round-4 geodesic kNN: exact Karney-metric brute force and the
-        # certified shard-pruned path (index build included in its time)
-        "knn_geodesic", "knn_s2_geodesic",
+        # round-4 geodesic kNN + radius search: exact Karney-metric
+        # brute force, the certified shard-pruned path (the first
+        # shard query pays the one-time index build), and the
+        # exact-superset radius range join (reuses the shared index)
+        "knn_geodesic", "knn_s2_geodesic", "radius_geodesic",
     ]
     qtimes = {}
     for name in bench_queries:
