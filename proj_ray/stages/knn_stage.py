@@ -33,13 +33,12 @@ import math
 import numpy as np
 import pyarrow as pa
 
-from ..kernels.geodesic import geod_inverse
+from ..kernels.geodesic import WGS84_A, WGS84_F, geod_inverse
 
-_WGS84_A = 6378137.0
-_WGS84_F = 1.0 / 298.257223563
-_E2 = _WGS84_F * (2.0 - _WGS84_F)
-_B_MIN = _WGS84_A * (1.0 - _WGS84_F)        # semi-minor axis
-_M_MIN = _WGS84_A * (1.0 - _E2)             # min meridional curvature radius
+# certificate bounds MUST use the same ellipsoid as geod_inverse
+_E2 = WGS84_F * (2.0 - WGS84_F)
+_B_MIN = WGS84_A * (1.0 - WGS84_F)          # semi-minor axis
+_M_MIN = WGS84_A * (1.0 - _E2)              # min meridional curvature radius
 
 _CAND_SCHEMA = pa.schema([("qj", pa.int64()), ("id", pa.int64()),
                           ("d", pa.float64())])

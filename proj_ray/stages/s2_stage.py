@@ -121,6 +121,8 @@ def s2_shard_write_resumable(fragments, read_fragment, out_dir: str,
             np.float64, copy=False)
         shard = id_at_level(cell_id_from_lonlat(lon, lat),
                             shard_level).view(np.int64)
+        if shard.size == 0:  # empty fragment: manifest-only completion
+            return str(fid), 0
         order = np.argsort(shard, kind="stable")
         ts = t.take(pa.array(order))
         sh = shard[order]
@@ -136,7 +138,9 @@ def s2_shard_write_resumable(fragments, read_fragment, out_dir: str,
         return str(fid), int(sh.size)
 
     if max_in_flight is None:
-        max_in_flight = max(4, 2 * int(ray.cluster_resources().get("CPU", 8)))
+        ncpu = (int(ray.cluster_resources().get("CPU", 8))
+                if ray.is_initialized() else 8)
+        max_in_flight = max(4, 2 * ncpu)
     pending = []
     it = iter(todo)
     ran = 0

@@ -124,8 +124,9 @@ def test_s2_shard_write_resumable(tmp_path, ray_session):
     df = pd.DataFrame({"pid": np.arange(n, dtype=np.int64),
                        "lon": rng.uniform(-180, 180, n),
                        "lat": rng.uniform(-90, 90, n)})
-    frag_rows = np.array_split(np.arange(n), 8)
+    frag_rows = np.array_split(np.arange(n), 7)
     fragments = [(i, (int(r[0]), int(r[-1]) + 1)) for i, r in enumerate(frag_rows)]
+    fragments.append((7, (n, n)))  # zero-row fragment: must complete too
 
     def read_fragment(spec):
         lo, hi = spec
