@@ -29,8 +29,15 @@ def run_bench():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import ray
 
+    init_kwargs = {}
+    if os.environ.get("GRAFT_SCALING_ONLY"):
+        # scaling legs may be pre-warmed CONCURRENTLY (see run_scaling):
+        # a bounded object store lets an 8-cpu and a 32-cpu session
+        # co-reside without exhausting /dev/shm; the 19.2M-point leg
+        # streams through far less than this
+        init_kwargs["object_store_memory"] = 4 << 30
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR", **init_kwargs)
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
@@ -44,6 +51,21 @@ def run_bench():
 
     # ---- headline: points geoparsed+transformed+tiled+joined+aggregated
     n_points = pages_dataset(SF_DIR, mult=BENCH_MULT).count()
+
+    # pre-warm handshake for scaling legs: everything above (ray.init,
+    # imports, page-cache warm, the full-mult count) runs OUTSIDE the
+    # host-quiet window; the timed section below starts only when the
+    # coordinator says go, so the quiet window only needs to cover the
+    # probes + the timed legs
+    go_file = os.environ.get("GRAFT_GO_FILE")
+    if go_file and os.environ.get("GRAFT_SCALING_ONLY"):
+        with open(go_file + ".ready", "w") as f:
+            f.write("ready")
+        deadline = time.time() + 300.0
+        while not os.path.exists(go_file):
+            if time.time() > deadline:
+                raise RuntimeError("scaling go-signal never arrived")
+            time.sleep(0.05)
     t0 = time.perf_counter()
     res = flagship_pipeline(SF_DIR, mult=BENCH_MULT)
     _ = len(res)  # flagship returns a driver-combined DataFrame
@@ -137,22 +159,55 @@ def _burn(_):
 
 
 def run_scaling():
-    def one(ncpu):
-        # scaling runs use the large input (fixed overheads < 5% of the
-        # 8-CPU wall time, per BASELINE.md protocol)
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_BENCH_MULT=os.environ.get("GRAFT_BENCH_MULT", "256"),
-                   GRAFT_SCALING_ONLY="1")
-        p = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
-                           capture_output=True, text=True, check=True)
-        return json.loads(p.stdout.strip().splitlines()[-1])
-
     # N vs 4N parallelism levels; override with GRAFT_SCALE_LO/HI when
     # the hypervisor can't deliver 32 vCPUs (e.g. 2 vs 8 on a host whose
     # parallel ceiling probe shows only ~8 fast CPUs) — same job, same
     # input, two fresh processes either way
     lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
+
+    # PRE-WARMED legs: both subprocesses start now, do their ray.init /
+    # import / page-cache warm / input count, then BLOCK on a go-file.
+    # Only the timed sections run inside the host-quiet window, so the
+    # window must cover ~(3 probes + T_lo + T_hi) instead of also both
+    # legs' fixed startup (observed quiet windows are seconds-to-tens of
+    # seconds on this hypervisor; see BASELINE.md).  The two idle Ray
+    # sessions co-reside under a bounded object store (run_bench).
+    import tempfile
+
+    godir = tempfile.mkdtemp(prefix="graft_scaling_go_")
+
+    def spawn(ncpu):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_MULT=os.environ.get("GRAFT_BENCH_MULT", "256"),
+                   GRAFT_SCALING_ONLY="1",
+                   GRAFT_GO_FILE=os.path.join(godir, f"go-{ncpu}"))
+        return subprocess.Popen([sys.executable, os.path.abspath(__file__)],
+                                env=env, stdout=subprocess.PIPE,
+                                stderr=subprocess.PIPE, text=True)
+
+    def wait_ready(ncpu, proc, timeout=240.0):
+        ready = os.path.join(godir, f"go-{ncpu}.ready")
+        deadline = time.time() + timeout
+        while not os.path.exists(ready):
+            if proc.poll() is not None or time.time() > deadline:
+                out, err = proc.communicate()
+                raise RuntimeError(f"scaling leg {ncpu} died during "
+                                   f"pre-warm: {err[-500:]}")
+            time.sleep(0.1)
+
+    def release(ncpu, proc):
+        with open(os.path.join(godir, f"go-{ncpu}"), "w") as f:
+            f.write("go")
+        out, err = proc.communicate()
+        if proc.returncode != 0:
+            raise RuntimeError(f"scaling leg {ncpu} failed: {err[-500:]}")
+        return json.loads(out.strip().splitlines()[-1])
+
+    p_lo = spawn(lo)
+    p_hi = spawn(hi)
+    wait_ready(lo, p_lo)
+    wait_ready(hi, p_hi)
 
     def _ceiling():
         # host ceiling: throughput gain a PERFECT parallel program gets
@@ -169,9 +224,9 @@ def run_scaling():
     # quiet throughout (min ceiling >= 0.85) and E is physical
     # (<= 1.05).
     ceil0 = _ceiling()
-    r_lo = one(lo)
+    r_lo = release(lo, p_lo)
     ceil1 = _ceiling()
-    r_hi = one(hi)
+    r_hi = release(hi, p_hi)
     ceil2 = _ceiling()
     ceiling = min(ceil0, ceil1, ceil2)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
