@@ -186,3 +186,97 @@ def fingerprint_batch(batch: pa.Table, text_col="text", id_col="doc_id",
     (Mersenne mulmod passes + segmented min; no per-doc loop)."""
     fps = rolling_fingerprints(batch[text_col], window=window)
     return pa.table({id_col: batch[id_col], "fingerprint": pa.array(fps, pa.uint64())})
+
+
+def repetition_batch(batch: pa.Table, text_col="text",
+                     id_col="doc_id") -> pa.Table:
+    """Gopher-style repetition quality signals per document (the web-text
+    filtering rules of Rae et al. 2021 §A1.1, public paper): duplicate-line
+    fraction (by line count and by characters), most-frequent-word
+    fraction and most-frequent-word-2-gram fraction.
+
+    Everything is computed from exploded (doc, token) pairs with pandas
+    C-path groupbys inside ONE batch — a document's lines/words never
+    leave the UDF invocation, so the stage is an embarrassingly parallel
+    map with no shuffle (100-TB shape: per-doc state is bounded by the
+    doc itself).
+
+    Exactness vs the SQL oracle: every count is an identical integer on
+    both sides (lines = split on chr(10); words = RE2 ``\\S+`` tokens,
+    reproduced here as split-on-``\\s+`` minus empties; bigrams = adjacent
+    word pairs joined by one space), and every ratio is a single
+    int->double division with a greatest(x, 1) guard, so the doubles are
+    bit-identical.
+    """
+    import pandas as pd
+
+    n = batch.num_rows
+    out_ids = batch[id_col]
+
+    # ---- lines: string_split(text, chr(10)) semantics
+    lines = pc.split_pattern(batch[text_col], "\n")
+    lflat = pc.list_flatten(lines)
+    lpar = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+    lchars = pc.utf8_length(lflat).to_numpy(zero_copy_only=False).astype(np.int64)
+    ldf = pd.DataFrame({"d": lpar, "line": lflat.to_pandas(), "c": lchars})
+    n_lines = np.zeros(n, np.int64)
+    n_distinct_lines = np.zeros(n, np.int64)
+    line_chars = np.zeros(n, np.int64)
+    distinct_line_chars = np.zeros(n, np.int64)
+    if len(ldf):
+        lg = ldf.groupby("d")
+        s = lg.size()
+        n_lines[s.index.to_numpy()] = s.to_numpy()
+        u = lg["line"].nunique()
+        n_distinct_lines[u.index.to_numpy()] = u.to_numpy()
+        t = lg["c"].sum()
+        line_chars[t.index.to_numpy()] = t.to_numpy()
+        du = ldf.drop_duplicates(["d", "line"]).groupby("d")["c"].sum()
+        distinct_line_chars[du.index.to_numpy()] = du.to_numpy()
+
+    # ---- words: RE2 \S+ tokens == split on \s+ runs, empties dropped
+    wsplit = pc.split_pattern_regex(batch[text_col], r"\s+")
+    wflat = pc.list_flatten(wsplit)
+    wpar = pc.list_parent_indices(wsplit).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(pc.utf8_length(wflat), 0).to_numpy(zero_copy_only=False)
+    words = wflat.to_pandas().to_numpy()[keep]
+    wpar = wpar[keep]
+    n_words = np.bincount(wpar, minlength=n).astype(np.int64)
+    top_word = np.zeros(n, np.int64)
+    if len(words):
+        tc = (pd.DataFrame({"d": wpar, "w": words})
+              .groupby(["d", "w"]).size().groupby(level=0).max())
+        top_word[tc.index.to_numpy()] = tc.to_numpy()
+
+    # ---- word 2-grams: adjacent same-doc pairs, joined by one space
+    n_bigrams = np.maximum(n_words - 1, 0)
+    top_bigram = np.zeros(n, np.int64)
+    if len(words) > 1:
+        adj = wpar[1:] == wpar[:-1]
+        if adj.any():
+            bd = wpar[:-1][adj]
+            bg = (pd.Series(words[:-1][adj])
+                  .str.cat(pd.Series(words[1:][adj]), sep=" ").to_numpy())
+            bc = (pd.DataFrame({"d": bd, "b": bg})
+                  .groupby(["d", "b"]).size().groupby(level=0).max())
+            top_bigram[bc.index.to_numpy()] = bc.to_numpy()
+
+    n_dup_lines = n_lines - n_distinct_lines
+
+    def frac(num, den):
+        return num.astype(np.float64) / np.maximum(den, 1).astype(np.float64)
+
+    return pa.table({
+        id_col: out_ids,
+        "n_lines": pa.array(n_lines, pa.int64()),
+        "n_dup_lines": pa.array(n_dup_lines, pa.int64()),
+        "dup_line_frac": pa.array(frac(n_dup_lines, n_lines), pa.float64()),
+        "dup_line_char_frac": pa.array(
+            frac(line_chars - distinct_line_chars, line_chars), pa.float64()),
+        "n_words": pa.array(n_words, pa.int64()),
+        "top_word_count": pa.array(top_word, pa.int64()),
+        "top_word_frac": pa.array(frac(top_word, n_words), pa.float64()),
+        "n_bigrams": pa.array(n_bigrams, pa.int64()),
+        "top_bigram_count": pa.array(top_bigram, pa.int64()),
+        "top_bigram_frac": pa.array(frac(top_bigram, n_bigrams), pa.float64()),
+    })
