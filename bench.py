@@ -100,6 +100,9 @@ def run_bench():
         # shard query pays the one-time index build), and the
         # exact-superset radius range join (reuses the shared index)
         "knn_geodesic", "knn_s2_geodesic", "radius_geodesic",
+        # round-4 session-4 additions: hopping windows, Gopher
+        # repetition signals, TF-IDF top terms
+        "events_hopping_agg", "gopher_repetition", "tfidf_top_terms",
     ]
     qtimes = {}
     for name in bench_queries:

@@ -280,3 +280,55 @@ def repetition_batch(batch: pa.Table, text_col="text",
         "top_bigram_count": pa.array(top_bigram, pa.int64()),
         "top_bigram_frac": pa.array(frac(top_bigram, n_bigrams), pa.float64()),
     })
+
+
+def doc_term_freqs(batch: pa.Table, text_col="text",
+                   id_col="doc_id") -> pa.Table:
+    """Explode a batch into (doc_id, term, tf) rows — one row per
+    DISTINCT term per document (RE2 ``\\S+`` tokens, exact strings).
+    The per-doc counting is one pandas C-path groupby inside the batch;
+    a document's terms never straddle batches (docs are rows), so tf is
+    globally correct with no shuffle."""
+    import pandas as pd
+
+    wsplit = pc.split_pattern_regex(batch[text_col], r"\s+")
+    wflat = pc.list_flatten(wsplit)
+    wpar = pc.list_parent_indices(wsplit).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(pc.utf8_length(wflat), 0).to_numpy(zero_copy_only=False)
+    words = wflat.to_pandas().to_numpy()[keep]
+    wpar = wpar[keep]
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    g = (pd.DataFrame({"doc_id": ids[wpar], "term": words})
+         .groupby(["doc_id", "term"], as_index=False).size())
+    return pa.table({
+        "doc_id": pa.array(g["doc_id"].to_numpy(np.int64), pa.int64()),
+        "term": pa.array(g["term"].to_numpy(), pa.string()),
+        "tf": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+    })
+
+
+def tfidf_topk_frame(df, n_docs: int, topk: int) -> pa.Table:
+    """Rank a (doc_id, term, tf, df) frame by the deterministic tf-idf
+    score tf * (N / df) and keep the top-k terms per doc.
+
+    The score is exactly two IEEE f64 ops (divide then multiply) on
+    exact integers, so it is bit-identical to the SQL twin — no libm,
+    no rounding guard needed; ties break on term ascending (same
+    collation both engines for ASCII tokens)."""
+    import pandas as pd
+
+    score = df["tf"].to_numpy().astype(np.float64) * (
+        float(n_docs) / df["df"].to_numpy().astype(np.float64))
+    out = df.assign(score=score).sort_values(
+        ["doc_id", "score", "term"], ascending=[True, False, True],
+        kind="mergesort")
+    out = out.groupby("doc_id").head(topk).copy()
+    out["term_rank"] = out.groupby("doc_id").cumcount() + 1
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"].to_numpy(np.int64), pa.int64()),
+        "term_rank": pa.array(out["term_rank"].to_numpy(np.int64), pa.int64()),
+        "term": pa.array(out["term"].to_numpy(), pa.string()),
+        "tf": pa.array(out["tf"].to_numpy(np.int64), pa.int64()),
+        "df": pa.array(out["df"].to_numpy(np.int64), pa.int64()),
+        "score": pa.array(out["score"].to_numpy(np.float64), pa.float64()),
+    })

@@ -129,3 +129,45 @@ def test_hopping_window_agg_matches_scalar(ray_session):
         assert (row.n_events, row.sum_value_cents) == (n, s)
     # every event really lands in K windows
     assert got["n_events"].sum() == K * len(ev)
+
+
+def _scalar_tfidf_topk(texts, ids, topk=3):
+    tf = {}
+    df = Counter()
+    for i, txt in zip(ids, texts):
+        c = Counter(re.findall(r"\S+", txt))
+        tf[i] = c
+        df.update(c.keys())
+    n = len(texts)
+    rows = []
+    for i in ids:
+        scored = sorted(
+            ((t, c, df[t], float(c) * (float(n) / float(df[t])))
+             for t, c in tf[i].items()),
+            key=lambda x: (-x[3], x[0]))[:topk]
+        for r, (t, c, d, s) in enumerate(scored, 1):
+            rows.append((i, r, t, c, d, s))
+    return rows
+
+
+def test_tfidf_both_paths_match_scalar(ray_session):
+    from proj_ray.pipelines.queries import QUERIES
+
+    fn = QUERIES["tfidf_top_terms"]["fn"]
+    sf = "/root/testdata/sf0.001"
+    got_b = fn(sf, path="broadcast").to_pandas()
+    got_j = fn(sf, path="join").to_pandas()
+    key = ["doc_id", "term_rank"]
+    got_b = got_b.sort_values(key).reset_index(drop=True)
+    got_j = got_j.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_b, got_j[got_b.columns])
+
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text"])
+    want = _scalar_tfidf_topk(docs["text"].tolist(), docs["doc_id"].tolist())
+    want_df = pd.DataFrame(want, columns=["doc_id", "term_rank", "term",
+                                          "tf", "df", "score"])
+    want_df = want_df.sort_values(key).reset_index(drop=True)
+    got = got_b[want_df.columns].astype(
+        {c: want_df[c].dtype for c in want_df.columns})
+    pd.testing.assert_frame_equal(got, want_df)
