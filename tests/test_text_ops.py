@@ -171,3 +171,24 @@ def test_tfidf_both_paths_match_scalar(ray_session):
     got = got_b[want_df.columns].astype(
         {c: want_df[c].dtype for c in want_df.columns})
     pd.testing.assert_frame_equal(got, want_df)
+
+
+def test_anti_join_both_paths_match(ray_session):
+    from proj_ray.pipelines.queries import QUERIES
+
+    fn = QUERIES["customers_no_urgent"]["fn"]
+    sf = "/root/testdata/sf0.001"
+    key = ["c_custkey"]
+    got_b = fn(sf, path="broadcast").to_pandas().sort_values(
+        key).reset_index(drop=True)
+    got_j = fn(sf, path="join").to_pandas().sort_values(
+        key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_b, got_j[got_b.columns])
+
+    cust = pd.read_parquet(f"{sf}/customer.parquet")
+    orders = pd.read_parquet(f"{sf}/orders.parquet")
+    urgent = set(orders.loc[orders["o_orderpriority"] == "1-URGENT",
+                            "o_custkey"])
+    want = cust[~cust["c_custkey"].isin(urgent)]
+    assert sorted(got_b["c_custkey"]) == sorted(want["c_custkey"])
+    assert 0 < len(got_b) < len(cust)
