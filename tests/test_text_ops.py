@@ -192,3 +192,22 @@ def test_anti_join_both_paths_match(ray_session):
     want = cust[~cust["c_custkey"].isin(urgent)]
     assert sorted(got_b["c_custkey"]) == sorted(want["c_custkey"])
     assert 0 < len(got_b) < len(cust)
+
+
+def test_rolling_7d_matches_scalar(ray_session):
+    from proj_ray.pipelines.queries import QUERIES, _ROLL_WIN_US
+
+    fn = QUERIES["user_rolling_7d"]["fn"]
+    sf = "/root/testdata/sf0.001"
+    got = fn(sf).to_pandas().set_index("event_id")
+    ev = pd.read_parquet(f"{sf}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    tu = ev["ts"].astype("int64").to_numpy()
+    cents = np.floor(ev["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    assert len(got) == len(ev)
+    # brute-force per-row reference (value-based inclusive window)
+    for row in ev.sample(n=300, random_state=7).itertuples():
+        m = (ev["user_id"].to_numpy() == row.user_id) & \
+            (tu >= tu[row.Index] - _ROLL_WIN_US) & (tu <= tu[row.Index])
+        assert got.loc[row.event_id, "roll_cents"] == cents[m].sum()
+        assert got.loc[row.event_id, "n_in_window"] == m.sum()
