@@ -101,8 +101,9 @@ def run_bench():
         # exact-superset radius range join (reuses the shared index)
         "knn_geodesic", "knn_s2_geodesic", "radius_geodesic",
         # round-4 session-4 additions: hopping windows, Gopher
-        # repetition signals, TF-IDF top terms
+        # repetition signals, TF-IDF top terms, big-big shuffle join
         "events_hopping_agg", "gopher_repetition", "tfidf_top_terms",
+        "orders_by_segment",
     ]
     qtimes = {}
     for name in bench_queries:
