@@ -86,20 +86,36 @@ class PIPJoinActor:
     """
 
     def __init__(self, poly_defs, zoom=7, lon_col="lon", lat_col="lat",
-                 id_cols=("pid",), direct_threshold=64, index="tile"):
+                 id_cols=("pid",), direct_threshold=64, index="tile",
+                 rtree_fanout=8):
         # index="tile": Web-Mercator quadtree buckets (kernels.tiling);
         # index="s2": S2 Hilbert cell buckets (kernels.s2cell) — full
-        # sphere, no polar clamp; ``zoom`` is the S2 level in that mode
+        # sphere, no polar clamp; ``zoom`` is the S2 level in that mode;
+        # index="s2rtree": S2 buckets where each bucket is a SHARD with
+        # its own STR-packed R-tree over the member polygon bboxes
+        # (kernels.rtree) — the north-star "cell-bucketed polygon R-tree
+        # shards held in actor pools" plan; the tree prunes candidates
+        # before the exact even-odd test, so rows are identical
         self.polygons = make_polygons(poly_defs)
         self.zoom = zoom
         self.index = index
         self.direct = len(self.polygons) <= direct_threshold
+        self.shard_trees = None
         if self.direct:
             self.buckets = None
-        elif index == "s2":
+        elif index in ("s2", "s2rtree"):
             self.buckets = bucket_polygons_s2(self.polygons, zoom)
         else:
             self.buckets = bucket_polygons(self.polygons, zoom)
+        if not self.direct and index == "s2rtree":
+            from ..kernels.rtree import STRtree
+
+            self.shard_trees = {
+                cell: (np.asarray(idxs, dtype=np.int64),
+                       STRtree(np.asarray([self.polygons[k].bbox for k in idxs],
+                                          dtype=np.float64),
+                               fanout=rtree_fanout))
+                for cell, idxs in self.buckets.items()}
         self.lon_col = lon_col
         self.lat_col = lat_col
         self.id_cols = id_cols
@@ -120,7 +136,7 @@ class PIPJoinActor:
         return pa.table(cols)
 
     def _bucketed(self, lon, lat):
-        if self.index == "s2":
+        if self.index in ("s2", "s2rtree"):
             from ..kernels.s2cell import cell_id_from_lonlat
 
             cells = cell_id_from_lonlat(lon, lat, self.zoom).view(np.int64)
@@ -134,10 +150,16 @@ class PIPJoinActor:
         starts = np.concatenate([[0], bounds])
         ends = np.concatenate([bounds, [len(sorted_cells)]])
         for s, e in zip(starts, ends):
+            ids = order[s:e]
+            if self.shard_trees is not None:
+                hit = self._probe_shard_tree(int(sorted_cells[s]), ids, lon, lat)
+                if hit is not None:
+                    pt_idx_out.append(hit[0])
+                    poly_out.append(hit[1])
+                continue
             cand = self.buckets.get(int(sorted_cells[s]))
             if not cand:
                 continue
-            ids = order[s:e]
             sub_polys = [self.polygons[k] for k in cand]
             pts, pls = pip_join_all(sub_polys, lon[ids], lat[ids])
             if pts.size:
@@ -147,3 +169,34 @@ class PIPJoinActor:
         if pt_idx_out:
             return np.concatenate(pt_idx_out), np.concatenate(poly_out)
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=object)
+
+    def _probe_shard_tree(self, cell, ids, lon, lat):
+        """One cell group through its shard's R-tree: bbox-candidate
+        (point, polygon) pairs from the packed descent, then the exact
+        even-odd test per candidate polygon over just its candidate
+        points. Candidates are an exact superset of containment, so
+        output rows equal the unindexed plan's."""
+        shard = self.shard_trees.get(cell)
+        if shard is None:
+            return None
+        members, tree = shard
+        cpt, cpoly = tree.query_points(lon[ids], lat[ids])
+        if cpt.size == 0:
+            return None
+        pt_parts, poly_parts = [], []
+        o = np.argsort(cpoly, kind="stable")
+        cpt, cpoly = cpt[o], cpoly[o]
+        cuts = np.concatenate([[0], np.flatnonzero(np.diff(cpoly)) + 1,
+                               [cpoly.size]])
+        for a, b in zip(cuts[:-1], cuts[1:]):
+            poly = self.polygons[int(members[cpoly[a]])]
+            local = cpt[a:b]
+            ins = poly.contains(lon[ids[local]], lat[ids[local]])
+            if np.any(ins):
+                hit = ids[local[ins]]
+                pt_parts.append(hit)
+                poly_parts.append(np.full(hit.size, poly.polygon_id,
+                                          dtype=object))
+        if not pt_parts:
+            return None
+        return np.concatenate(pt_parts), np.concatenate(poly_parts)
