@@ -1,0 +1,55 @@
+"""Radius pair join: brute-force parity proving the 3x3 cell cover."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from proj_ray.kernels.geodesic import haversine
+from proj_ray.pipelines.derive import lonlat_numpy
+
+
+def _brute_pairs(pid, lon, lat, radius_m, chunk=512):
+    parts = []
+    for lo in range(0, pid.size, chunk):
+        hi = min(lo + chunk, pid.size)
+        d = haversine(lon[lo:hi, None], lat[lo:hi, None],
+                      lon[None, :], lat[None, :])
+        d = np.floor(d * 1.0e3 + 0.5) / 1.0e3
+        keep = (pid[lo:hi, None] < pid[None, :]) & (d < radius_m)
+        ii, jj = np.nonzero(keep)
+        parts.append(pd.DataFrame({"pid_a": pid[lo + ii], "pid_b": pid[jj],
+                                   "dist_m": d[ii, jj]}))
+    return pd.concat(parts, ignore_index=True)
+
+
+def test_radius_pair_join_matches_bruteforce(ray_session):
+    """The replicated grid-bucket join equals the O(n^2) scan —
+    including duplicate pids, the antimeridian wrap and the +-80 deg
+    band edges (the derived lattice covers all three)."""
+    import ray.data as rd
+
+    from proj_ray.stages.agg import combine_partials
+    from proj_ray.stages.pairjoin import radius_pair_join_stage
+
+    rng = np.random.default_rng(23)
+    # cluster pids so a decent number of pairs actually falls inside
+    # 120 km; duplicates exercise the keyed-distinct finish
+    pid = np.unique(rng.integers(0, 120000, 12000).astype(np.int64))
+    pid = np.concatenate([pid, pid[: pid.size // 10]])  # dup 10%
+    lon, lat = lonlat_numpy(pid)
+    radius = 30000.0  # the radius the 3x3 cover is proved for
+
+    ds = rd.from_arrow(pa.table({"pid": pa.array(pid, pa.int64()),
+                                 "lon": pa.array(lon, pa.float64()),
+                                 "lat": pa.array(lat, pa.float64())}))
+    pairs = radius_pair_join_stage(ds.repartition(8), radius_m=radius)
+    got = combine_partials(pairs, ["pid_a", "pid_b"], {"dist_m": "min"})
+    got = got.sort_values(["pid_a", "pid_b"]).reset_index(drop=True)
+
+    upid = np.unique(pid)
+    ulon, ulat = lonlat_numpy(upid)
+    exp = _brute_pairs(upid, ulon, ulat, radius)
+    exp = exp.sort_values(["pid_a", "pid_b"]).reset_index(drop=True)
+    assert len(exp) > 50  # non-degenerate fixture
+    pd.testing.assert_frame_equal(
+        got.astype({"pid_a": np.int64, "pid_b": np.int64}), exp)
