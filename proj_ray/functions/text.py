@@ -282,6 +282,69 @@ def repetition_batch(batch: pa.Table, text_col="text",
     })
 
 
+def _doc_words(batch: pa.Table, text_col: str, id_col: str):
+    """(words, word->doc parent index, doc ids) for a batch — the shared
+    RE2-``\\S+``-equivalent word stream (split on \\s+, empties dropped,
+    order preserved) used by the term/ngram exploders."""
+    wsplit = pc.split_pattern_regex(batch[text_col], r"\s+")
+    wflat = pc.list_flatten(wsplit)
+    wpar = pc.list_parent_indices(wsplit).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(pc.utf8_length(wflat), 0).to_numpy(zero_copy_only=False)
+    words = wflat.to_pandas().to_numpy()[keep]
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    return words, wpar[keep], ids
+
+
+def _doc_ngrams(batch: pa.Table, n: int, text_col: str, id_col: str):
+    """Space-joined word n-grams per document: (grams, gram->doc parent
+    index, doc ids). A position starts a gram iff all n words share the
+    document; grams match the SQL ``ws[k] || ' ' || ... || ws[k+n-1]``
+    spelling exactly."""
+    words, wpar, ids = _doc_words(batch, text_col, id_col)
+    m = words.size - (n - 1)
+    if m <= 0:
+        return (np.empty(0, dtype=object), np.empty(0, dtype=np.int64), ids)
+    valid = wpar[: m] == wpar[n - 1:]
+    grams = words[: m]
+    for k in range(1, n):
+        grams = grams + " "
+        grams = grams + words[k: m + k]
+    return grams[valid], wpar[: m][valid], ids
+
+
+def doc_ngram_freqs(batch: pa.Table, n: int = 3, text_col="text",
+                    id_col="doc_id") -> pa.Table:
+    """Explode a batch into (doc_id, gram, tf) rows — one row per
+    DISTINCT word n-gram per document, tf = number of positions. Docs
+    are rows, so counts are globally correct with no shuffle."""
+    import pandas as pd
+
+    grams, gpar, ids = _doc_ngrams(batch, n, text_col, id_col)
+    g = (pd.DataFrame({"doc_id": ids[gpar], "gram": grams})
+         .groupby(["doc_id", "gram"], as_index=False).size())
+    return pa.table({
+        "doc_id": pa.array(g["doc_id"].to_numpy(np.int64), pa.int64()),
+        "gram": pa.array(g["gram"].to_numpy(), pa.string()),
+        "tf": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+    })
+
+
+def dup_ngram_stats_frame(doc_ids: np.ndarray, gpar: np.ndarray,
+                          dup_mask: np.ndarray, n_rows: int) -> pa.Table:
+    """Per-doc totals from a gram stream: n_ngrams, n_dup_ngrams (gram
+    positions whose gram is corpus-duplicated) and the guarded ratio —
+    one int->double division, bit-identical to the SQL twin."""
+    n_ngrams = np.bincount(gpar, minlength=n_rows).astype(np.int64)
+    n_dup = np.bincount(gpar[dup_mask], minlength=n_rows).astype(np.int64)
+    frac = n_dup.astype(np.float64) / np.maximum(n_ngrams, 1).astype(np.float64)
+    return pa.table({
+        "doc_id": pa.array(doc_ids, pa.int64()),
+        "n_ngrams": pa.array(n_ngrams, pa.int64()),
+        "n_dup_ngrams": pa.array(n_dup, pa.int64()),
+        "dup_ngram_frac": pa.array(frac, pa.float64()),
+    })
+
+
 def doc_term_freqs(batch: pa.Table, text_col="text",
                    id_col="doc_id") -> pa.Table:
     """Explode a batch into (doc_id, term, tf) rows — one row per

@@ -211,3 +211,62 @@ def test_rolling_7d_matches_scalar(ray_session):
             (tu >= tu[row.Index] - _ROLL_WIN_US) & (tu <= tu[row.Index])
         assert got.loc[row.event_id, "roll_cents"] == cents[m].sum()
         assert got.loc[row.event_id, "n_in_window"] == m.sum()
+
+
+def _scalar_dup_ngram(texts, ids, n=3):
+    """Independent scalar twin: pure-Python dict counting."""
+    from collections import Counter
+
+    doc_grams = []
+    for t in texts:
+        ws = t.split()
+        doc_grams.append([" ".join(ws[k: k + n])
+                          for k in range(max(len(ws) - n + 1, 0))])
+    df = Counter()
+    for grams in doc_grams:
+        for g in set(grams):
+            df[g] += 1
+    rows = []
+    for did, grams in zip(ids, doc_grams):
+        nd = sum(1 for g in grams if df[g] >= 2)
+        rows.append((did, len(grams), nd,
+                     float(nd) / float(max(len(grams), 1))))
+    return rows
+
+
+def test_dup_ngram_frac_both_paths_match_scalar(ray_session):
+    from proj_ray.pipelines.queries import QUERIES
+
+    fn = QUERIES["dup_ngram_frac"]["fn"]
+    sf = "/root/testdata/sf0.001"
+    key = ["doc_id"]
+    got_b = fn(sf, path="broadcast").to_pandas().sort_values(
+        key).reset_index(drop=True)
+    got_j = fn(sf, path="join").to_pandas().sort_values(
+        key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_b, got_j[got_b.columns])
+
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text"])
+    want = pd.DataFrame(
+        _scalar_dup_ngram(docs["text"].tolist(), docs["doc_id"].tolist()),
+        columns=["doc_id", "n_ngrams", "n_dup_ngrams", "dup_ngram_frac"],
+    ).sort_values(key).reset_index(drop=True)
+    got = got_b[want.columns].astype(
+        {c: want[c].dtype for c in want.columns})
+    pd.testing.assert_frame_equal(got, want)
+    assert (want["n_dup_ngrams"] > 0).any()  # non-degenerate fixture
+
+
+def test_dup_ngram_zero_gram_docs_covered(ray_session):
+    """Documents with fewer than n words appear with zero counts on
+    BOTH dispatch paths (the join path's union branch)."""
+    import ray.data as rd
+
+    from proj_ray.functions.text import doc_ngram_freqs
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": ["one two", "", "a b c a b c"]})
+    out = doc_ngram_freqs(t, 3).to_pandas()
+    assert set(out["doc_id"]) == {3}
+    assert out["tf"].sum() == 4  # 4 trigram positions in doc 3
