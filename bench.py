@@ -104,6 +104,9 @@ def run_bench():
         # repetition signals, TF-IDF top terms, big-big shuffle join
         "events_hopping_agg", "gopher_repetition", "tfidf_top_terms",
         "orders_by_segment",
+        # round-4 session-5 additions: R-tree-sharded PIP, the
+        # replicated-grid radius self-join, cross-doc duplicate n-grams
+        "pip_join_rtree", "radius_pair_join", "dup_ngram_frac",
     ]
     qtimes = {}
     for name in bench_queries:

@@ -27,8 +27,10 @@ shuffle moves (cell, pid, lon, lat) rows only; per-cell work is
 quadratic in the CELL population (inherent — the OUTPUT is quadratic
 in dense regions), so a deployment sizes cells to the radius exactly
 as here and salts/sub-splits any cell whose population exceeds the
-per-task budget; the pair stream is deduplicated by a size-dispatched
-final combine (stages.agg.combine_partials), never a driver concat.
+per-task budget.  The emitted pair stream is already globally
+distinct — each pair appears only in its smaller-pid endpoint's home
+cell, and duplicate-pid input rows collapse inside that one group —
+so there is NO second shuffle and no driver materialization.
 """
 
 from __future__ import annotations
@@ -84,6 +86,12 @@ def _pairs_in_cell(radius_m: float):
         empty = pd.DataFrame({"pid_a": pd.Series(dtype=np.int64),
                               "pid_b": pd.Series(dtype=np.int64),
                               "dist_m": pd.Series(dtype=np.float64)})
+        # distinct points: duplicate pids carry identical coordinates
+        # (pid-derived), and a pid's home cell is a function of the pid,
+        # so ALL duplicate rows of a pair land in THIS group — one
+        # group-local dedup makes the pair stream globally distinct
+        # with no downstream keyed combine
+        df = df.drop_duplicates("pid")
         hm = df["home"].to_numpy()
         if not hm.any():
             return empty
@@ -103,9 +111,8 @@ def _pairs_in_cell(radius_m: float):
 
 
 def radius_pair_join_stage(points, radius_m: float):
-    """points: Dataset(pid, lon, lat) -> Dataset(pid_a, pid_b, dist_m)
-    pair stream (may carry duplicate-pid multiplicity; callers finish
-    with a keyed distinct/min combine)."""
+    """points: Dataset(pid, lon, lat) -> Dataset(pid_a, pid_b, dist_m),
+    globally distinct pairs (see module docstring)."""
     reps = points.map_batches(_replicate, batch_format="pyarrow",
                               zero_copy_batch=True)
     return reps.groupby("cell").map_groups(

@@ -149,17 +149,14 @@ class PIPJoinActor:
         bounds = np.flatnonzero(np.diff(sorted_cells)) + 1
         starts = np.concatenate([[0], bounds])
         ends = np.concatenate([bounds, [len(sorted_cells)]])
+        if self.shard_trees is not None:
+            return self._probe_shard_trees(starts, ends, order, sorted_cells,
+                                           lon, lat)
         for s, e in zip(starts, ends):
-            ids = order[s:e]
-            if self.shard_trees is not None:
-                hit = self._probe_shard_tree(int(sorted_cells[s]), ids, lon, lat)
-                if hit is not None:
-                    pt_idx_out.append(hit[0])
-                    poly_out.append(hit[1])
-                continue
             cand = self.buckets.get(int(sorted_cells[s]))
             if not cand:
                 continue
+            ids = order[s:e]
             sub_polys = [self.polygons[k] for k in cand]
             pts, pls = pip_join_all(sub_polys, lon[ids], lat[ids])
             if pts.size:
@@ -170,33 +167,42 @@ class PIPJoinActor:
             return np.concatenate(pt_idx_out), np.concatenate(poly_out)
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=object)
 
-    def _probe_shard_tree(self, cell, ids, lon, lat):
-        """One cell group through its shard's R-tree: bbox-candidate
-        (point, polygon) pairs from the packed descent, then the exact
-        even-odd test per candidate polygon over just its candidate
-        points. Candidates are an exact superset of containment, so
-        output rows equal the unindexed plan's."""
-        shard = self.shard_trees.get(cell)
-        if shard is None:
-            return None
-        members, tree = shard
-        cpt, cpoly = tree.query_points(lon[ids], lat[ids])
-        if cpt.size == 0:
-            return None
-        pt_parts, poly_parts = [], []
+    def _probe_shard_trees(self, starts, ends, order, sorted_cells, lon, lat):
+        """The R-tree-shard probe: per cell group, ONLY the packed-tree
+        descent runs (cheap vectorized bbox candidates); the exact
+        even-odd test then batches ONE call per unique candidate polygon
+        across the whole input batch, so pnpoly call count is bounded by
+        the polygon set, not #cells x #polygons. Candidates are an exact
+        superset of containment => rows equal the unindexed plan's."""
+        cand_pt, cand_poly = [], []
+        for s, e in zip(starts, ends):
+            shard = self.shard_trees.get(int(sorted_cells[s]))
+            if shard is None:
+                continue
+            members, tree = shard
+            ids = order[s:e]
+            cpt, cpoly = tree.query_points(lon[ids], lat[ids])
+            if cpt.size:
+                cand_pt.append(ids[cpt])
+                cand_poly.append(members[cpoly])
+        if not cand_pt:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=object)
+        cpt = np.concatenate(cand_pt)
+        cpoly = np.concatenate(cand_poly)
         o = np.argsort(cpoly, kind="stable")
         cpt, cpoly = cpt[o], cpoly[o]
         cuts = np.concatenate([[0], np.flatnonzero(np.diff(cpoly)) + 1,
                                [cpoly.size]])
+        pt_parts, poly_parts = [], []
         for a, b in zip(cuts[:-1], cuts[1:]):
-            poly = self.polygons[int(members[cpoly[a]])]
-            local = cpt[a:b]
-            ins = poly.contains(lon[ids[local]], lat[ids[local]])
+            poly = self.polygons[int(cpoly[a])]
+            pts = cpt[a:b]
+            ins = poly.contains(lon[pts], lat[pts])
             if np.any(ins):
-                hit = ids[local[ins]]
+                hit = pts[ins]
                 pt_parts.append(hit)
                 poly_parts.append(np.full(hit.size, poly.polygon_id,
                                           dtype=object))
         if not pt_parts:
-            return None
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=object)
         return np.concatenate(pt_parts), np.concatenate(poly_parts)

@@ -28,7 +28,6 @@ def test_radius_pair_join_matches_bruteforce(ray_session):
     band edges (the derived lattice covers all three)."""
     import ray.data as rd
 
-    from proj_ray.stages.agg import combine_partials
     from proj_ray.stages.pairjoin import radius_pair_join_stage
 
     rng = np.random.default_rng(23)
@@ -43,7 +42,8 @@ def test_radius_pair_join_matches_bruteforce(ray_session):
                                  "lon": pa.array(lon, pa.float64()),
                                  "lat": pa.array(lat, pa.float64())}))
     pairs = radius_pair_join_stage(ds.repartition(8), radius_m=radius)
-    got = combine_partials(pairs, ["pid_a", "pid_b"], {"dist_m": "min"})
+    got = pairs.to_pandas()
+    assert not got.duplicated(["pid_a", "pid_b"]).any()  # distinct by design
     got = got.sort_values(["pid_a", "pid_b"]).reset_index(drop=True)
 
     upid = np.unique(pid)
