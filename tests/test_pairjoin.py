@@ -53,3 +53,41 @@ def test_radius_pair_join_matches_bruteforce(ray_session):
     assert len(exp) > 50  # non-degenerate fixture
     pd.testing.assert_frame_equal(
         got.astype({"pid_a": np.int64, "pid_b": np.int64}), exp)
+
+
+def test_spatial_clusters_matches_fresh_union_find(ray_session):
+    """Engine CC labels equal a freshly-computed brute-force union-find
+    at sf0.001 (independent of the frozen golden); the attach path
+    dispatch itself is parity-tested in test_dedup_distributed."""
+    from proj_ray.pipelines.queries import QUERIES
+
+    li = pd.read_parquet("/root/testdata/sf0.001/lineitem.parquet",
+                         columns=["l_orderkey", "l_linenumber"])
+    pid_rows = (li["l_orderkey"].to_numpy(np.int64) * 10
+                + li["l_linenumber"].to_numpy(np.int64))
+    upid = np.unique(pid_rows)
+    lon, lat = lonlat_numpy(upid)
+    parent = np.arange(upid.size, dtype=np.int64)
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    exp_pairs = _brute_pairs(upid, lon, lat, 30000.0)
+    order = {int(p): k for k, p in enumerate(upid)}
+    for a, b in zip(exp_pairs["pid_a"], exp_pairs["pid_b"]):
+        ra, rb = find(order[int(a)]), find(order[int(b)])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    lut = {int(p): int(upid[find(k)]) for k, p in enumerate(upid)}
+    want = pd.DataFrame({"pid": pid_rows,
+                         "cluster": [lut[int(p)] for p in pid_rows]})
+    want = want.sort_values(["pid", "cluster"]).reset_index(drop=True)
+
+    got = QUERIES["spatial_clusters"]["fn"]("/root/testdata/sf0.001")
+    got = got.to_pandas().sort_values(["pid", "cluster"]).reset_index(drop=True)
+    assert (want["cluster"] != want["pid"]).any()  # non-degenerate
+    pd.testing.assert_frame_equal(
+        got.astype({"pid": np.int64, "cluster": np.int64}), want)
