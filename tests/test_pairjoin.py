@@ -91,3 +91,35 @@ def test_spatial_clusters_matches_fresh_union_find(ray_session):
     assert (want["cluster"] != want["pid"]).any()  # non-degenerate
     pd.testing.assert_frame_equal(
         got.astype({"pid": np.int64, "cluster": np.int64}), want)
+
+
+def test_trajectory_length_edge_cases(ray_session):
+    """Duplicate (order, line) rows collapse (sf0.001 lineitem carries
+    real duplicates) and the int-mm sum equals a scalar per-segment
+    loop."""
+    from proj_ray.kernels.geodesic import haversine
+    from proj_ray.pipelines.queries import QUERIES
+
+    fn = QUERIES["trajectory_length"]["fn"]
+    got = fn("/root/testdata/sf0.001").to_pandas()
+    li = pd.read_parquet("/root/testdata/sf0.001/lineitem.parquet",
+                         columns=["l_orderkey", "l_linenumber"])
+    li = li.drop_duplicates()
+    want_rows = []
+    for ok, g in li.groupby("l_orderkey"):
+        ln = np.sort(g["l_linenumber"].to_numpy())
+        pid = ok * 10 + ln.astype(np.int64)
+        lon, lat = lonlat_numpy(pid)
+        tot = 0
+        for k in range(1, len(pid)):
+            d = float(haversine(np.array([lon[k - 1]]), np.array([lat[k - 1]]),
+                                np.array([lon[k]]), np.array([lat[k]]))[0])
+            tot += int(np.floor(d * 1.0e3 + 0.5))
+        want_rows.append((ok, len(pid), len(pid) - 1, tot))
+    want = pd.DataFrame(want_rows, columns=["l_orderkey", "n_vertices",
+                                            "n_segments", "total_mm"])
+    key = ["l_orderkey"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({c: want[c].dtype for c in want.columns}), want)
