@@ -105,8 +105,10 @@ def run_bench():
         "events_hopping_agg", "gopher_repetition", "tfidf_top_terms",
         "orders_by_segment",
         # round-4 session-5 additions: R-tree-sharded PIP, the
-        # replicated-grid radius self-join, cross-doc duplicate n-grams
+        # replicated-grid radius self-join, cross-doc duplicate
+        # n-grams, radius-graph CC clustering, per-order trajectories
         "pip_join_rtree", "radius_pair_join", "dup_ngram_frac",
+        "spatial_clusters", "trajectory_length",
     ]
     qtimes = {}
     for name in bench_queries:
