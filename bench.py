@@ -108,7 +108,7 @@ def run_bench():
         # replicated-grid radius self-join, cross-doc duplicate
         # n-grams, radius-graph CC clustering, per-order trajectories
         "pip_join_rtree", "radius_pair_join", "dup_ngram_frac",
-        "spatial_clusters", "trajectory_length",
+        "spatial_clusters", "trajectory_length", "ann_pq_topk",
     ]
     qtimes = {}
     for name in bench_queries:

@@ -464,3 +464,114 @@ def ivf_search_partitioned(index_dir: str, queries: np.ndarray, k: int = 10,
     src = rd.read_parquet(files, columns=[id_col, vec_col, "cell"])
     cand = src.map_batches(part, batch_format="pyarrow", batch_size=None)
     return finalize_topk(collect_topk(cand, k), k)
+
+
+# --- product quantization (PQ) ANN ----------------------------------------
+
+def kmeans_l2(X: np.ndarray, k: int, iters: int = 8) -> np.ndarray:
+    """Deterministic plain-L2 k-means (PQ sub-codebooks; Jegou et al.
+    2011): float64, evenly-strided init, argmin ties to the lowest
+    index, empty clusters keep their previous centroid.  Shared by the
+    engine and the golden freezer — like kmeans_cosine, provenance
+    independence lives in the scan/merge pipeline, not the trainer."""
+    X = np.asarray(X, dtype=np.float64)
+    idx = (np.arange(k, dtype=np.int64) * X.shape[0]) // max(k, 1)
+    C = X[idx].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d, axis=1)
+        for j in range(k):
+            m = a == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+    return C
+
+
+def pq_train(S: np.ndarray, m: int = 8, ks: int = 16,
+             iters: int = 8) -> np.ndarray:
+    """(m, ks, dsub) float64 codebooks from a training sample; the
+    vector dimension must divide evenly into m subspaces."""
+    S = np.asarray(S, dtype=np.float64)
+    if S.shape[1] % m:
+        raise ValueError(f"dim {S.shape[1]} not divisible by m={m}")
+    dsub = S.shape[1] // m
+    return np.stack([kmeans_l2(S[:, j * dsub:(j + 1) * dsub], ks, iters)
+                     for j in range(m)])
+
+
+def pq_encode(M: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(n, m) int64 codes: per subspace, the L2-nearest codeword
+    ((x-c)^2 spelled identically in the engine batches and the scalar
+    golden — row-independent, so batching cannot change a code)."""
+    M = np.asarray(M, dtype=np.float64)
+    m, _ks, dsub = codebooks.shape
+    codes = np.empty((M.shape[0], m), dtype=np.int64)
+    for j in range(m):
+        diff = M[:, None, j * dsub:(j + 1) * dsub] - codebooks[j][None, :, :]
+        codes[:, j] = np.argmin((diff * diff).sum(axis=2), axis=1)
+    return codes
+
+
+def pq_adist(qrow: np.ndarray, codebooks: np.ndarray,
+             codes: np.ndarray) -> np.ndarray:
+    """Asymmetric PQ distances of one float64 query to coded rows:
+    per-subspace LUT then FIXED-ORDER accumulation over subspaces, so
+    equal codes give bit-equal distances and the (adist, vec_id)
+    comparator stays tie-free across engines."""
+    m, _ks, dsub = codebooks.shape
+    acc = np.zeros(codes.shape[0], dtype=np.float64)
+    for j in range(m):
+        diff = qrow[None, j * dsub:(j + 1) * dsub] - codebooks[j]
+        lut = (diff * diff).sum(axis=1)
+        acc += lut[codes[:, j]]
+    return acc
+
+
+def pq_topk_partial(batch: pa.Table, Q64: np.ndarray, codebooks: np.ndarray,
+                    k: int, id_col="vec_id", vec_col="embedding") -> pa.Table:
+    """Encode one batch and emit local top-k (qj, vec_id, sim) rows with
+    sim = -adist, reusing the associative (-sim, vec_id) reduce."""
+    M = batch_matrix(batch, vec_col)
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    codes = pq_encode(M, codebooks)
+    out_q, out_id, out_s = [], [], []
+    kk = min(k, M.shape[0])
+    for j in range(Q64.shape[0]):
+        s = -pq_adist(Q64[j], codebooks, codes)
+        part = np.lexsort((ids, -s))[:kk]
+        out_q.append(np.full(kk, j, dtype=np.int64))
+        out_id.append(ids[part])
+        out_s.append(s[part])
+    return pa.table({
+        "qj": pa.array(np.concatenate(out_q), pa.int64()),
+        "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
+        "sim": pa.array(np.concatenate(out_s), pa.float64()),
+    })
+
+
+def ann_pq_topk(ds, queries: np.ndarray, sample: np.ndarray, k: int = 10,
+                m: int = 8, ks: int = 16, id_col="vec_id",
+                vec_col="embedding", batch_size=None) -> pa.Table:
+    """PQ ANN top-k: codebooks train once on the driver sample and
+    BROADCAST to every task (closure capture -> object store, one copy
+    per node); each batch encodes itself and reduces to k rows per
+    query; the merge is the same two-level associative top-k as the
+    cosine scan.  At 100 TB the codes (m bytes/vector) are the only
+    per-corpus state — 8 bytes vs 256 for the raw float32x64 row — and
+    a deployment persists them as a coded column; here encode+scan fuse
+    into one streaming pass.  Returns (qid, vec_id, rank, adist)."""
+    books = pq_train(sample, m=m, ks=ks)
+    Q64 = np.asarray(queries, dtype=np.float64)
+
+    def part(b):
+        return pq_topk_partial(b, Q64, books, k, id_col=id_col,
+                               vec_col=vec_col)
+
+    cand = ds.map_batches(part, batch_format="pyarrow",
+                          batch_size=batch_size, zero_copy_batch=True)
+    out = finalize_topk(collect_topk(cand, k), k)
+    return pa.table({"qid": out["qid"], "vec_id": out["vec_id"],
+                     "rank": out["rank"],
+                     "adist": pa.array(
+                         -out["sim"].to_numpy(zero_copy_only=False),
+                         pa.float64())})

@@ -150,3 +150,53 @@ def test_capped_bucket_pairs_ids_ordering_and_empty():
     e = np.array([], dtype=np.int64)
     ia, ib = capped_bucket_pairs(e, e, lambda l, r: None, 0, cap=10)
     assert len(ia) == 0
+
+
+def test_pq_encode_batching_invariance_and_determinism():
+    """Codes are row-independent (batch splits cannot change them) and
+    the trainer is deterministic."""
+    from proj_ray.functions.vector import pq_encode, pq_train
+
+    rng = np.random.default_rng(3)
+    S = rng.normal(size=(200, 64)).astype(np.float32)
+    M = rng.normal(size=(333, 64)).astype(np.float32)
+    b1 = pq_train(S, m=8, ks=16)
+    b2 = pq_train(S, m=8, ks=16)
+    assert np.array_equal(b1, b2)
+    whole = pq_encode(M, b1)
+    parts = np.vstack([pq_encode(M[:100], b1), pq_encode(M[100:], b1)])
+    assert np.array_equal(whole, parts)
+    assert whole.min() >= 0 and whole.max() < 16
+
+
+def test_ann_pq_topk_matches_fresh_scalar(ray_session):
+    """Engine PQ search equals a freshly-computed single-process scan
+    at sf0.001 (independent of the frozen golden)."""
+    import pandas as pd
+
+    from proj_ray.functions.vector import pq_adist, pq_encode, pq_train
+    from proj_ray.pipelines.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = QUERIES["ann_pq_topk"]["fn"](sf).to_pandas()
+
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    ids = emb["vec_id"].to_numpy(np.int64)
+    M = np.array(emb["embedding"].tolist(), dtype=np.float32)
+    order = np.argsort(ids, kind="mergesort")
+    ids, M = ids[order], M[order]
+    Q = M[np.isin(ids, [0, 1, 2])]
+    sel = ids % 7 == 0
+    S = M[sel][np.argsort(ids[sel], kind="mergesort")][:1024]
+    books = pq_train(S, m=8, ks=16)
+    codes = pq_encode(M, books)
+    rows = []
+    for j in range(Q.shape[0]):
+        d = pq_adist(np.asarray(Q[j], np.float64), books, codes)
+        top = np.lexsort((ids, d))[:10]
+        for r, t in enumerate(top, 1):
+            rows.append((j, int(ids[t]), r, float(d[t])))
+    want = pd.DataFrame(rows, columns=["qid", "vec_id", "rank", "adist"])
+    pd.testing.assert_frame_equal(
+        got.astype({c: want[c].dtype for c in want.columns}), want)
