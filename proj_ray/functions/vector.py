@@ -575,3 +575,53 @@ def ann_pq_topk(ds, queries: np.ndarray, sample: np.ndarray, k: int = 10,
                      "adist": pa.array(
                          -out["sim"].to_numpy(zero_copy_only=False),
                          pa.float64())})
+
+
+def ann_ivfpq_topk(ds, queries: np.ndarray, sample: np.ndarray, k: int = 10,
+                   ncells: int = 16, nprobe: int = 8, m: int = 8,
+                   ks: int = 16, id_col="vec_id",
+                   vec_col="embedding") -> pa.Table:
+    """IVF + PQ composed — the full production ANN shape (Jegou et al.
+    2011): the coarse quantizer prunes to each query's nprobe cells
+    (at scale, partition-pruned I/O — ivf_build_index's layout), and
+    within the probed rows distances come from 8-byte PQ codes instead
+    of raw vectors.  Both the quantizer and the codebooks train once
+    on the driver sample and broadcast; the merge is the associative
+    two-level top-k.  Returns (qid, vec_id, rank, adist)."""
+    C = kmeans_cosine(sample, ncells)
+    books = pq_train(sample, m=m, ks=ks)
+    Qn = _normalize_rows(queries.astype(np.float32))
+    probe = np.argsort(-(Qn @ C.T), axis=1)[:, :nprobe]
+    probe_sets = [p.tolist() for p in probe]
+    Q64 = np.asarray(queries, dtype=np.float64)
+
+    def part(b: pa.Table) -> pa.Table:
+        M = batch_matrix(b, vec_col)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cells = ivf_assign(M, C)
+        codes = pq_encode(M, books)
+        out_q, out_id, out_s = [], [], []
+        for j in range(Q64.shape[0]):
+            msk = np.isin(cells, probe_sets[j])
+            if not msk.any():
+                continue
+            s = -pq_adist(Q64[j], books, codes[msk])
+            kk = min(k, s.shape[0])
+            top = np.lexsort((ids[msk], -s))[:kk]
+            out_q.append(np.full(kk, j, dtype=np.int64))
+            out_id.append(ids[msk][top])
+            out_s.append(s[top])
+        if not out_q:
+            return _CAND_SCHEMA.empty_table()
+        return pa.table({"qj": pa.array(np.concatenate(out_q), pa.int64()),
+                         "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
+                         "sim": pa.array(np.concatenate(out_s), pa.float64())})
+
+    cand = ds.map_batches(part, batch_format="pyarrow", batch_size=None,
+                          zero_copy_batch=True)
+    out = finalize_topk(collect_topk(cand, k), k)
+    return pa.table({"qid": out["qid"], "vec_id": out["vec_id"],
+                     "rank": out["rank"],
+                     "adist": pa.array(
+                         -out["sim"].to_numpy(zero_copy_only=False),
+                         pa.float64())})
