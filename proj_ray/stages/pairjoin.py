@@ -117,3 +117,106 @@ def radius_pair_join_stage(points, radius_m: float):
                               zero_copy_batch=True)
     return reps.groupby("cell").map_groups(
         _pairs_in_cell(radius_m), batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Rectangle-overlap join (2D interval join) — the replicated grid-cell
+# join with the REFERENCE-POINT de-duplication rule (Dittrich & Seeger,
+# ICDE 2000): both rectangle sets replicate into every grid cell their
+# bbox covers; after the one hash shuffle, a candidate pair found in a
+# cell is emitted only when the INTERSECTION's min corner lies in that
+# cell — each overlapping pair has exactly one such cell, so the join
+# emits each pair exactly once with NO second dedup shuffle.  All
+# bounds here are integer centi-degrees: overlap tests and areas are
+# exact int64 arithmetic, bit-identical to the SQL inequality join.
+# ---------------------------------------------------------------------------
+
+RECT_CELL = 1000  # grid pitch (centi-units)
+
+
+def _rect_replicate(side: str):
+    def fn(t: pa.Table) -> pa.Table:
+        rid = t["rid"].to_numpy(zero_copy_only=False)
+        x0 = t["x0"].to_numpy(zero_copy_only=False)
+        x1 = t["x1"].to_numpy(zero_copy_only=False)
+        y0 = t["y0"].to_numpy(zero_copy_only=False)
+        y1 = t["y1"].to_numpy(zero_copy_only=False)
+        cx0, cx1 = x0 // RECT_CELL, x1 // RECT_CELL
+        cy0, cy1 = y0 // RECT_CELL, y1 // RECT_CELL
+        reps = {"cell": [], "rid": [], "x0": [], "x1": [], "y0": [], "y1": []}
+        ncx = int((cx1 - cx0).max()) + 1 if rid.size else 1
+        ncy = int((cy1 - cy0).max()) + 1 if rid.size else 1
+        for dx in range(ncx):
+            for dy in range(ncy):
+                m = (cx0 + dx <= cx1) & (cy0 + dy <= cy1)
+                if not m.any():
+                    continue
+                reps["cell"].append((cx0[m] + dx) * 1024 + (cy0[m] + dy))
+                for c, v in (("rid", rid), ("x0", x0), ("x1", x1),
+                             ("y0", y0), ("y1", y1)):
+                    reps[c].append(v[m])
+        if not reps["cell"]:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "side": pa.array([], pa.string()),
+                             "rid": pa.array([], pa.int64()),
+                             "x0": pa.array([], pa.int64()),
+                             "x1": pa.array([], pa.int64()),
+                             "y0": pa.array([], pa.int64()),
+                             "y1": pa.array([], pa.int64())})
+        out = {k: np.concatenate(v) for k, v in reps.items()}
+        n = out["cell"].size
+        return pa.table({"cell": pa.array(out["cell"], pa.int64()),
+                         "side": pa.array(np.full(n, side, dtype=object),
+                                          pa.string()),
+                         "rid": pa.array(out["rid"], pa.int64()),
+                         "x0": pa.array(out["x0"], pa.int64()),
+                         "x1": pa.array(out["x1"], pa.int64()),
+                         "y0": pa.array(out["y0"], pa.int64()),
+                         "y1": pa.array(out["y1"], pa.int64())})
+    return fn
+
+
+def _overlaps_in_cell(df: pd.DataFrame) -> pd.DataFrame:
+    empty = pd.DataFrame({"rid_a": pd.Series(dtype=np.int64),
+                          "rid_b": pd.Series(dtype=np.int64),
+                          "overlap_area": pd.Series(dtype=np.int64)})
+    sa = df["side"].to_numpy() == "A"
+    if not sa.any() or sa.all():
+        return empty
+    A = df[sa]
+    B = df[~sa]
+    ax0 = A["x0"].to_numpy()[:, None]
+    ax1 = A["x1"].to_numpy()[:, None]
+    ay0 = A["y0"].to_numpy()[:, None]
+    ay1 = A["y1"].to_numpy()[:, None]
+    bx0 = B["x0"].to_numpy()[None, :]
+    bx1 = B["x1"].to_numpy()[None, :]
+    by0 = B["y0"].to_numpy()[None, :]
+    by1 = B["y1"].to_numpy()[None, :]
+    ix0 = np.maximum(ax0, bx0)
+    iy0 = np.maximum(ay0, by0)
+    overlap = (ax0 <= bx1) & (bx0 <= ax1) & (ay0 <= by1) & (by0 <= ay1)
+    # reference point: the intersection's min corner must be in THIS cell
+    cell = int(df["cell"].iloc[0])
+    owns = ((ix0 // RECT_CELL) * 1024 + (iy0 // RECT_CELL)) == cell
+    ii, jj = np.nonzero(overlap & owns)
+    if ii.size == 0:
+        return empty
+    area = ((np.minimum(ax1, bx1) - ix0) * (np.minimum(ay1, by1) - iy0))[ii, jj]
+    return pd.DataFrame({"rid_a": A["rid"].to_numpy()[ii],
+                         "rid_b": B["rid"].to_numpy()[jj],
+                         "overlap_area": area.astype(np.int64)})
+
+
+def rect_overlap_join_stage(rects_a, rects_b):
+    """rects_*: Dataset(rid, x0, x1, y0, y1) int64 closed intervals ->
+    Dataset(rid_a, rid_b, overlap_area), each overlapping pair exactly
+    once.  One union + one hash shuffle; per-cell work is the vectorized
+    nA x nB mask (dense cells are the documented salting point, exactly
+    as in radius_pair_join)."""
+    ra = rects_a.map_batches(_rect_replicate("A"), batch_format="pyarrow",
+                             zero_copy_batch=True)
+    rb = rects_b.map_batches(_rect_replicate("B"), batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return ra.union(rb).groupby("cell").map_groups(
+        _overlaps_in_cell, batch_format="pandas")

@@ -123,3 +123,46 @@ def test_trajectory_length_edge_cases(ray_session):
     want = want.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(
         got.astype({c: want[c].dtype for c in want.columns}), want)
+
+
+def test_rect_overlap_join_matches_bruteforce(ray_session):
+    """Reference-point grid join equals the O(nA*nB) scan — including
+    negative coordinates, rects spanning many cells, touching edges
+    (area 0) and containment."""
+    import ray.data as rd
+
+    from proj_ray.stages.pairjoin import rect_overlap_join_stage
+
+    rng = np.random.default_rng(5)
+    nA, nB = 400, 300
+    def mk(n, base):
+        cx = rng.integers(-2000, 32000, n)
+        cy = rng.integers(-2000, 16000, n)
+        w = rng.integers(0, 2500, n)   # up to multi-cell spans; 0-width
+        h = rng.integers(0, 1800, n)
+        return pd.DataFrame({"rid": np.arange(n, dtype=np.int64) + base,
+                             "x0": cx - w, "x1": cx + w,
+                             "y0": cy - h, "y1": cy + h})
+    A, B = mk(nA, 0), mk(nB, 10_000)
+    got = rect_overlap_join_stage(
+        rd.from_pandas(A).repartition(4),
+        rd.from_pandas(B).repartition(3)).to_pandas()
+    assert not got.duplicated(["rid_a", "rid_b"]).any()  # exactly-once
+    got = got.sort_values(["rid_a", "rid_b"]).reset_index(drop=True)
+
+    ov = ((A["x0"].to_numpy()[:, None] <= B["x1"].to_numpy()[None, :])
+          & (B["x0"].to_numpy()[None, :] <= A["x1"].to_numpy()[:, None])
+          & (A["y0"].to_numpy()[:, None] <= B["y1"].to_numpy()[None, :])
+          & (B["y0"].to_numpy()[None, :] <= A["y1"].to_numpy()[:, None]))
+    ii, jj = np.nonzero(ov)
+    area = ((np.minimum(A["x1"].to_numpy()[ii], B["x1"].to_numpy()[jj])
+             - np.maximum(A["x0"].to_numpy()[ii], B["x0"].to_numpy()[jj]))
+            * (np.minimum(A["y1"].to_numpy()[ii], B["y1"].to_numpy()[jj])
+               - np.maximum(A["y0"].to_numpy()[ii], B["y0"].to_numpy()[jj])))
+    want = pd.DataFrame({"rid_a": A["rid"].to_numpy()[ii],
+                         "rid_b": B["rid"].to_numpy()[jj],
+                         "overlap_area": area.astype(np.int64)})
+    want = want.sort_values(["rid_a", "rid_b"]).reset_index(drop=True)
+    assert (want["overlap_area"] == 0).any()  # touching edges present
+    pd.testing.assert_frame_equal(
+        got.astype({c: want[c].dtype for c in want.columns}), want)
