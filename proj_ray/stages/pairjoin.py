@@ -6,14 +6,15 @@ the reference's pnpoly/geodesic kernels serve point-wise
 (src/PJ_healpix.c:103-138, src/geodesic.c) — as a replicated
 grid-bucket join, the standard distributed spatial self-join:
 
-1. each point lands in its HOME cell and replicates into the 8
-   neighboring cells of a lon/lat grid (flat_map x9 — bounded,
-   data-independent fan-out);
+1. each point lands in its HOME cell and replicates ONLY into the
+   adjacent cells whose id is SMALLER than its home cell's (~4 of 8 —
+   a ~5x fan-out instead of the naive 9x, 44% less shuffle volume);
 2. ONE hash shuffle co-locates cells (groupby(cell));
-3. within a cell, candidate pairs are (home l, any r) with
-   l.pid < r.pid — each unordered pair is emitted exactly once, in the
-   home cell of its smaller-pid endpoint — then the exact haversine
-   test keeps true neighbors.
+3. within a cell, a cross-cell pair is owned by the SMALLER cell id
+   (the home point pairs with the replica whose home is a larger
+   neighbor — mutually exclusive directions, so exactly once), and a
+   same-cell pair by the pid order; the exact haversine test keeps
+   true neighbors and the output canonicalizes to pid_a < pid_b.
 
 Cell sizing is a proof obligation, not a tuning knob: with lat capped
 at |lat| <= 80 deg (derive.lonlat_numpy's band), a lon gap of one full
@@ -22,15 +23,15 @@ sin(1 deg)) ~ 38.6 km > the 30 km radius, and one lat cell (0.5 deg)
 implies >= 55.6 km; so the 3x3 neighborhood provably covers the
 radius and the join is EXACT, not approximate.
 
-100 TB shape: replication is a constant 9x on the point stream; the
+100 TB shape: replication is a bounded ~5x on the point stream; the
 shuffle moves (cell, pid, lon, lat) rows only; per-cell work is
 quadratic in the CELL population (inherent — the OUTPUT is quadratic
 in dense regions), so a deployment sizes cells to the radius exactly
 as here and salts/sub-splits any cell whose population exceeds the
 per-task budget.  The emitted pair stream is already globally
-distinct — each pair appears only in its smaller-pid endpoint's home
-cell, and duplicate-pid input rows collapse inside that one group —
-so there is NO second shuffle and no driver materialization.
+distinct — each pair appears only in its owning cell, and
+duplicate-pid input rows collapse inside that one group — so there is
+NO second shuffle and no driver materialization.
 """
 
 from __future__ import annotations
@@ -62,16 +63,23 @@ def _replicate(t: pa.Table) -> pa.Table:
     lon = t["lon"].to_numpy(zero_copy_only=False)
     lat = t["lat"].to_numpy(zero_copy_only=False)
     cx, cy = pair_cells_numpy(lon, lat)
+    home_cell = cx * _CELL_MUL + cy
     n = pid.size
-    outs = {"cell": [], "pid": [], "lon": [], "lat": [], "home": []}
+    outs = {"cell": [home_cell], "pid": [pid], "lon": [lon], "lat": [lat],
+            "home": [np.ones(n, dtype=bool)]}
     for dx in (-1, 0, 1):
         for dy in (-1, 0, 1):
-            outs["cell"].append(((cx + dx) % PAIR_NX) * _CELL_MUL + (cy + dy))
-            outs["pid"].append(pid)
-            outs["lon"].append(lon)
-            outs["lat"].append(lat)
-            outs["home"].append(
-                np.full(n, dx == 0 and dy == 0, dtype=bool))
+            if dx == 0 and dy == 0:
+                continue
+            nb = ((cx + dx) % PAIR_NX) * _CELL_MUL + (cy + dy)
+            m = nb < home_cell  # replicate only toward smaller-id cells
+            if not m.any():
+                continue
+            outs["cell"].append(nb[m])
+            outs["pid"].append(pid[m])
+            outs["lon"].append(lon[m])
+            outs["lat"].append(lat[m])
+            outs["home"].append(np.zeros(int(m.sum()), dtype=bool))
     return pa.table({
         "cell": pa.array(np.concatenate(outs["cell"]), pa.int64()),
         "pid": pa.array(np.concatenate(outs["pid"]), pa.int64()),
@@ -87,9 +95,9 @@ def _pairs_in_cell(radius_m: float):
                               "pid_b": pd.Series(dtype=np.int64),
                               "dist_m": pd.Series(dtype=np.float64)})
         # distinct points: duplicate pids carry identical coordinates
-        # (pid-derived), and a pid's home cell is a function of the pid,
-        # so ALL duplicate rows of a pair land in THIS group — one
-        # group-local dedup makes the pair stream globally distinct
+        # (pid-derived), and a pid's home/replica cells are functions of
+        # the pid, so ALL duplicate rows of a pair land in THIS group —
+        # one group-local dedup makes the pair stream globally distinct
         # with no downstream keyed combine
         df = df.drop_duplicates("pid")
         hm = df["home"].to_numpy()
@@ -101,11 +109,15 @@ def _pairs_in_cell(radius_m: float):
         ph, lh, th = pid[hm], lon[hm], lat[hm]
         d = haversine(lh[:, None], th[:, None], lon[None, :], lat[None, :])
         d = np.floor(d * 1.0e3 + 0.5) / 1.0e3  # mm-rounded, as the oracle
-        keep = (ph[:, None] < pid[None, :]) & (d < radius_m)
+        # home-home pairs once by pid order; home-replica pairs are
+        # all owned here (the replica's home cell has a larger id)
+        keep = ((ph[:, None] < pid[None, :]) | ~hm[None, :]) & (d < radius_m)
         ii, jj = np.nonzero(keep)
         if ii.size == 0:
             return empty
-        return pd.DataFrame({"pid_a": ph[ii], "pid_b": pid[jj],
+        pa_, pb_ = ph[ii], pid[jj]
+        return pd.DataFrame({"pid_a": np.minimum(pa_, pb_),
+                             "pid_b": np.maximum(pa_, pb_),
                              "dist_m": d[ii, jj]})
     return fn
 
@@ -117,6 +129,70 @@ def radius_pair_join_stage(points, radius_m: float):
                               zero_copy_batch=True)
     return reps.groupby("cell").map_groups(
         _pairs_in_cell(radius_m), batch_format="pandas")
+
+
+def _spanning_in_cell(radius_m: float):
+    """Local-contraction variant for connected components: instead of
+    the cell's O(k^2) pair list, emit a SPANNING STAR per local
+    component (min-pid representative -> member).  The union of local
+    stars over all cells has exactly the same connected components as
+    the full pair graph — every true pair lies inside some cell, where
+    its endpoints share a local component — but the global edge list is
+    LINEAR in points (vs quadratic pairs) and each cell contracts to
+    depth-2 stars, collapsing the propagation depth the downstream
+    min-label CC pays."""
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"src": pd.Series(dtype=np.int64),
+                              "dst": pd.Series(dtype=np.int64)})
+        df = df.drop_duplicates("pid")
+        hm = df["home"].to_numpy()
+        if not hm.any():
+            return empty
+        pid = df["pid"].to_numpy()
+        lon = df["lon"].to_numpy()
+        lat = df["lat"].to_numpy()
+        hidx = np.flatnonzero(hm)
+        d = haversine(lon[hidx][:, None], lat[hidx][:, None],
+                      lon[None, :], lat[None, :])
+        d = np.floor(d * 1.0e3 + 0.5) / 1.0e3
+        keep = ((pid[hidx][:, None] < pid[None, :]) | ~hm[None, :]) \
+            & (d < radius_m)
+        ii, jj = np.nonzero(keep)
+        if ii.size == 0:
+            return empty
+        parent = np.arange(pid.size, dtype=np.int64)
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for a, b in zip(hidx[ii], jj):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                # union toward the smaller PID so the local root is the
+                # local min-pid representative
+                if pid[ra] <= pid[rb]:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        roots = np.array([find(int(i)) for i in range(pid.size)],
+                         dtype=np.int64)
+        member = roots != np.arange(pid.size)
+        return pd.DataFrame({"src": pid[roots[member]],
+                             "dst": pid[member]})
+    return fn
+
+
+def radius_spanning_edges_stage(points, radius_m: float):
+    """points -> Dataset(src, dst): per-cell locally-contracted spanning
+    edges whose global connected components equal the full radius
+    graph's (see _spanning_in_cell)."""
+    reps = points.map_batches(_replicate, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return reps.groupby("cell").map_groups(
+        _spanning_in_cell(radius_m), batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

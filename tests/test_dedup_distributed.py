@@ -157,11 +157,10 @@ def test_cc_dispatch_threshold(ray_session):
 def test_cc_nonconvergence_raises_and_warns(ray_session):
     chain = pd.DataFrame({"src": list(range(1, 30)),
                           "dst": list(range(0, 29))})
-    with pytest.raises(CCNotConverged):
-        cc_min_label(chain, max_rounds=2)
-    with pytest.warns(RuntimeWarning):
-        out = cc_min_label(chain, max_rounds=2, on_nonconverged="warn")
-    assert len(out) == 30  # partial labels still returned
+    # the driver path is union-find: exact for ANY diameter regardless
+    # of max_rounds (the rounds budget only governs distributed rounds)
+    out = cc_min_label(chain, max_rounds=2)
+    assert len(out) == 30 and (out["label"] == 0).all()
     with pytest.raises(CCNotConverged):
         cc_min_label_distributed(_edges_ds(chain["src"].tolist(),
                                            chain["dst"].tolist()),
