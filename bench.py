@@ -109,7 +109,7 @@ def run_bench():
         # n-grams, radius-graph CC clustering, per-order trajectories
         "pip_join_rtree", "radius_pair_join", "dup_ngram_frac",
         "spatial_clusters", "trajectory_length", "ann_pq_topk",
-        "ann_ivfpq_topk", "rect_overlap_join",
+        "ann_ivfpq_topk", "rect_overlap_join", "events_user_hll",
     ]
     qtimes = {}
     for name in bench_queries:
