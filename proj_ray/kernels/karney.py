@@ -229,6 +229,59 @@ def _sincos_series(sinp: bool, sinx, cosx, c):
 # ellipsoid parameter bundle
 # ---------------------------------------------------------------------------
 
+def _c4x(n):
+    """The 21 C4 coefficient polynomials in n (C4coeff,
+    geodesic.c:1379-1427; order nC4 = 6), flattened in the C layout:
+    l = 0..5, eps power j descending from 5 to l."""
+    def pv(*p):
+        den = p[-1]
+        y = float(p[0])
+        for q in p[1:-1]:
+            y = y * n + q
+        return y / den
+
+    return [
+        pv(97, 15015),
+        pv(1088, 156, 45045),
+        pv(-224, -4784, 1573, 45045),
+        pv(-10656, 14144, -4576, -858, 45045),
+        pv(64, 624, -4576, 6864, -3003, 15015),
+        pv(100, 208, 572, 3432, -12012, 30030, 45045),
+        pv(1, 9009),
+        pv(-2944, 468, 135135),
+        pv(5792, 1040, -1287, 135135),
+        pv(5952, -11648, 9152, -2574, 135135),
+        pv(-64, -624, 4576, -6864, 3003, 135135),
+        pv(8, 10725),
+        pv(1856, -936, 225225),
+        pv(-8448, 4992, -1144, 225225),
+        pv(-1440, 4160, -4576, 1716, 225225),
+        pv(-136, 63063),
+        pv(1024, -208, 105105),
+        pv(3584, -3328, 1144, 315315),
+        pv(-128, 135135),
+        pv(-2560, 832, 405405),
+        pv(128, 99099),
+    ]
+
+
+def _c4f(c4x, eps):
+    """C4 series coefficients at eps (C4f, geodesic.c:1366-1377):
+    c[l] = eps^l * polyval_{m = 5-l}(C4x[o:], eps)."""
+    out = []
+    o = 0
+    mult = np.ones_like(eps)
+    for l in range(6):
+        m = 6 - l - 1
+        y = np.full_like(eps, c4x[o])
+        for kk in range(1, m + 1):
+            y = y * eps + c4x[o + kk]
+        out.append(mult * y)
+        o += m + 1
+        mult = mult * eps
+    return out
+
+
 class _Geod:
     """Per-ellipsoid constants (geod_init, geodesic.c:240-268)."""
 
@@ -240,10 +293,19 @@ class _Geod:
         self.ep2 = self.e2 / (self.f1 * self.f1)
         self.n = self.f / (2.0 - self.f)
         self.b = self.a * self.f1
+        if self.e2 == 0.0:
+            m = 1.0
+        elif self.e2 > 0.0:
+            m = float(np.arctanh(np.sqrt(self.e2))) / np.sqrt(self.e2)
+        else:
+            m = float(np.arctan(np.sqrt(-self.e2))) / np.sqrt(-self.e2)
+        # authalic radius squared
+        self.c2 = (self.a * self.a + self.b * self.b * m) / 2.0
         self.etol2 = 0.1 * _TOL2 / np.sqrt(
             max(0.001, abs(self.f)) * min(1.0, 1.0 - self.f / 2.0) / 2.0)
         self.a3x = _a3x(self.n)
         self.c3x = _c3x(self.n)
+        self.c4x = _c4x(self.n)
 
 
 _GEOD_CACHE: dict = {}
@@ -466,9 +528,12 @@ def _lambda12(g, sbet1, cbet1, dn1, sbet2, cbet2, dn2, salp1, calp1,
 # public: inverse problem
 # ---------------------------------------------------------------------------
 
-def geod_inverse_karney(lon1, lat1, lon2, lat2, a: float, f: float):
+def geod_inverse_karney(lon1, lat1, lon2, lat2, a: float, f: float,
+                        with_area: bool = False):
     """Vectorized Karney inverse (geodesic.c geod_geninverse:598-942).
-    Degrees in; returns (s12_m, azi1_deg, azi2_deg, a12_deg)."""
+    Degrees in; returns (s12_m, azi1_deg, azi2_deg, a12_deg), plus the
+    geodesic area term S12_m2 (the GEOD_AREA output,
+    geodesic.c:849-906) as a fifth element when ``with_area``."""
     g = _geod(a, f)
     lat1 = np.atleast_1d(np.asarray(lat1, dtype=np.float64)).copy()
     lat2 = np.atleast_1d(np.asarray(lat2, dtype=np.float64)).copy()
@@ -524,6 +589,7 @@ def geod_inverse_karney(lon1, lat1, lon2, lat2, a: float, f: float):
     calp1 = np.zeros(N)
     salp2 = np.zeros(N)
     calp2 = np.zeros(N)
+    omg12 = np.zeros(N)
 
     meridian = (lat1 == -90.0) | (slam12 == 0.0)
     if np.any(meridian):
@@ -563,6 +629,7 @@ def geod_inverse_karney(lon1, lat1, lon2, lat2, a: float, f: float):
         calp2[i] = 0.0
         s12[i] = g.a * lam12[i]
         sig12[i] = lam12[i] / g.f1
+        omg12[i] = lam12[i] / g.f1
         a12[i] = lon12[i] / g.f1
 
     rest = ~(meridian | equatorial)
@@ -580,6 +647,7 @@ def geod_inverse_karney(lon1, lat1, lon2, lat2, a: float, f: float):
             m12x[j] = dnmj * dnmj * g.b * np.sin(sgj / dnmj)
             sig12[j] = sgj
             a12[j] = sgj / _DEG
+            omg12[j] = lam12[j] / (g.f1 * dnmj)
             salp1[j] = sa1[shortcut]
             calp1[j] = ca1[shortcut]
             salp2[j] = sa2[shortcut]
@@ -589,7 +657,45 @@ def geod_inverse_karney(lon1, lat1, lon2, lat2, a: float, f: float):
             j = i[newton]
             _newton_inverse(g, j, sbet1, cbet1, dn1, sbet2, cbet2, dn2,
                             lam12, sa1[newton], ca1[newton],
-                            s12, m12x, sig12, a12, salp1, calp1, salp2, calp2)
+                            s12, m12x, sig12, a12, salp1, calp1, salp2, calp2,
+                            omg12)
+
+    S12 = None
+    if with_area:
+        # GEOD_AREA block (geodesic.c:849-906), in the CANONICAL frame
+        # (before the azimuth un-swap below), then sign-restored
+        salp0 = salp1 * cbet1
+        calp0 = np.hypot(calp1, salp1 * sbet1)
+        S12 = np.zeros(N)
+        nz = np.flatnonzero((calp0 != 0.0) & (salp0 != 0.0))
+        if nz.size:
+            ssig1, csig1 = _norm2(sbet1[nz], calp1[nz] * cbet1[nz])
+            ssig2, csig2 = _norm2(sbet2[nz], calp2[nz] * cbet2[nz])
+            k2 = calp0[nz] * calp0[nz] * g.ep2
+            eps = k2 / (2.0 * (1.0 + np.sqrt(1.0 + k2)) + k2)
+            a4 = (g.a * g.a) * calp0[nz] * salp0[nz] * g.e2
+            c4a = _c4f(g.c4x, eps)
+            b41 = _sincos_series(False, ssig1, csig1, c4a)
+            b42 = _sincos_series(False, ssig2, csig2, c4a)
+            S12[nz] = a4 * (b42 - b41)
+        use_tan = ((~meridian) & (omg12 < 0.75 * np.pi)
+                   & (sbet2 - sbet1 < 1.75))
+        somg12 = np.sin(omg12)
+        domg12_ = 1.0 + np.cos(omg12)
+        dbet1 = 1.0 + cbet1
+        dbet2 = 1.0 + cbet2
+        alp12_t = 2.0 * np.arctan2(
+            somg12 * (sbet1 * dbet2 + sbet2 * dbet1),
+            domg12_ * (sbet1 * sbet2 + dbet1 * dbet2))
+        salp12 = salp2 * calp1 - calp2 * salp1
+        calp12 = calp2 * calp1 + salp2 * salp1
+        deg = (salp12 == 0.0) & (calp12 < 0.0)
+        salp12 = np.where(deg, _TINY * calp1, salp12)
+        calp12 = np.where(deg, -1.0, calp12)
+        alp12 = np.where(use_tan, alp12_t, np.arctan2(salp12, calp12))
+        S12 = S12 + g.c2 * alp12
+        S12 = S12 * (swapp * lonsign * latsign)
+        S12 = S12 + 0.0
 
     # un-canonicalize azimuth vectors
     sw = do_swap
@@ -606,12 +712,15 @@ def geod_inverse_karney(lon1, lat1, lon2, lat2, a: float, f: float):
 
     azi1 = 0.0 - np.arctan2(-salp1, calp1) / _DEG
     azi2 = 0.0 - np.arctan2(-salp2, calp2) / _DEG
+    if with_area:
+        return 0.0 + s12, azi1, azi2, a12, S12
     return 0.0 + s12, azi1, azi2, a12
 
 
 def _newton_inverse(g, j, sbet1, cbet1, dn1, sbet2, cbet2, dn2, lam12,
                     salp1_0, calp1_0, s12, m12x, sig12, a12,
-                    salp1_out, calp1_out, salp2_out, calp2_out):
+                    salp1_out, calp1_out, salp2_out, calp2_out,
+                    omg12_out=None):
     """Newton's method on alp1 with per-lane bracketing
     (geodesic.c:766-840), over the lanes indexed by j."""
     n = j.shape[0]
@@ -714,6 +823,9 @@ def _newton_inverse(g, j, sbet1, cbet1, dn1, sbet2, cbet2, dn2, lam12,
     calp1_out[j] = calp1
     salp2_out[j] = Rsalp2
     calp2_out[j] = Rcalp2
+    if omg12_out is not None:
+        # geodesic.c:840: omg12 = lam12 - <Lambda12's omega output>
+        omg12_out[j] = lm12 - Rdomg12
 
 
 # ---------------------------------------------------------------------------
@@ -799,3 +911,51 @@ def geod_direct_karney(lon1, lat1, azi1, s12, a: float, f: float):
     lat2 = np.arctan2(sbet2, g.f1 * cbet2) / _DEG
     azi2 = 0.0 - np.arctan2(-salp2, calp2) / _DEG
     return lon2, lat2, azi2
+
+
+# ---------------------------------------------------------------------------
+# public: polygon perimeter + area (geod_polygon_*, geodesic.c:1609-1745)
+# ---------------------------------------------------------------------------
+
+def _transit(lon1, lon2):
+    """+-1 when the edge crosses the prime meridian east/westward
+    (transit, geodesic.c:1609-1619)."""
+    l1 = _ang_normalize2(np.asarray(lon1, dtype=np.float64))
+    l2 = _ang_normalize2(np.asarray(lon2, dtype=np.float64))
+    lon12 = _ang_diff(l1, l2)
+    return np.where((l1 < 0.0) & (l2 >= 0.0) & (lon12 > 0.0), 1,
+                    np.where((l2 < 0.0) & (l1 >= 0.0) & (lon12 < 0.0),
+                             -1, 0)).astype(np.int64)
+
+
+def geod_polygon_area(lons, lats, a: float, f: float):
+    """Perimeter (m) and area (m^2) of ONE closed ring, replicating
+    geod_polygon_init/addpoint/compute(reverse=FALSE, sign=TRUE):
+    counter-clockwise positive, area reduced into (-area0/2, area0/2]
+    with the pole-encirclement (crossings-parity) correction.
+    Vertices arrive UNclosed; the closing edge is added here.  Sums use
+    math.fsum (exactly rounded — at least as accurate as the C's
+    two-float Neumaier accumulator, and order-free, which is what lets
+    the vectorized engine and the scalar golden agree bit-for-bit).
+    Returns (perimeter_m, area_m2, n_vertices)."""
+    import math
+
+    lons = np.asarray(lons, dtype=np.float64)
+    lats = np.asarray(lats, dtype=np.float64)
+    lon2 = np.roll(lons, -1)
+    lat2 = np.roll(lats, -1)
+    s12, _azi1, _azi2, _a12, S12 = geod_inverse_karney(
+        lons, lats, lon2, lat2, a, f, with_area=True)
+    crossings = int(_transit(lons, lon2).sum())
+    perimeter = math.fsum(s12.tolist())
+    t = math.fsum(S12.tolist())
+    g = _geod(a, f)
+    area0 = 4.0 * np.pi * g.c2
+    if crossings & 1:
+        t += (0.5 if t < 0.0 else -0.5) * area0
+    t = -t  # clockwise accumulation -> counter-clockwise convention
+    if t > area0 / 2.0:
+        t -= area0
+    elif t <= -area0 / 2.0:
+        t += area0
+    return perimeter, t, int(lons.size)

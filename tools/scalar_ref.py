@@ -188,6 +188,47 @@ def _sincos_series(sinp, sinx, cosx, c):
     return 2.0 * sinx * cosx * y0 if sinp else cosx * (y0 - y1)
 
 
+def _c4x_s(n):
+    """C4 coefficient polynomials in n (C4coeff, geodesic.c:1379-1427)."""
+    def pv(*p):
+        den = p[-1]
+        y = float(p[0])
+        for q in p[1:-1]:
+            y = y * n + q
+        return y / den
+
+    return [
+        pv(97, 15015), pv(1088, 156, 45045), pv(-224, -4784, 1573, 45045),
+        pv(-10656, 14144, -4576, -858, 45045),
+        pv(64, 624, -4576, 6864, -3003, 15015),
+        pv(100, 208, 572, 3432, -12012, 30030, 45045),
+        pv(1, 9009), pv(-2944, 468, 135135), pv(5792, 1040, -1287, 135135),
+        pv(5952, -11648, 9152, -2574, 135135),
+        pv(-64, -624, 4576, -6864, 3003, 135135),
+        pv(8, 10725), pv(1856, -936, 225225),
+        pv(-8448, 4992, -1144, 225225),
+        pv(-1440, 4160, -4576, 1716, 225225),
+        pv(-136, 63063), pv(1024, -208, 105105),
+        pv(3584, -3328, 1144, 315315),
+        pv(-128, 135135), pv(-2560, 832, 405405), pv(128, 99099),
+    ]
+
+
+def _c4f_s(c4x, eps):
+    out = []
+    o = 0
+    mult = 1.0
+    for l in range(6):
+        m = 6 - l - 1
+        y = c4x[o]
+        for kk in range(1, m + 1):
+            y = y * eps + c4x[o + kk]
+        out.append(mult * y)
+        o += m + 1
+        mult = mult * eps
+    return out
+
+
 class _GeodS:
     def __init__(self, a, f):
         self.a = float(a)
@@ -197,10 +238,18 @@ class _GeodS:
         self.ep2 = self.e2 / (self.f1 * self.f1)
         self.n = self.f / (2.0 - self.f)
         self.b = self.a * self.f1
+        if self.e2 == 0.0:
+            m = 1.0
+        elif self.e2 > 0.0:
+            m = float(np.arctanh(np.sqrt(self.e2))) / np.sqrt(self.e2)
+        else:
+            m = float(np.arctan(np.sqrt(-self.e2))) / np.sqrt(-self.e2)
+        self.c2 = (self.a * self.a + self.b * self.b * m) / 2.0
         self.etol2 = 0.1 * _TOL2 / np.sqrt(
             max(0.001, abs(self.f)) * min(1.0, 1.0 - self.f / 2.0) / 2.0)
         self.a3x = _a3x(self.n)
         self.c3x = _c3x(self.n)
+        self.c4x = _c4x_s(self.n)
 
 
 def _lengths(g, eps, sig12, ssig1, csig1, dn1, ssig2, csig2, dn2,
@@ -370,8 +419,11 @@ def _lambda12(g, sbet1, cbet1, dn1, sbet2, cbet2, dn2, salp1, calp1, diffp):
 
 
 def karney_inverse_scalar(lon1, lat1, lon2, lat2,
-                          a=6378137.0, f=1.0 / 298.257223563):
-    """One-point Karney inverse.  Returns (s12_m, azi1_deg, azi2_deg)."""
+                          a=6378137.0, f=1.0 / 298.257223563,
+                          with_area=False):
+    """One-point Karney inverse.  Returns (s12_m, azi1_deg, azi2_deg),
+    plus the geodesic area term S12_m2 (geodesic.c:849-906) as a
+    fourth element when ``with_area``."""
     g = _GeodS(a, f)
     lon12 = _ang_round(_ang_diff(_ang_normalize(float(lon1)),
                                  _ang_normalize(float(lon2))))
@@ -413,6 +465,8 @@ def karney_inverse_scalar(lon1, lat1, lon2, lat2,
 
     s12 = sig12 = 0.0
     salp1 = calp1 = salp2 = calp2 = 0.0
+    omg12 = 0.0
+    meridian_ok = False
     solved = False
 
     if lat1 == -90.0 or slam12 == 0.0:
@@ -430,6 +484,7 @@ def karney_inverse_scalar(lon1, lat1, lon2, lat2,
         if sig12 < 1.0 or m12b >= 0.0:
             s12 = s12b * g.b
             solved = True
+            meridian_ok = True
 
     if not solved and sbet1 == 0.0 and (g.f <= 0.0
                                         or lam12 <= np.pi - g.f * np.pi):
@@ -438,6 +493,7 @@ def karney_inverse_scalar(lon1, lat1, lon2, lat2,
         calp1 = calp2 = 0.0
         s12 = g.a * lam12
         sig12 = lam12 / g.f1
+        omg12 = lam12 / g.f1
         solved = True
 
     if not solved:
@@ -446,13 +502,14 @@ def karney_inverse_scalar(lon1, lat1, lon2, lat2,
         if sig12 >= 0.0:
             # short-line shortcut
             s12 = sig12 * g.b * dnm
+            omg12 = lam12 / (g.f1 * dnm)
         else:
             # Newton with bracketing
             salp1a, calp1a = _TINY, 1.0
             salp1b, calp1b = _TINY, -1.0
             tripn = tripb = False
             Rsalp2 = Rcalp2 = Rsig12 = 0.0
-            Rssig1 = Rcsig1 = Rssig2 = Rcsig2 = Reps = 0.0
+            Rssig1 = Rcsig1 = Rssig2 = Rcsig2 = Reps = Rdomg12 = 0.0
             for numit in range(_MAXIT2):
                 (v, sa2, ca2, sg12, ss1, cs1, ss2, cs2, eps, _domg12,
                  dv) = _lambda12(g, sbet1, cbet1, dn1, sbet2, cbet2, dn2,
@@ -460,6 +517,7 @@ def karney_inverse_scalar(lon1, lat1, lon2, lat2,
                 v = v - lam12
                 Rsalp2, Rcalp2, Rsig12 = sa2, ca2, sg12
                 Rssig1, Rcsig1, Rssig2, Rcsig2, Reps = ss1, cs1, ss2, cs2, eps
+                Rdomg12 = _domg12
                 if tripb or not (abs(v) >= (8.0 if tripn else 2.0) * _TOL0):
                     break
                 late = numit > _MAXIT1
@@ -489,6 +547,41 @@ def karney_inverse_scalar(lon1, lat1, lon2, lat2,
             s12b, _m12b, _ = _lengths(g, Reps, Rsig12, Rssig1, Rcsig1, dn1,
                                       Rssig2, Rcsig2, dn2, cbet1, cbet2)
             s12 = s12b * g.b
+            omg12 = lam12 - Rdomg12
+
+    S12 = 0.0
+    if with_area:
+        salp0 = salp1 * cbet1
+        calp0 = np.hypot(calp1, salp1 * sbet1)
+        if calp0 != 0.0 and salp0 != 0.0:
+            ssig1, csig1 = _norm2(sbet1, calp1 * cbet1)
+            ssig2, csig2 = _norm2(sbet2, calp2 * cbet2)
+            k2 = calp0 * calp0 * g.ep2
+            eps = k2 / (2.0 * (1.0 + np.sqrt(1.0 + k2)) + k2)
+            a4 = (g.a * g.a) * calp0 * salp0 * g.e2
+            c4a = _c4f_s(g.c4x, eps)
+            b41 = _sincos_series(False, ssig1, csig1, c4a)
+            b42 = _sincos_series(False, ssig2, csig2, c4a)
+            S12 = a4 * (b42 - b41)
+        if (not meridian_ok and omg12 < 0.75 * np.pi
+                and sbet2 - sbet1 < 1.75):
+            somg12 = np.sin(omg12)
+            domg12_ = 1.0 + np.cos(omg12)
+            dbet1 = 1.0 + cbet1
+            dbet2 = 1.0 + cbet2
+            alp12 = 2.0 * np.arctan2(
+                somg12 * (sbet1 * dbet2 + sbet2 * dbet1),
+                domg12_ * (sbet1 * sbet2 + dbet1 * dbet2))
+        else:
+            salp12 = salp2 * calp1 - calp2 * salp1
+            calp12 = calp2 * calp1 + salp2 * salp1
+            if salp12 == 0.0 and calp12 < 0.0:
+                salp12 = _TINY * calp1
+                calp12 = -1.0
+            alp12 = np.arctan2(salp12, calp12)
+        S12 = S12 + g.c2 * alp12
+        S12 = S12 * (swapp * lonsign * latsign)
+        S12 = S12 + 0.0
 
     if swapp < 0:
         salp1, salp2 = salp2, salp1
@@ -500,7 +593,50 @@ def karney_inverse_scalar(lon1, lat1, lon2, lat2,
 
     azi1 = 0.0 - np.arctan2(-salp1, calp1) / _DEG
     azi2 = 0.0 - np.arctan2(-salp2, calp2) / _DEG
+    if with_area:
+        return float(0.0 + s12), float(azi1), float(azi2), float(S12)
     return float(0.0 + s12), float(azi1), float(azi2)
+
+
+def transit_scalar(lon1, lon2):
+    """transit (geodesic.c:1609-1619), scalar."""
+    l1 = float(_ang_normalize(float(np.fmod(lon1, 360.0))))
+    l2 = float(_ang_normalize(float(np.fmod(lon2, 360.0))))
+    lon12 = float(_ang_diff(l1, l2))
+    if l1 < 0.0 and l2 >= 0.0 and lon12 > 0.0:
+        return 1
+    if l2 < 0.0 and l1 >= 0.0 and lon12 < 0.0:
+        return -1
+    return 0
+
+
+def polygon_area_scalar(lons, lats, a=6378137.0, f=1.0 / 298.257223563):
+    """Scalar geod_polygon_compute(reverse=FALSE, sign=TRUE): per-edge
+    scalar inverse + fsum, crossings-parity pole correction, area
+    reduced into (-area0/2, area0/2].  Returns (perimeter_m, area_m2)."""
+    import math
+
+    n = len(lons)
+    s_parts, a_parts = [], []
+    crossings = 0
+    for i in range(n):
+        j = (i + 1) % n
+        s12, _a1, _a2, S12 = karney_inverse_scalar(
+            lons[i], lats[i], lons[j], lats[j], a, f, with_area=True)
+        s_parts.append(s12)
+        a_parts.append(S12)
+        crossings += transit_scalar(lons[i], lons[j])
+    g = _GeodS(a, f)
+    area0 = 4.0 * np.pi * g.c2
+    t = math.fsum(a_parts)
+    if crossings & 1:
+        t += (0.5 if t < 0.0 else -0.5) * area0
+    t = -t
+    if t > area0 / 2.0:
+        t -= area0
+    elif t <= -area0 / 2.0:
+        t += area0
+    return math.fsum(s_parts), t
 
 
 # ---------------------------------------------------------------------------
