@@ -110,6 +110,11 @@ def run_bench():
         "pip_join_rtree", "radius_pair_join", "dup_ngram_frac",
         "spatial_clusters", "trajectory_length", "ann_pq_topk",
         "ann_ivfpq_topk", "rect_overlap_join", "events_user_hll",
+        # round-4 session-6 additions: gap sessionization, the
+        # Bloom-prefiltered semi-join, Misra-Gries heavy hitters,
+        # Douglas-Peucker trajectory simplification
+        "sessionize_events", "bloom_semi_join", "misra_gries_topk",
+        "traj_simplify_dp",
     ]
     qtimes = {}
     for name in bench_queries:
