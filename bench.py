@@ -114,7 +114,7 @@ def run_bench():
         # Bloom-prefiltered semi-join, Misra-Gries heavy hitters,
         # Douglas-Peucker trajectory simplification
         "sessionize_events", "bloom_semi_join", "misra_gries_topk",
-        "traj_simplify_dp",
+        "traj_simplify_dp", "latest_event_per_user", "user_top_event_type",
     ]
     qtimes = {}
     for name in bench_queries:

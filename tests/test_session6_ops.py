@@ -134,6 +134,26 @@ def test_sessionize_invariants(ray_session):
 
 
 # ---------------------------------------------------------------------------
+# latest_event_per_user / user_top_event_type: oracle parity at sf0.001
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("qname,keys", [
+    ("latest_event_per_user", ["user_id"]),
+    ("user_top_event_type", ["user_id"]),
+])
+def test_per_key_reducers_match_oracle(ray_session, qname, keys):
+    from proj_ray.pipelines.queries import QUERIES
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    want = _sorted(con.sql(QUERIES[qname]["sql"]).fetchdf(), keys)
+    con.close()
+    got = _sorted(QUERIES[qname]["fn"](SF).to_pandas(), keys)
+    got = got[want.columns.tolist()]
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+# ---------------------------------------------------------------------------
 # misra_gries_topk: forced trim stays exact; matches token_topk
 # ---------------------------------------------------------------------------
 
