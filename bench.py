@@ -115,6 +115,9 @@ def run_bench():
         # Douglas-Peucker trajectory simplification
         "sessionize_events", "bloom_semi_join", "misra_gries_topk",
         "traj_simplify_dp", "latest_event_per_user", "user_top_event_type",
+        # round-4 session-7 additions: raster focal stencil, left-outer
+        # enrichment join, weighted (sequential-Poisson) sampling
+        "raster_focal_mean", "customer_order_stats", "weighted_sample_topk",
     ]
     qtimes = {}
     for name in bench_queries:
