@@ -190,3 +190,63 @@ def test_weighted_sample_determinism_and_bias(ray_session):
                            columns=["n_chars"]).to_pandas()
     mean_all = corpus.loc[corpus["n_chars"] > 0, "n_chars"].mean()
     assert a["n_chars"].mean() > mean_all
+
+
+# ---------------------------------------------------------------------------
+# OLAP surface: pivot, per-group top-k, rollup
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("qname,keys,tables", [
+    ("events_type_hour_pivot", ["hour_of_day"], ["events"]),
+    ("top_orders_per_priority",
+     ["o_orderpriority", "o_orderkey"], ["orders"]),
+    ("lineitem_rollup", ["returnflag", "linestatus"], ["lineitem"]),
+])
+def test_olap_queries_match_oracle(ray_session, qname, keys, tables):
+    from proj_ray.pipelines.queries import QUERIES
+
+    got = _sorted(QUERIES[qname]["fn"](SF), keys)
+    want = _sorted(_oracle(qname, tables), keys)
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    for col in got.columns:
+        g, w = got[col].to_numpy(), want[col].to_numpy()
+        if g.dtype.kind in "iu":
+            assert (g == w.astype(np.int64)).all(), col
+        else:
+            assert (g == w).all(), col
+
+
+def test_pivot_row_sums(ray_session):
+    from proj_ray.pipelines.queries import _EVT_TYPES, events_type_hour_pivot
+
+    df = events_type_hour_pivot(SF)
+    assert (df["n_total"].to_numpy()
+            == sum(df[f"n_{t}"].to_numpy() for t in _EVT_TYPES)).all()
+    assert df["hour_of_day"].between(0, 23).all()
+
+
+def test_top_per_group_k_and_order(ray_session):
+    from proj_ray.pipelines.queries import (_TPK_PER_GROUP,
+                                            top_orders_per_priority)
+
+    df = top_orders_per_priority(SF)
+    for _, g in df.groupby("o_orderpriority"):
+        assert len(g) <= _TPK_PER_GROUP
+        c = g["price_cents"].to_numpy()
+        assert (np.diff(c) <= 0).all()
+
+
+def test_rollup_levels_consistent(ray_session):
+    from proj_ray.pipelines.queries import lineitem_rollup
+
+    df = lineitem_rollup(SF)
+    fine = df[(df["returnflag"] != "ALL") & (df["linestatus"] != "ALL")]
+    lvl1 = df[(df["returnflag"] != "ALL") & (df["linestatus"] == "ALL")]
+    total = df[(df["returnflag"] == "ALL") & (df["linestatus"] == "ALL")]
+    assert len(total) == 1
+    for m in ["n_items", "sum_qty", "sum_price_cents"]:
+        assert fine[m].sum() == total[m].iloc[0]
+        per_flag = fine.groupby("returnflag")[m].sum()
+        got = lvl1.set_index("returnflag")[m]
+        assert (per_flag.sort_index() == got.sort_index()).all()
