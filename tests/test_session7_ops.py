@@ -250,3 +250,39 @@ def test_rollup_levels_consistent(ray_session):
         per_flag = fine.groupby("returnflag")[m].sum()
         got = lvl1.set_index("returnflag")[m]
         assert (per_flag.sort_index() == got.sort_index()).all()
+
+
+# ---------------------------------------------------------------------------
+# raster_warp (raster -> raster reprojection resample)
+# ---------------------------------------------------------------------------
+
+def test_raster_warp_matches_oracle(ray_session):
+    from proj_ray.pipelines.queries import raster_warp
+
+    got = _sorted(raster_warp(SF), ["tr", "tc"])
+    want = _sorted(_oracle("raster_warp", ["lineitem"]), ["tr", "tc"])
+    assert len(got) == len(want)
+    for col in ["tr", "tc", "sr", "sc", "n"]:
+        assert (got[col].to_numpy(np.int64)
+                == want[col].to_numpy(np.int64)).all(), col
+
+
+def test_raster_warp_mapping_properties(ray_session):
+    """Mercator-inverse sampling: source rows within bounds, columns
+    linear in target columns, and the equator band maps to itself."""
+    from proj_ray.pipelines.queries import (_WARP_NC, _WARP_NR,
+                                            raster_warp)
+
+    df = raster_warp(SF)
+    assert df["tr"].between(0, _WARP_NR - 1).all()
+    assert df["tc"].between(0, _WARP_NC - 1).all()
+    assert df["sr"].between(0, 31).all()
+    assert df["sc"].between(0, 71).all()
+    # x is linear: sc = floor((tc + 0.5) * 1.125)
+    expect_sc = np.floor((df["tc"].to_numpy() + 0.5) * 1.125)
+    assert (df["sc"].to_numpy() == expect_sc.astype(np.int64)).all()
+    # Mercator stretches toward the poles: the target row band around
+    # the equator (tr = 15, 16) samples source rows near lat 0
+    mid = df[df["tr"].isin([15, 16])]
+    if len(mid):
+        assert mid["sr"].between(14, 17).all()
