@@ -116,8 +116,11 @@ def run_bench():
         "sessionize_events", "bloom_semi_join", "misra_gries_topk",
         "traj_simplify_dp", "latest_event_per_user", "user_top_event_type",
         # round-4 session-7 additions: raster focal stencil, left-outer
-        # enrichment join, weighted (sequential-Poisson) sampling
+        # enrichment join, weighted (sequential-Poisson) sampling,
+        # OLAP pivot/rollup/per-group-top-k, raster warp, TPC-H Q3
         "raster_focal_mean", "customer_order_stats", "weighted_sample_topk",
+        "events_type_hour_pivot", "top_orders_per_priority",
+        "lineitem_rollup", "raster_warp", "q3_shipping_priority",
     ]
     qtimes = {}
     for name in bench_queries:

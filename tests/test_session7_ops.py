@@ -286,3 +286,30 @@ def test_raster_warp_mapping_properties(ray_session):
     mid = df[df["tr"].isin([15, 16])]
     if len(mid):
         assert mid["sr"].between(14, 17).all()
+
+
+# ---------------------------------------------------------------------------
+# q3_shipping_priority (three-table pipeline)
+# ---------------------------------------------------------------------------
+
+def test_q3_matches_oracle_both_paths(ray_session):
+    from proj_ray.pipelines.queries import q3_shipping_priority
+
+    want = _oracle("q3_shipping_priority",
+                   ["customer", "orders", "lineitem"])
+    for path in ("broadcast", "join"):
+        got = q3_shipping_priority(SF, path=path)
+        assert len(got) == len(want), path
+        for col in got.columns:
+            assert (got[col].to_numpy() == want[col].to_numpy()).all(), \
+                (path, col)
+
+
+def test_q3_revenue_descends(ray_session):
+    from proj_ray.pipelines.queries import _Q3_K, q3_shipping_priority
+
+    df = q3_shipping_priority(SF)
+    assert len(df) <= _Q3_K
+    rev = df["revenue_cents2"].to_numpy()
+    assert (np.diff(rev) <= 0).all()
+    assert (rev > 0).all()
