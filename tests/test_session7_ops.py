@@ -313,3 +313,34 @@ def test_q3_revenue_descends(ray_session):
     rev = df["revenue_cents2"].to_numpy()
     assert (np.diff(rev) <= 0).all()
     assert (rev > 0).all()
+
+
+# ---------------------------------------------------------------------------
+# q5_local_supplier_volume (six-table pipeline)
+# ---------------------------------------------------------------------------
+
+def test_q5_matches_oracle(ray_session):
+    from proj_ray.pipelines.queries import q5_local_supplier_volume
+
+    got = q5_local_supplier_volume(SF)
+    want = _oracle("q5_local_supplier_volume",
+                   ["customer", "orders", "lineitem", "supplier",
+                    "nation", "region"])
+    assert len(got) == len(want)
+    assert (got["n_name"].to_numpy() == want["n_name"].to_numpy()).all()
+    assert (got["revenue_cents2"].to_numpy(np.int64)
+            == want["revenue_cents2"].to_numpy(np.int64)).all()
+
+
+def test_q5_only_asia_nations(ray_session):
+    from proj_ray.pipelines.queries import q5_local_supplier_volume
+
+    df = q5_local_supplier_volume(SF)
+    con = duckdb.connect()
+    asia = {r[0] for r in con.sql(
+        f"""SELECT n_name FROM '{SF}/nation.parquet' n
+            JOIN '{SF}/region.parquet' r
+              ON r.r_regionkey = n.n_regionkey
+            WHERE r.r_name = 'ASIA'""").fetchall()}
+    assert set(df["n_name"]) <= asia
+    assert (df["revenue_cents2"] > 0).all()
