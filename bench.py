@@ -121,7 +121,7 @@ def run_bench():
         "raster_focal_mean", "customer_order_stats", "weighted_sample_topk",
         "events_type_hour_pivot", "top_orders_per_priority",
         "lineitem_rollup", "raster_warp", "q3_shipping_priority",
-        "q5_local_supplier_volume",
+        "q5_local_supplier_volume", "q14_promo_revenue",
     ]
     qtimes = {}
     for name in bench_queries:

@@ -344,3 +344,18 @@ def test_q5_only_asia_nations(ray_session):
             WHERE r.r_name = 'ASIA'""").fetchall()}
     assert set(df["n_name"]) <= asia
     assert (df["revenue_cents2"] > 0).all()
+
+
+# ---------------------------------------------------------------------------
+# q14_promo_revenue (conditional aggregate over a join)
+# ---------------------------------------------------------------------------
+
+def test_q14_matches_oracle(ray_session):
+    from proj_ray.pipelines.queries import q14_promo_revenue
+
+    got = q14_promo_revenue(SF)
+    want = _oracle("q14_promo_revenue", ["lineitem", "part"])
+    for col in ["promo_cents2", "total_cents2", "n_items"]:
+        assert int(got[col].iloc[0]) == int(want[col].iloc[0]), col
+    assert 0 < int(got["promo_cents2"].iloc[0]) \
+        <= int(got["total_cents2"].iloc[0])
