@@ -359,3 +359,59 @@ def test_q14_matches_oracle(ray_session):
         assert int(got[col].iloc[0]) == int(want[col].iloc[0]), col
     assert 0 < int(got["promo_cents2"].iloc[0]) \
         <= int(got["total_cents2"].iloc[0])
+
+
+# ---------------------------------------------------------------------------
+# funnel_signup_purchase
+# ---------------------------------------------------------------------------
+
+def test_funnel_matches_oracle(ray_session):
+    from proj_ray.pipelines.queries import funnel_signup_purchase
+
+    got = funnel_signup_purchase(SF)
+    want = _oracle("funnel_signup_purchase", ["events"])
+    for col in got.columns:
+        assert int(got[col].iloc[0]) == int(want[col].iloc[0]), col
+
+
+def test_funnel_invariants(ray_session):
+    from proj_ray.pipelines.queries import funnel_signup_purchase
+
+    df = funnel_signup_purchase(SF)
+    n_s = int(df["n_signup_users"].iloc[0])
+    n_p = int(df["n_first_purchase"].iloc[0])
+    n_c = int(df["n_converted_7d"].iloc[0])
+    assert n_s >= n_p >= n_c >= 0
+    if n_c == 0:
+        assert int(df["sum_lag_us"].iloc[0]) == 0
+
+
+def test_funnel_synthetic_window_edge(ray_session, tmp_path):
+    """Hand-built stream: one user converts exactly AT the window edge
+    (counted), one a microsecond past it (not), one purchases before
+    ever signing up (no qualifying purchase)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from proj_ray.pipelines.queries import (_FUNNEL_WIN_US,
+                                            funnel_signup_purchase)
+
+    day0 = np.datetime64("2024-01-01T00:00:00", "us").astype("int64")
+    rows = [
+        (1, day0, "signup"), (1, day0 + _FUNNEL_WIN_US, "purchase"),
+        (2, day0, "signup"), (2, day0 + _FUNNEL_WIN_US + 1, "purchase"),
+        (3, day0 + 10, "signup"), (3, day0, "purchase"),
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([int(r[1]) for r in rows],
+                       pa.int64()).cast(pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows]),
+    }), sf / "events.parquet")
+    df = funnel_signup_purchase(str(sf))
+    assert int(df["n_signup_users"].iloc[0]) == 3
+    assert int(df["n_first_purchase"].iloc[0]) == 2
+    assert int(df["n_converted_7d"].iloc[0]) == 1
+    assert int(df["sum_lag_us"].iloc[0]) == _FUNNEL_WIN_US
