@@ -122,7 +122,7 @@ def run_bench():
         "events_type_hour_pivot", "top_orders_per_priority",
         "lineitem_rollup", "raster_warp", "q3_shipping_priority",
         "q5_local_supplier_volume", "q14_promo_revenue",
-        "funnel_signup_purchase",
+        "funnel_signup_purchase", "retention_cohorts",
     ]
     qtimes = {}
     for name in bench_queries:

@@ -415,3 +415,35 @@ def test_funnel_synthetic_window_edge(ray_session, tmp_path):
     assert int(df["n_first_purchase"].iloc[0]) == 2
     assert int(df["n_converted_7d"].iloc[0]) == 1
     assert int(df["sum_lag_us"].iloc[0]) == _FUNNEL_WIN_US
+
+
+# ---------------------------------------------------------------------------
+# retention_cohorts
+# ---------------------------------------------------------------------------
+
+def test_retention_matches_oracle(ray_session):
+    from proj_ray.pipelines.queries import retention_cohorts
+
+    got = _sorted(retention_cohorts(SF), ["cohort_week", "week_offset"])
+    want = _sorted(_oracle("retention_cohorts", ["events"]),
+                   ["cohort_week", "week_offset"])
+    assert len(got) == len(want)
+    for col in ["cohort_week", "week_offset", "n_active_users"]:
+        assert (got[col].to_numpy(np.int64)
+                == want[col].to_numpy(np.int64)).all(), col
+
+
+def test_retention_monotone_week0(ray_session):
+    """Week-0 is the signup week itself, so every cohort is active at
+    offset 0, and no offset can exceed the week-0 distinct count."""
+    from proj_ray.pipelines.queries import retention_cohorts
+
+    df = retention_cohorts(SF)
+    assert df["week_offset"].between(0, 3).all()
+    wide = df.pivot(index="cohort_week", columns="week_offset",
+                    values="n_active_users")
+    assert wide[0].notna().all()
+    for off in (1, 2, 3):
+        if off in wide.columns:
+            m = wide[off].notna()
+            assert (wide.loc[m, off] <= wide.loc[m, 0]).all()
