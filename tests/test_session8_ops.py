@@ -1,0 +1,199 @@
+"""Round-4 session-8 operators: full-outer join, distinct set ops
+(EXCEPT/INTERSECT), global ordinals + NTILE (stages/rank.py), CUBE
+grouping sets, LAG month-over-month, iterative integer PageRank."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _sorted(df, by):
+    if not isinstance(df, pd.DataFrame):
+        df = df.to_pandas()
+    return df.sort_values(by).reset_index(drop=True)
+
+
+def _oracle(qname, tables):
+    from proj_ray.pipelines.queries import QUERIES
+
+    con = duckdb.connect()
+    for t in tables:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con.sql(QUERIES[qname]["sql"]).fetchdf()
+
+
+# ---------------------------------------------------------------------------
+# stages/rank.py: global ordinals + NTILE
+# ---------------------------------------------------------------------------
+
+def test_ntile_of_matches_sql_semantics():
+    from proj_ray.stages.rank import ntile_of
+
+    # NTILE sizes differ by at most one, larger tiles first
+    for n, t in [(10, 4), (12, 4), (3, 4), (1, 1), (7, 3), (100, 7)]:
+        tiles = ntile_of(np.arange(n), n, t)
+        assert tiles.min() == 1 and tiles.max() == min(t, n)
+        sizes = np.bincount(tiles)[1:]
+        sizes = sizes[sizes > 0]
+        assert sizes.max() - sizes.min() <= 1
+        # larger tiles first, sizes non-increasing
+        assert (np.diff(sizes) <= 0).all()
+        # tiles are assigned in ordinal order (non-decreasing)
+        assert (np.diff(tiles) >= 0).all()
+
+
+def test_global_ordinals_multiblock(ray_session):
+    """Ordinals from the sort + block-carry passes equal pandas
+    groupby-rank on the same total order, across MANY blocks."""
+    import ray.data
+
+    from proj_ray.stages.rank import append_global_ordinals
+
+    rng = np.random.RandomState(7)
+    n = 5000
+    df = pd.DataFrame({
+        "seg": rng.choice(["A", "B", "C"], n),
+        "val": rng.randint(-50, 50, n).astype(np.int64),
+        "uid": np.arange(n, dtype=np.int64),
+    })
+    ds = ray.data.from_pandas(df).repartition(23)
+    with_ord, totals = append_global_ordinals(
+        ds, key_col="seg", order_cols=["val"], unique_col="uid")
+    got = with_ord.to_pandas().sort_values("uid").reset_index(drop=True)
+
+    ref = df.sort_values(["seg", "val", "uid"]).reset_index(drop=True)
+    ref["ordinal"] = ref.groupby("seg").cumcount()
+    ref = ref.sort_values("uid").reset_index(drop=True)
+    assert (got["ordinal"].to_numpy() == ref["ordinal"].to_numpy()).all()
+    assert totals == df["seg"].value_counts().to_dict()
+
+
+def test_segment_ntile_matches_oracle(ray_session):
+    from proj_ray.pipelines.queries import segment_ntile_stats
+
+    got = _sorted(segment_ntile_stats(SF), ["segment", "tile"])
+    want = _sorted(_oracle("segment_ntile_stats", ["customer"]),
+                   ["segment", "tile"])
+    assert len(got) == len(want)
+    for col in ["tile", "n_customers", "sum_cents", "min_cents",
+                "max_cents"]:
+        assert (got[col].to_numpy(np.int64)
+                == want[col].to_numpy(np.int64)).all(), col
+
+
+# ---------------------------------------------------------------------------
+# full outer join
+# ---------------------------------------------------------------------------
+
+def test_full_outer_has_both_sided_unmatched(ray_session):
+    from proj_ray.pipelines.queries import click_purchase_full_outer
+
+    got = click_purchase_full_outer(SF)
+    click_only = got[(got["n_clicks"] > 0) & (got["n_purchases"] == 0)]
+    purchase_only = got[(got["n_clicks"] == 0) & (got["n_purchases"] > 0)]
+    both = got[(got["n_clicks"] > 0) & (got["n_purchases"] > 0)]
+    # the join is only FULL outer if unmatched rows of BOTH sides survive
+    assert len(click_only) and len(purchase_only) and len(both)
+    # zero-filled measures on the absent side
+    assert (click_only["purchase_cents"] == 0).all()
+    assert (purchase_only["click_cents"] == 0).all()
+    want = _sorted(_oracle("click_purchase_full_outer", ["events"]),
+                   ["user_id", "day_idx"])
+    assert len(got) == len(want)
+
+
+# ---------------------------------------------------------------------------
+# set ops
+# ---------------------------------------------------------------------------
+
+def test_set_ops_partition_click_days(ray_session):
+    """EXCEPT and INTERSECT partition the distinct click keys."""
+    from proj_ray.pipelines.queries import (click_and_purchase_days,
+                                            click_no_purchase_days)
+
+    exc = click_no_purchase_days(SF)
+    inter = click_and_purchase_days(SF)
+    k_exc = set(zip(exc["user_id"], exc["day_idx"]))
+    k_int = set(zip(inter["user_id"], inter["day_idx"]))
+    assert not (k_exc & k_int)
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    n_click = con.sql(
+        "SELECT COUNT(*) FROM (SELECT DISTINCT user_id, "
+        "CAST(floor(epoch_us(ts)/86400000000) AS BIGINT) FROM events "
+        "WHERE event_type='click')").fetchone()[0]
+    assert len(k_exc) + len(k_int) == n_click
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+def test_pagerank_forced_path_parity(ray_session):
+    """driver and distributed branches produce identical int64 ranks."""
+    from proj_ray.pipelines.queries import pagerank_bipartite
+
+    a = _sorted(pagerank_bipartite(SF, path="driver"), ["node"])
+    b = _sorted(pagerank_bipartite(SF, path="distributed"), ["node"])
+    assert len(a) == len(b)
+    assert (a["node"].to_numpy(np.int64) == b["node"].to_numpy(np.int64)).all()
+    assert (a["pr"].to_numpy(np.int64) == b["pr"].to_numpy(np.int64)).all()
+
+
+def test_pagerank_hand_graph(ray_session):
+    """3-node path graph a-b-c, one iteration, checked by hand."""
+    from proj_ray.stages.rank import ntile_of  # noqa: F401  (module import)
+
+    # hand-replicate the driver branch's integer recurrence
+    # nodes: a(deg1)-b(deg2)-c(deg1); pr0 = S for all
+    S = 1_000_000_000
+    base = S * 15 // 100
+    # inflow: a <- b: S//2 ; b <- a + c: S + S ; c <- b: S//2
+    exp = {
+        "a": base + (S // 2) * 85 // 100,
+        "b": base + (2 * S) * 85 // 100,
+        "c": base + (S // 2) * 85 // 100,
+    }
+    # run the same math through numpy the way the driver branch does
+    u = np.array([0, 1, 1, 2])  # edges (a-b, b-a, b-c, c-b) as u->v
+    v = np.array([1, 0, 2, 1])
+    deg = np.bincount(u, minlength=3).astype(np.int64)
+    pr = np.full(3, S, np.int64)
+    inflow = np.zeros(3, np.int64)
+    np.add.at(inflow, v, pr[u] // deg[u])
+    pr = base + inflow * 85 // 100
+    assert pr[0] == exp["a"] and pr[1] == exp["b"] and pr[2] == exp["c"]
+
+
+# ---------------------------------------------------------------------------
+# CUBE / LAG derived levels
+# ---------------------------------------------------------------------------
+
+def test_cube_levels_consistent(ray_session):
+    from proj_ray.pipelines.queries import events_type_dow_cube
+
+    got = events_type_dow_cube(SF)
+    fine = got[(got["event_type"] != "ALL") & (got["dow"] >= 0)]
+    total = got[(got["event_type"] == "ALL") & (got["dow"] == -1)]
+    assert len(total) == 1
+    assert total["n_events"].iloc[0] == fine["n_events"].sum()
+    assert total["sum_cents"].iloc[0] == fine["sum_cents"].sum()
+    by_type = got[(got["event_type"] != "ALL") & (got["dow"] == -1)]
+    assert by_type["n_events"].sum() == fine["n_events"].sum()
+
+
+def test_month_growth_first_delta_is_level(ray_session):
+    from proj_ray.pipelines.queries import priority_month_growth
+
+    got = priority_month_growth(SF)
+    firsts = got.groupby("priority").head(1)
+    # first month per priority: delta == revenue (LAG default 0)
+    assert (firsts["mom_delta_cents"].to_numpy()
+            == firsts["rev_cents"].to_numpy()).all()
+    # deltas telescope back to the last level per priority
+    for p, g in got.groupby("priority"):
+        assert g["mom_delta_cents"].sum() == g["rev_cents"].iloc[-1]
