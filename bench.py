@@ -123,6 +123,11 @@ def run_bench():
         "lineitem_rollup", "raster_warp", "q3_shipping_priority",
         "q5_local_supplier_volume", "q14_promo_revenue",
         "funnel_signup_purchase", "retention_cohorts",
+        # round-4 session-8 additions: full-outer join, set algebra,
+        # global-ordinal NTILE, CUBE, LAG growth, integer PageRank
+        "click_purchase_full_outer", "click_no_purchase_days",
+        "segment_ntile_stats", "events_type_dow_cube",
+        "priority_month_growth", "pagerank_bipartite",
     ]
     qtimes = {}
     for name in bench_queries:

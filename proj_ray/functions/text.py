@@ -395,3 +395,51 @@ def tfidf_topk_frame(df, n_docs: int, topk: int) -> pa.Table:
         "df": pa.array(out["df"].to_numpy(np.int64), pa.int64()),
         "score": pa.array(out["score"].to_numpy(np.float64), pa.float64()),
     })
+
+
+def levenshtein_pairs(a, b) -> np.ndarray:
+    """Exact Levenshtein (unit-cost edit) distance for each aligned
+    pair ``(a[i], b[i])``, vectorized ACROSS the pair axis: the DP
+    table is walked once per character position (O(max_len_a x
+    max_len_b) iterations), each step an O(n_pairs) vector op — the
+    right shape for a fuzzy match over a bounded distinct domain,
+    where pair count dwarfs string length.
+
+    Matches DuckDB's ``levenshtein`` (and the classic Wagner-Fischer
+    recurrence) exactly; pinned against a scalar reference in
+    tests/test_session8_ops.py."""
+    n = len(a)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    la = np.array([len(s) for s in a], np.int64)
+    lb = np.array([len(s) for s in b], np.int64)
+    ma, mb = int(la.max()), int(lb.max())
+    # padded char-code matrices; pad = -1 never equals a real char, and
+    # cells beyond a pair's true lengths are never read for its result
+    A = np.full((n, max(ma, 1)), -1, np.int64)
+    B = np.full((n, max(mb, 1)), -1, np.int64)
+    for i, s in enumerate(a):
+        if s:
+            A[i, :len(s)] = np.frombuffer(s.encode("utf-32-le"),
+                                          dtype=np.uint32)
+    for i, s in enumerate(b):
+        if s:
+            B[i, :len(s)] = np.frombuffer(s.encode("utf-32-le"),
+                                          dtype=np.uint32)
+    res = np.where(la == 0, lb, 0).astype(np.int64)
+    prev = np.tile(np.arange(mb + 1, dtype=np.int64), (n, 1))
+    for i in range(1, ma + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        ai = A[:, i - 1][:, None]
+        sub = prev[:, :-1] + (ai != B)  # substitute (or match)
+        dele = prev[:, 1:] + 1          # delete from a
+        step = np.minimum(sub, dele)
+        # insertion needs a left-to-right scan: cur[j] may use cur[j-1]
+        for j in range(1, mb + 1):
+            cur[:, j] = np.minimum(step[:, j - 1], cur[:, j - 1] + 1)
+        done = la == i
+        if done.any():
+            res[done] = cur[done, lb[done]]
+        prev = cur
+    return res

@@ -197,3 +197,88 @@ def test_month_growth_first_delta_is_level(ray_session):
     # deltas telescope back to the last level per priority
     for p, g in got.groupby("priority"):
         assert g["mom_delta_cents"].sum() == g["rev_cents"].iloc[-1]
+
+
+# ---------------------------------------------------------------------------
+# Levenshtein kernel + fuzzy pair query
+# ---------------------------------------------------------------------------
+
+def _lev_ref(a, b):
+    m, n = len(a), len(b)
+    d = [[0] * (n + 1) for _ in range(m + 1)]
+    for i in range(m + 1):
+        d[i][0] = i
+    for j in range(n + 1):
+        d[0][j] = j
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            d[i][j] = min(d[i - 1][j] + 1, d[i][j - 1] + 1,
+                          d[i - 1][j - 1] + (a[i - 1] != b[j - 1]))
+    return d[m][n]
+
+
+def test_levenshtein_pairs_vs_scalar():
+    import random
+
+    from proj_ray.functions.text import levenshtein_pairs
+
+    rng = random.Random(11)
+    A = ["".join(rng.choice("abcX#12 9") for _ in range(rng.randint(0, 9)))
+         for _ in range(200)]
+    B = ["".join(rng.choice("abcX#12 9") for _ in range(rng.randint(0, 9)))
+         for _ in range(200)]
+    got = levenshtein_pairs(A, B)
+    want = np.array([_lev_ref(x, y) for x, y in zip(A, B)])
+    assert (got == want).all()
+    # empty-string edges
+    assert list(levenshtein_pairs(["", "ab", ""], ["xy", "", ""])) == [2, 2, 0]
+
+
+def test_brand_edit_pairs_matches_oracle(ray_session):
+    from proj_ray.pipelines.queries import brand_edit_pairs
+
+    got = _sorted(brand_edit_pairs(SF), ["brand_a", "brand_b"])
+    want = _sorted(_oracle("brand_edit_pairs", ["part"]),
+                   ["brand_a", "brand_b"])
+    assert len(got) == len(want)
+    assert (got["dist"].to_numpy(np.int64)
+            == want["dist"].to_numpy(np.int64)).all()
+    assert (got["brand_a"].to_numpy() == want["brand_a"].to_numpy()).all()
+
+
+# ---------------------------------------------------------------------------
+# vector centroid aggregate + token co-occurrence
+# ---------------------------------------------------------------------------
+
+def test_label_centroids_matches_oracle(ray_session):
+    from proj_ray.pipelines.queries import label_centroids
+
+    got = _sorted(label_centroids(SF), ["label", "dim"])
+    want = _sorted(_oracle("label_centroids", ["embeddings"]),
+                   ["label", "dim"])
+    assert len(got) == len(want)
+    for col in ("n", "qsum"):
+        assert (got[col].to_numpy(np.int64)
+                == want[col].to_numpy(np.int64)).all(), col
+    # the division is a single IEEE op: bit-identical, not just close
+    assert (got["centroid_q"].to_numpy(np.float64)
+            == want["centroid_q"].to_numpy(np.float64)).all()
+
+
+def test_token_cooccurrence_matches_oracle(ray_session):
+    from proj_ray.pipelines.queries import token_cooccurrence
+
+    got = _sorted(token_cooccurrence(SF), ["w1", "w2"])
+    want = _sorted(_oracle("token_cooccurrence", ["documents"]),
+                   ["w1", "w2"])
+    assert len(got) == len(want)
+    assert (got["n_cooc"].to_numpy(np.int64)
+            == want["n_cooc"].to_numpy(np.int64)).all()
+    # total pair mass equals sum over docs of (L-1) + (L-2)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    mass = con.sql(
+        "SELECT SUM(greatest(len(regexp_extract_all(text, '\\S+')) - 1, 0)"
+        " + greatest(len(regexp_extract_all(text, '\\S+')) - 2, 0)) "
+        "FROM documents").fetchone()[0]
+    assert got["n_cooc"].sum() == mass
