@@ -128,6 +128,8 @@ def run_bench():
         "click_purchase_full_outer", "click_no_purchase_days",
         "segment_ntile_stats", "events_type_dow_cube",
         "priority_month_growth", "pagerank_bipartite",
+        "label_centroids", "brand_edit_pairs", "token_cooccurrence",
+        "dedup_events_window",
     ]
     qtimes = {}
     for name in bench_queries:

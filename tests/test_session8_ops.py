@@ -282,3 +282,20 @@ def test_token_cooccurrence_matches_oracle(ray_session):
         " + greatest(len(regexp_extract_all(text, '\\S+')) - 2, 0)) "
         "FROM documents").fetchone()[0]
     assert got["n_cooc"].sum() == mass
+
+
+# ---------------------------------------------------------------------------
+# windowed dedup
+# ---------------------------------------------------------------------------
+
+def test_dedup_events_window_matches_oracle(ray_session):
+    from proj_ray.pipelines.queries import dedup_events_window
+
+    got = _sorted(dedup_events_window(SF), ["event_id"])
+    want = _sorted(_oracle("dedup_events_window", ["events"]), ["event_id"])
+    assert len(got) == len(want)
+    assert (got["event_id"].to_numpy(np.int64)
+            == want["event_id"].to_numpy(np.int64)).all()
+    # keys are unique after dedup and every key of the input survives once
+    keys = list(zip(got["user_id"], got["event_type"], got["win"]))
+    assert len(keys) == len(set(keys))
