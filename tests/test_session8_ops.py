@@ -299,3 +299,21 @@ def test_dedup_events_window_matches_oracle(ray_session):
     # keys are unique after dedup and every key of the input survives once
     keys = list(zip(got["user_id"], got["event_type"], got["win"]))
     assert len(keys) == len(set(keys))
+
+
+# ---------------------------------------------------------------------------
+# skew-split join
+# ---------------------------------------------------------------------------
+
+def test_skew_split_join_forced_paths_agree(ray_session):
+    """all-broadcast, all-shuffle and the hot/cold split produce the
+    identical joined rows."""
+    from proj_ray.pipelines.queries import skew_split_join
+
+    a = _sorted(skew_split_join(SF, path="all_hot"), ["event_id"])
+    b = _sorted(skew_split_join(SF, path="all_cold"), ["event_id"])
+    c = _sorted(skew_split_join(SF, hot_k=7), ["event_id"])  # true split
+    assert len(a) == len(b) == len(c) and len(a) > 0
+    for col in ("event_id", "user_id", "acctbal_cents"):
+        assert (a[col].to_numpy(np.int64) == b[col].to_numpy(np.int64)).all()
+        assert (a[col].to_numpy(np.int64) == c[col].to_numpy(np.int64)).all()
