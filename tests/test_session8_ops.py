@@ -317,3 +317,25 @@ def test_skew_split_join_forced_paths_agree(ray_session):
     for col in ("event_id", "user_id", "acctbal_cents"):
         assert (a[col].to_numpy(np.int64) == b[col].to_numpy(np.int64)).all()
         assert (a[col].to_numpy(np.int64) == c[col].to_numpy(np.int64)).all()
+
+
+# ---------------------------------------------------------------------------
+# algebraic moments
+# ---------------------------------------------------------------------------
+
+def test_lineitem_moments_bitwise_vs_oracle(ray_session):
+    from proj_ray.pipelines.queries import lineitem_moments
+
+    got = _sorted(lineitem_moments(SF), ["returnflag"])
+    want = _sorted(_oracle("lineitem_moments", ["lineitem"]), ["returnflag"])
+    assert len(got) == len(want)
+    for col in ("n", "s_qty", "ss_qty", "s_price", "ss_price", "s_cross"):
+        assert (got[col].to_numpy(np.int64)
+                == want[col].to_numpy(np.int64)).all(), col
+    # the float finish is +,-,*,/ and sqrt only: bit-identical
+    for col in ("var_qty", "var_price", "corr_qty_price"):
+        assert (got[col].to_numpy(np.float64)
+                == want[col].to_numpy(np.float64)).all(), col
+    # correlation sanity: in (-1, 1) and variances positive
+    assert (np.abs(got["corr_qty_price"]) <= 1.0).all()
+    assert (got["var_qty"] > 0).all() and (got["var_price"] > 0).all()
