@@ -129,7 +129,7 @@ def run_bench():
         "segment_ntile_stats", "events_type_dow_cube",
         "priority_month_growth", "pagerank_bipartite",
         "label_centroids", "brand_edit_pairs", "token_cooccurrence",
-        "dedup_events_window", "skew_split_join",
+        "dedup_events_window", "skew_split_join", "lineitem_moments",
     ]
     qtimes = {}
     for name in bench_queries:
