@@ -446,9 +446,11 @@ def cc_min_label_distributed(edges, max_rounds: int = 25,
         return pa.table({"node": pa.array(nodes, pa.int64()),
                          "label": pa.array(nodes, pa.int64())})
 
-    labels = (edges.map_batches(ends, batch_format="pyarrow", batch_size=None)
-              .groupby("node").aggregate(Min("label", alias_name="label"))
-              .materialize())
+    from ..stages.agg import bucket_aggregate
+
+    labels = bucket_aggregate(
+        edges.map_batches(ends, batch_format="pyarrow", batch_size=None),
+        ["node"], {"label": "min"}).materialize()
     prev_sum = labels.sum("label")
 
     def from_dst(t: pa.Table) -> pa.Table:
@@ -467,9 +469,9 @@ def cc_min_label_distributed(edges, max_rounds: int = 25,
                          num_partitions=num_partitions,
                          on=("src",), right_on=("node",))
               .map_batches(from_src, batch_format="pyarrow", batch_size=None))
-        new_labels = (c1.union(c2).union(labels)
-                      .groupby("node").aggregate(Min("label", alias_name="label"))
-                      .materialize())
+        new_labels = bucket_aggregate(
+            c1.union(c2).union(labels),
+            ["node"], {"label": "min"}).materialize()
         s = new_labels.sum("label")
         labels = new_labels
         if s == prev_sum:
@@ -597,8 +599,10 @@ def colliding_bucket_sizes(bands):
     def only_colliding(t: pa.Table) -> pa.Table:
         return t.filter(pc.greater_equal(t["bucket_size"], pa.scalar(2)))
 
-    return (bands.groupby(["band_id", "band_hash"])
-            .aggregate(Count(alias_name="bucket_size"))
+    from ..stages.agg import bucket_aggregate
+
+    return (bucket_aggregate(bands, ["band_id", "band_hash"],
+                             {"bucket_size": "count"})
             .map_batches(only_colliding, batch_format="pyarrow",
                          batch_size=None))
 
@@ -654,8 +658,10 @@ def lsh_candidate_pairs(bands, num_partitions: int = 16,
 
     pairs = colliding.groupby(["band_id", "band_hash"]).map_groups(
         per_bucket, batch_format="pandas")
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Count(alias_name="n_bands"))
+    from ..stages.agg import bucket_aggregate
+
+    return bucket_aggregate(pairs, ["doc_a", "doc_b"],
+                            {"n_bands": "count"})
 
 
 def keep_first_filter(ds, id_col="doc_id", text_col="text",
@@ -689,8 +695,10 @@ def keep_first_filter(ds, id_col="doc_id", text_col="text",
         })
 
     hashed = ds.map_batches(hash_ids, batch_format="pyarrow", batch_size=None)
-    keepers_ds = (hashed.groupby("text_hash")
-                  .aggregate(Min(id_col, alias_name=id_col))
+    from ..stages.agg import bucket_aggregate
+
+    keepers_ds = (bucket_aggregate(hashed, ["text_hash"],
+                                   {id_col: "min"})
                   .select_columns([id_col])
                   .materialize())
 
@@ -709,8 +717,8 @@ def keep_first_filter(ds, id_col="doc_id", text_col="text",
         to_i64, batch_format="pyarrow", batch_size=None)
 
     if path == "broadcast":
-        keepers = keepers_ds.to_pandas()[id_col].to_numpy(np.int64)
-        keepers.sort()
+        # np.sort (copy): the frame's buffer may be read-only Arrow memory
+        keepers = np.sort(keepers_ds.to_pandas()[id_col].to_numpy(np.int64))
 
         def keep(t: pa.Table) -> pa.Table:
             ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -39,10 +39,9 @@ def partial_group_sums(ds, key_cols, sum_cols, count_col="n", batch_size=None,
         return out
 
     partials = ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
-    from ray.data.aggregate import Sum
-
-    aggs = [Sum(c, alias_name=c) for c in sum_cols] + [Sum(count_col, alias_name=count_col)]
-    return partials.groupby(key_cols).aggregate(*aggs)
+    return bucket_aggregate(partials, key_cols,
+                            {**{c: "sum" for c in sum_cols},
+                             count_col: "sum"})
 
 
 def combine_partials(partials, key_cols, agg_spec,
@@ -82,9 +81,55 @@ def combine_partials(partials, key_cols, agg_spec,
         return allp.groupby(key_cols, as_index=False).agg(
             **{c: (c, op) for c, op in agg_spec.items()})
 
-    from ray.data.aggregate import Max, Min, Sum
-
-    _AGG = {"sum": Sum, "min": Min, "max": Max}
-    aggs = [_AGG[op](c, alias_name=c) for c, op in agg_spec.items()]
-    out = mat.groupby(key_cols).aggregate(*aggs).to_pandas()
+    # distributed branch: coarse-bucket shuffle + in-bucket vectorized
+    # pandas groupby (bucket_aggregate) — Ray's sort-based aggregate
+    # pays per-distinct-key Python work and is ~500x slower at 1e5+
+    # keys; only the key-cardinality-bounded result reaches the driver
+    out = bucket_aggregate(mat, key_cols, agg_spec).to_pandas()
     return out[key_cols + list(agg_spec)]
+
+
+def bucket_aggregate(ds, key_cols, agg_spec, num_buckets: int = 256):
+    """Distributed groupby-aggregate for HIGH-CARDINALITY keys, as a
+    Dataset -> Dataset stage.
+
+    Ray's ``groupby(key).aggregate(...)`` pays per-DISTINCT-KEY Python
+    work in its reduce (measured ~177 s for 600k rows / 150k int keys
+    on 32 CPUs); this primitive instead hashes the key columns onto
+    ``num_buckets`` coarse buckets (one CHEAP shuffle whose key domain
+    is the bucket id), then runs ONE vectorized pandas groupby inside
+    each bucket — same 600k/150k case: ~0.3 s, identical result.
+
+    Correctness: every row of a key lands in the same bucket (the
+    bucket is a deterministic function of the key columns via
+    ``pd.util.hash_pandas_object``), so the per-bucket groupby is a
+    complete groupby for its keys and bucket outputs are disjoint.
+
+    ``agg_spec``: {out_col: 'sum' | 'min' | 'max' | 'count'} (the
+    column aggregates itself; 'count' counts rows) or
+    {out_col: (in_col, op)} to rename.  Output columns: key_cols +
+    agg columns, original dtypes preserved by pandas.  Bucket count
+    scales the shuffle with the cluster, independent of key
+    cardinality (the same trick the per-key reducers use, SURVEY §8
+    session-7 notes)."""
+    key_cols = list(key_cols)
+    named = {}
+    for out_col, spec in agg_spec.items():
+        in_col, op = spec if isinstance(spec, tuple) else (out_col, spec)
+        named[out_col] = (key_cols[0] if op == "count" else in_col,
+                          "size" if op == "count" else op)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = pd.util.hash_pandas_object(df[key_cols], index=False).to_numpy()
+        df["_bkt"] = (h % np.uint64(num_buckets)).astype(np.int64)
+        return df
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_bkt"])
+        out = g.groupby(key_cols, as_index=False).agg(**named)
+        return out[key_cols + list(agg_spec)]
+
+    return (ds.map_batches(add_bucket, batch_format="pandas",
+                           batch_size=None)
+            .groupby("_bkt").map_groups(reduce, batch_format="pandas"))

@@ -339,3 +339,37 @@ def test_lineitem_moments_bitwise_vs_oracle(ray_session):
     # correlation sanity: in (-1, 1) and variances positive
     assert (np.abs(got["corr_qty_price"]) <= 1.0).all()
     assert (got["var_qty"] > 0).all() and (got["var_price"] > 0).all()
+
+
+# ---------------------------------------------------------------------------
+# bucket_aggregate: the high-cardinality groupby primitive
+# ---------------------------------------------------------------------------
+
+def test_bucket_aggregate_matches_ray_groupby(ray_session):
+    """bucket_aggregate == Ray groupby().aggregate() on the same input,
+    for sum/min/max/count, multi-column and string keys."""
+    import ray.data
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from proj_ray.stages.agg import bucket_aggregate
+
+    rng = np.random.RandomState(3)
+    n = 20_000
+    df = pd.DataFrame({
+        "k1": rng.randint(0, 4000, n).astype(np.int64),
+        "k2": rng.choice(["x", "y", "z"], n),
+        "v": rng.randint(-100, 100, n).astype(np.int64),
+    })
+    ds = ray.data.from_pandas(df).repartition(13).materialize()
+    got = bucket_aggregate(ds, ["k1", "k2"],
+                           {"s": ("v", "sum"), "lo": ("v", "min"),
+                            "hi": ("v", "max"), "cnt": "count"}) \
+        .to_pandas().sort_values(["k1", "k2"]).reset_index(drop=True)
+    want = ds.groupby(["k1", "k2"]).aggregate(
+        Sum("v", alias_name="s"), Min("v", alias_name="lo"),
+        Max("v", alias_name="hi"), Count(alias_name="cnt")) \
+        .to_pandas().sort_values(["k1", "k2"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    for c in ("k1", "s", "lo", "hi", "cnt"):
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    assert (got["k2"].to_numpy() == want["k2"].to_numpy()).all()
