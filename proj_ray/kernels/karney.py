@@ -959,3 +959,51 @@ def geod_polygon_area(lons, lats, a: float, f: float):
     elif t <= -area0 / 2.0:
         t += area0
     return perimeter, t, int(lons.size)
+
+
+def geod_polygon_area_many(lons, lats, bounds, a: float, f: float):
+    """Batched geod_polygon_area over MANY closed rings stored
+    contiguously: ring r occupies vertices [bounds[r], bounds[r+1]).
+    ONE vectorized geod_inverse_karney call covers every edge of every
+    ring (the per-call fixed overhead of the masked-iteration kernel is
+    what dominates a ring-at-a-time loop); the per-ring fsum /
+    crossings-parity / quadrant normalization are identical to the
+    single-ring function, and the per-edge results are too (the kernel
+    is elementwise: each lane converges independently), so outputs are
+    bit-identical to calling geod_polygon_area per ring.
+    Returns (perimeters, areas, n_vertices) arrays of len(bounds)-1."""
+    import math
+
+    lons = np.asarray(lons, dtype=np.float64)
+    lats = np.asarray(lats, dtype=np.float64)
+    bounds = np.asarray(bounds, dtype=np.int64)
+    n = lons.size
+    # within-ring roll: successor vertex, wrapping to the ring start
+    idx2 = np.arange(1, n + 1, dtype=np.int64)
+    starts = bounds[:-1]
+    ends = bounds[1:]
+    idx2[ends - 1] = starts
+    lon2 = lons[idx2]
+    lat2 = lats[idx2]
+    s12, _azi1, _azi2, _a12, S12 = geod_inverse_karney(
+        lons, lats, lon2, lat2, a, f, with_area=True)
+    trans = _transit(lons, lon2)
+    g = _geod(a, f)
+    area0 = 4.0 * np.pi * g.c2
+    nr = len(starts)
+    perims = np.empty(nr, np.float64)
+    areas = np.empty(nr, np.float64)
+    nv = (ends - starts).astype(np.int64)
+    for r in range(nr):
+        lo, hi = int(starts[r]), int(ends[r])
+        perims[r] = math.fsum(s12[lo:hi].tolist())
+        t = math.fsum(S12[lo:hi].tolist())
+        if int(trans[lo:hi].sum()) & 1:
+            t += (0.5 if t < 0.0 else -0.5) * area0
+        t = -t
+        if t > area0 / 2.0:
+            t -= area0
+        elif t <= -area0 / 2.0:
+            t += area0
+        areas[r] = t
+    return perims, areas, nv
