@@ -130,6 +130,8 @@ def run_bench():
         "priority_month_growth", "pagerank_bipartite",
         "label_centroids", "brand_edit_pairs", "token_cooccurrence",
         "dedup_events_window", "skew_split_join", "lineitem_moments",
+        "lineitem_unpivot_stats", "polygon_area_geodesic",
+        "window_running_total",
     ]
     qtimes = {}
     for name in bench_queries:

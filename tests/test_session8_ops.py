@@ -373,3 +373,15 @@ def test_bucket_aggregate_matches_ray_groupby(ray_session):
     for c in ("k1", "s", "lo", "hi", "cnt"):
         assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
     assert (got["k2"].to_numpy() == want["k2"].to_numpy()).all()
+
+
+def test_lineitem_unpivot_matches_oracle(ray_session):
+    from proj_ray.pipelines.queries import lineitem_unpivot_stats
+
+    got = _sorted(lineitem_unpivot_stats(SF), ["measure"])
+    want = _sorted(_oracle("lineitem_unpivot_stats", ["lineitem"]),
+                   ["measure"])
+    assert list(got["measure"]) == list(want["measure"])
+    for c in ("n", "sum_cents", "min_cents", "max_cents"):
+        assert (got[c].to_numpy(np.int64)
+                == want[c].to_numpy(np.int64)).all(), c
