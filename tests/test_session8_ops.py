@@ -385,3 +385,15 @@ def test_lineitem_unpivot_matches_oracle(ray_session):
     for c in ("n", "sum_cents", "min_cents", "max_cents"):
         assert (got[c].to_numpy(np.int64)
                 == want[c].to_numpy(np.int64)).all(), c
+
+
+def test_type_value_p95_certificate(ray_session):
+    from proj_ray.pipelines.queries import type_value_p95
+
+    got = type_value_p95(SF)
+    want = _sorted(_oracle("type_value_p95", ["events"]), ["event_type"])
+    assert list(got["event_type"]) == list(want["event_type"])
+    assert (got["n_values"].to_numpy(np.int64)
+            == want["n_values"].to_numpy(np.int64)).all()
+    # every per-type digest estimate lands within the rank bound
+    assert (got["rank_err_le_2pct"] == 1).all()
