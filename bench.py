@@ -131,7 +131,7 @@ def run_bench():
         "label_centroids", "brand_edit_pairs", "token_cooccurrence",
         "dedup_events_window", "skew_split_join", "lineitem_moments",
         "lineitem_unpivot_stats", "polygon_area_geodesic",
-        "window_running_total", "type_value_p95",
+        "window_running_total", "type_value_p95", "embedding_standardize",
     ]
     qtimes = {}
     for name in bench_queries:

@@ -397,3 +397,14 @@ def test_type_value_p95_certificate(ray_session):
             == want["n_values"].to_numpy(np.int64)).all()
     # every per-type digest estimate lands within the rank bound
     assert (got["rank_err_le_2pct"] == 1).all()
+
+
+def test_embedding_standardize_bitwise(ray_session):
+    from proj_ray.pipelines.queries import embedding_standardize
+
+    got = _sorted(embedding_standardize(SF), ["label"])
+    want = _sorted(_oracle("embedding_standardize", ["embeddings"]),
+                   ["label"])
+    for c in ("label", "n_components", "z_checksum_micro"):
+        assert (got[c].to_numpy(np.int64)
+                == want[c].to_numpy(np.int64)).all(), c
