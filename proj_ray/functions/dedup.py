@@ -433,7 +433,6 @@ def cc_min_label_distributed(edges, max_rounds: int = 25,
     the self-labels, groupby('node').min().  Labels per node decrease
     monotonically, so an unchanged label sum == fixpoint (the
     convergence check is one tiny aggregate per round)."""
-    from ray.data.aggregate import Min
 
     # two joins run concurrently in each round's DAG; halve so their
     # combined aggregator-actor demand still fits the cluster
@@ -594,7 +593,6 @@ def colliding_bucket_sizes(bands):
     groupby over the band rows; returns a Dataset (band_id, band_hash,
     bucket_size).  Shared by lsh_partner_counts and
     lsh_candidate_pairs so scale guards live in one place."""
-    from ray.data.aggregate import Count
 
     def only_colliding(t: pa.Table) -> pa.Table:
         return t.filter(pc.greater_equal(t["bucket_size"], pa.scalar(2)))
@@ -623,7 +621,6 @@ def lsh_candidate_pairs(bands, num_partitions: int = 16,
     join — nothing dup-proportional on the driver.  ``path`` forces
     'broadcast' or 'join' (parity tests)."""
     import pandas as pd
-    from ray.data.aggregate import Count
 
     sizes_ds = colliding_bucket_sizes(bands).materialize()
     if path is None:
@@ -685,7 +682,6 @@ def keep_first_filter(ds, id_col="doc_id", text_col="text",
 
     ``path`` forces 'broadcast' or 'join' (parity tests); default
     dispatches on the keeper count."""
-    from ray.data.aggregate import Min
 
     def hash_ids(t: pa.Table) -> pa.Table:
         return pa.table({

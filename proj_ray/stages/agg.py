@@ -78,7 +78,7 @@ def combine_partials(partials, key_cols, agg_spec,
         if not chunks:
             return pd.DataFrame(columns=key_cols + list(agg_spec))
         allp = pd.concat(chunks, ignore_index=True)
-        return allp.groupby(key_cols, as_index=False).agg(
+        return allp.groupby(key_cols, as_index=False, dropna=False).agg(
             **{c: (c, op) for c, op in agg_spec.items()})
 
     # distributed branch: coarse-bucket shuffle + in-bucket vectorized
@@ -127,7 +127,9 @@ def bucket_aggregate(ds, key_cols, agg_spec, num_buckets: int = 256):
 
     def reduce(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop(columns=["_bkt"])
-        out = g.groupby(key_cols, as_index=False).agg(**named)
+        # dropna=False: Ray's aggregate keeps null-key groups; pandas
+        # would silently drop them by default
+        out = g.groupby(key_cols, as_index=False, dropna=False).agg(**named)
         return out[key_cols + list(agg_spec)]
 
     return (ds.map_batches(add_bucket, batch_format="pandas",

@@ -360,6 +360,8 @@ def test_bucket_aggregate_matches_ray_groupby(ray_session):
         "k2": rng.choice(["x", "y", "z"], n),
         "v": rng.randint(-100, 100, n).astype(np.int64),
     })
+    # a null key group must survive (Ray's aggregate keeps it)
+    df.loc[df.index[:25], "k2"] = None
     ds = ray.data.from_pandas(df).repartition(13).materialize()
     got = bucket_aggregate(ds, ["k1", "k2"],
                            {"s": ("v", "sum"), "lo": ("v", "min"),
@@ -372,7 +374,8 @@ def test_bucket_aggregate_matches_ray_groupby(ray_session):
     assert len(got) == len(want)
     for c in ("k1", "s", "lo", "hi", "cnt"):
         assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
-    assert (got["k2"].to_numpy() == want["k2"].to_numpy()).all()
+    assert (pd.Series(got["k2"]).fillna("<null>").to_numpy()
+            == pd.Series(want["k2"]).fillna("<null>").to_numpy()).all()
 
 
 def test_lineitem_unpivot_matches_oracle(ray_session):
