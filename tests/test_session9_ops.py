@@ -73,6 +73,20 @@ def test_url_dedup_canonical_paths_agree(ray_session):
     pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
 
 
+def test_decontaminate_substr_matches_oracle(ray_session):
+    from proj_ray.pipelines.queries import decontaminate_substr
+
+    got = _sorted(decontaminate_substr(SF01), ["doc_id", "bid"])
+    want = _sorted(_oracle01("decontaminate_substr", ["documents"]),
+                   ["doc_id", "bid"])
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+    # the synthesized leak set: every flagged doc has doc_id % 7 == 3
+    # (texts are unique at 40 chars, so no organic hits) and every
+    # leaked doc is flagged
+    assert (got["doc_id"] % 7 == 3).all()
+    assert len(got) > 0
+
+
 def test_domain_cap_sample_matches_oracle_and_binds(ray_session):
     from proj_ray.pipelines.queries import domain_cap_sample
 
