@@ -132,6 +132,11 @@ def run_bench():
         "dedup_events_window", "skew_split_join", "lineitem_moments",
         "lineitem_unpivot_stats", "polygon_area_geodesic",
         "window_running_total", "type_value_p95", "embedding_standardize",
+        # round-4 session-9 additions: crawl-curation ladder (per-domain
+        # stats, url canonicalization dedup, domain quota sampling,
+        # benchmark decontamination scan)
+        "domain_doc_stats", "url_dedup_canonical", "domain_cap_sample",
+        "decontaminate_substr",
     ]
     qtimes = {}
     for name in bench_queries:
