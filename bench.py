@@ -137,6 +137,11 @@ def run_bench():
         # benchmark decontamination scan)
         "domain_doc_stats", "url_dedup_canonical", "domain_cap_sample",
         "decontaminate_substr",
+        # round-4 session-10 additions: PII redaction (3 RE2 passes),
+        # corpus-wide line dedup (one coarse-bucket shuffle),
+        # 13-gram benchmark decontamination, hex-grid cell aggregate
+        "pii_redact_stats", "line_dedup_docs", "decontaminate_ngram",
+        "hex_cell_agg",
     ]
     qtimes = {}
     for name in bench_queries:

@@ -750,3 +750,127 @@ def exact_dup_edges(ds, id_col="doc_id", hash_col="text_hash"):
         return pd.DataFrame({"src": ids[1:], "dst": ids[0]})
 
     return ds.groupby(hash_col).map_groups(per_group, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Sub-document addressing: byte-range hashes, line spans, word n-grams
+# (round-4 session 10: the RefinedWeb-style line-dedup / n-gram
+# decontamination family works on substrings of the documents, so these
+# helpers hash arbitrary [start, end) ranges of one Arrow string buffer
+# without materializing the substrings)
+# ---------------------------------------------------------------------------
+
+def segment_hash64(data: np.ndarray, starts: np.ndarray,
+                   ends: np.ndarray) -> np.ndarray:
+    """`text_hash64`'s polynomial over arbitrary byte ranges [start, end)
+    of one uint8 buffer: byte b at distance d from its range end
+    contributes b * BASE^d, the sum is xor-mixed with the length and
+    mix64-finalized.  Equal byte ranges <=> equal hashes (collisions
+    ~2^-64) with the SAME value text_hash64 gives the materialized
+    substring, so range hashes and whole-string hashes can be joined."""
+    starts = starts.astype(np.int64)
+    ends = ends.astype(np.int64)
+    n = len(starts)
+    if n == 0:
+        return np.empty(0, np.uint64)
+    lens = ends - starts
+    with np.errstate(over="ignore"):
+        max_len = int(lens.max()) if n else 0
+        powers = np.ones(max(max_len, 1), dtype=np.uint64)
+        if max_len > 1:
+            powers[1:] = _BASE
+            powers = np.cumprod(powers)
+        nonempty = lens > 0
+        sums = np.zeros(n, dtype=np.uint64)
+        total = int(lens.sum())
+        if total:
+            pos = np.repeat(starts, lens) + _ranges(lens)
+            exp = np.repeat(ends, lens) - 1 - pos
+            terms = data[pos].astype(np.uint64) * powers[exp]
+            seg_starts = (np.cumsum(lens) - lens)[nonempty]
+            sums[nonempty] = np.add.reduceat(terms, seg_starts)
+        out = sums ^ (lens.astype(np.uint64) * _BASE)
+        out[~nonempty] = _EMPTY_HASH
+    return mix64(out)
+
+
+def word_spans(texts):
+    """Single-space word split as byte ranges: (data, doc_of_word,
+    starts, ends, n_docs).  A word starts at its doc's first byte and
+    after every 0x20; it ends before the next space or at the doc end —
+    exactly DuckDB's string_split(text, ' ') on single-spaced text
+    (multi-space/leading/trailing-space texts produce empty words on
+    both sides identically EXCEPT a trailing space, which this span
+    walk attributes to the next doc — the synthetic corpus has none).
+    Empty docs contribute one empty word, like string_split('')."""
+    data, off = _utf8_buffer(texts)
+    n = len(off) - 1
+    lo, hi = int(off[0]), int(off[-1])
+    empty_doc = off[:-1] == off[1:]
+    spc = np.nonzero(data[lo:hi] == 32)[0] + lo
+    starts = np.sort(np.concatenate([off[:-1][~empty_doc], spc + 1]))
+    doc_of = np.searchsorted(off[1:], starts, side="right")
+    # a word ends before the next word's space, or at its doc's end
+    ends = np.empty(len(starts), np.int64)
+    if len(starts):
+        ends[:-1] = starts[1:] - 1
+        ends[-1] = hi
+        wcounts = np.bincount(doc_of, minlength=n)
+        last_of_doc = np.cumsum(wcounts) - 1
+        ends[last_of_doc[wcounts > 0]] = off[1:][wcounts > 0]
+    if empty_doc.any():
+        # splice one empty word per empty doc, keeping doc order
+        ed = np.nonzero(empty_doc)[0]
+        ins = np.searchsorted(doc_of, ed, side="left")
+        starts = np.insert(starts, ins, off[:-1][ed])
+        ends = np.insert(ends, ins, off[:-1][ed])
+        doc_of = np.insert(doc_of, ins, ed)
+    return data, doc_of, starts, ends, n
+
+
+def line_spans(texts, words_per_line: int = 8):
+    """Fixed-width pseudo-lines: every run of `words_per_line` words is
+    one line (the tail line holds the remainder).  Returns (data,
+    doc_of_line, starts, ends) byte ranges covering each line WITHOUT
+    the separating space — i.e. exactly the string
+    string_agg(words, ' ') of the line's words."""
+    data, doc_of_w, ws, we, n = word_spans(texts)
+    wcounts = np.bincount(doc_of_w, minlength=n)
+    widx = _ranges(wcounts)
+    head = widx % words_per_line == 0
+    starts = ws[head]
+    doc_of = doc_of_w[head]
+    ends = np.empty(len(starts), np.int64)
+    if len(starts):
+        # a line ends where its doc's next line starts (minus the
+        # space), or at its doc's last word's end
+        ends[:-1] = starts[1:] - 1
+        ends[-1] = we[-1] if len(we) else 0
+        lcounts = np.bincount(doc_of, minlength=n)
+        last_line = np.cumsum(lcounts) - 1
+        has = lcounts > 0
+        doc_last_word_end = np.zeros(n, np.int64)
+        doc_last_word_end[wcounts > 0] = we[np.cumsum(wcounts)[wcounts > 0] - 1]
+        ends[last_line[has]] = doc_last_word_end[has]
+    return data, doc_of, starts, ends
+
+
+def wordgram_hashes(texts, n_words: int):
+    """Word n-gram hashes per doc: every run of n_words consecutive
+    words, hashed as the joined string words[i:i+n] + ' ' separators
+    (segment_hash64 over the byte range, so the hash EQUALS
+    text_hash64(string_agg(gram_words, ' '))).  Docs with fewer than
+    n_words words contribute nothing.  Returns (doc_of_gram, hashes)."""
+    data, doc_of_w, ws, we, n = word_spans(texts)
+    wcounts = np.bincount(doc_of_w, minlength=n)
+    gcounts = np.maximum(wcounts - n_words + 1, 0)
+    total = int(gcounts.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    word_base = np.cumsum(wcounts) - wcounts       # first word idx per doc
+    g0 = np.repeat(word_base[gcounts > 0], gcounts[gcounts > 0]) + \
+        _ranges(gcounts[gcounts > 0])              # global idx of gram's word 0
+    doc_of = np.repeat(np.arange(n)[gcounts > 0], gcounts[gcounts > 0])
+    starts = ws[g0]
+    ends = we[g0 + n_words - 1]
+    return doc_of, segment_hash64(data, starts, ends)
