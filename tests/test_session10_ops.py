@@ -135,3 +135,35 @@ def test_hex_cube_rounding_invariant(ray_session):
     assert ((got["hex_q"] + got["hex_r"]).abs() < 10_000).all()
     # cells are contiguous-ish ints, not garbage floats
     assert got["hex_q"].dtype == np.int64 and got["hex_r"].dtype == np.int64
+
+
+def test_lm_quality_score_matches_oracle(ray_session):
+    from proj_ray.pipelines.queries import lm_quality_score
+
+    got = _sorted(lm_quality_score(SF01), ["doc_id"])
+    want = _sorted(_oracle("lm_quality_score", ["documents"]), ["doc_id"])
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+    # the threshold must really split the corpus (CCNet keeps a head
+    # fraction, not everything)
+    kept = got["keep"].sum()
+    assert 50 < kept < 450
+    # the injected OOV token exercises the smoothing lane and costs
+    # score: OOV docs score strictly below their residue-free twins
+    # on average
+    oov = got[got.doc_id % 17 == 5]
+    assert len(oov) > 0
+    assert oov["mean_lp"].mean() < got[got.doc_id % 17 != 5]["mean_lp"].mean()
+
+
+def test_semdedup_keep_matches_golden(ray_session):
+    from proj_ray.pipelines.queries import semdedup_keep
+
+    got = _sorted(semdedup_keep(SF01), ["vec_id"])
+    want = _sorted(_oracle("semdedup_keep", ["embeddings"]), ["vec_id"])
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+    # drops really happen, most of the corpus survives
+    assert got["kept"].sum() == 346
+    assert got["kept"].eq(0).sum() == 154
+    # the first member of every cluster is always kept
+    first = got.sort_values("vec_id").groupby("cell").head(1)
+    assert (first["kept"] == 1).all()
