@@ -141,7 +141,7 @@ def run_bench():
         # corpus-wide line dedup (one coarse-bucket shuffle),
         # 13-gram benchmark decontamination, hex-grid cell aggregate
         "pii_redact_stats", "line_dedup_docs", "decontaminate_ngram",
-        "hex_cell_agg",
+        "hex_cell_agg", "lm_quality_score", "semdedup_keep",
     ]
     qtimes = {}
     for name in bench_queries:
