@@ -167,3 +167,26 @@ def test_semdedup_keep_matches_golden(ray_session):
     # the first member of every cluster is always kept
     first = got.sort_values("vec_id").groupby("cell").head(1)
     assert (first["kept"] == 1).all()
+
+
+def test_bm25_topk_matches_oracle(ray_session):
+    from proj_ray.pipelines.queries import bm25_topk
+
+    got = bm25_topk(SF01)
+    want = _oracle("bm25_topk", ["documents"])
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+    # scores strictly positive and non-increasing; a real ranking
+    assert (got["score"] > 0).all()
+    assert (got["score"].diff().dropna() <= 0).all()
+    assert got["score"].nunique() > 5  # not one flat tie
+
+
+def test_top_ngrams_matches_oracle(ray_session):
+    from proj_ray.pipelines.queries import top_ngrams
+
+    got = top_ngrams(SF01)
+    want = _oracle("top_ngrams", ["documents"])
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+    assert len(got) == 20
+    assert (got["n"] >= 2).all()  # real repeats, not singletons
+    assert got["gram"].str.count(" ").eq(2).all()  # true 3-grams
