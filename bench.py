@@ -142,7 +142,7 @@ def run_bench():
         # 13-gram benchmark decontamination, hex-grid cell aggregate
         "pii_redact_stats", "line_dedup_docs", "decontaminate_ngram",
         "hex_cell_agg", "lm_quality_score", "semdedup_keep",
-        "bm25_topk", "top_ngrams",
+        "bm25_topk", "top_ngrams", "curation_pipeline",
     ]
     qtimes = {}
     for name in bench_queries:

@@ -190,3 +190,22 @@ def test_top_ngrams_matches_oracle(ray_session):
     assert len(got) == 20
     assert (got["n"] >= 2).all()  # real repeats, not singletons
     assert got["gram"].str.count(" ").eq(2).all()  # true 3-grams
+
+
+def test_curation_pipeline_matches_oracle(ray_session):
+    from proj_ray.pipelines.queries import curation_pipeline
+
+    got = _sorted(curation_pipeline(SF01), ["doc_id"])
+    want = _sorted(_oracle("curation_pipeline", ["documents"]), ["doc_id"])
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+    # every stage must really fire, and a majority-ish survives to 0
+    vc = got["drop_stage"].value_counts()
+    assert set(vc.index) == {0, 1, 2, 3, 4}
+    # first-fail attribution: non-en docs are stage 1 regardless of
+    # anything else
+    import pyarrow.parquet as _pq
+    langs = _pq.read_table(f"{SF01}/documents.parquet",
+                           columns=["doc_id", "lang"]).to_pandas()
+    m = got.merge(langs, on="doc_id")
+    assert (m.loc[m.lang != "en", "drop_stage"] == 1).all()
+    assert (m.loc[m.drop_stage == 0, "lang"] == "en").all()
