@@ -143,6 +143,7 @@ def run_bench():
         "pii_redact_stats", "line_dedup_docs", "decontaminate_ngram",
         "hex_cell_agg", "lm_quality_score", "semdedup_keep",
         "bm25_topk", "top_ngrams", "curation_pipeline",
+        "minhash_dedup_keep",
     ]
     qtimes = {}
     for name in bench_queries:

@@ -209,3 +209,17 @@ def test_curation_pipeline_matches_oracle(ray_session):
     m = got.merge(langs, on="doc_id")
     assert (m.loc[m.lang != "en", "drop_stage"] == 1).all()
     assert (m.loc[m.drop_stage == 0, "lang"] == "en").all()
+
+
+def test_minhash_dedup_keep_matches_golden(ray_session):
+    from proj_ray.pipelines.queries import minhash_dedup_keep
+
+    got = _sorted(minhash_dedup_keep(SF01), ["doc_id"])
+    want = _sorted(_oracle("minhash_dedup_keep", ["documents"]), ["doc_id"])
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+    # clusters really collapse: fewer survivors than docs, one keeper
+    # per cluster, and the keeper is the min member
+    assert got["kept"].sum() == got["cluster"].nunique()
+    assert got["kept"].sum() < len(got)
+    keepers = got[got.kept == 1]
+    assert (keepers["doc_id"] == keepers["cluster"]).all()
