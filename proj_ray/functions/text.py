@@ -443,3 +443,55 @@ def levenshtein_pairs(a, b) -> np.ndarray:
             res[done] = cur[done, lb[done]]
         prev = cur
     return res
+
+
+def winnow_selections(texts, k: int = 16, w: int = 8):
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS document-fingerprinting algorithm): over
+    each document's k-gram hash sequence slide a w-window and select
+    the window's minimum hash, breaking ties by the RIGHTMOST
+    position; consecutive windows re-selecting the same position
+    collapse to one selection.  Documents with fewer than w grams are
+    one whole-doc window (dedup._window_hashes gives every doc >= 1
+    gram; short docs carry the degenerate byte-sum gram).  Guarantee
+    (the paper's correctness property): any substring match of length
+    >= k + w - 1 contributes at least one identical selected
+    fingerprint to both documents.
+
+    Vectorized across the batch: one flat k-gram hash pass
+    (dedup._window_hashes), one strided sliding-window min +
+    rightmost-argmin over the concatenated hash array with per-doc
+    boundary masking, one np.unique position dedup — no per-doc
+    Python.  Returns (doc_idx, pos, fp, n_grams): per-SELECTION doc
+    index / gram position / uint64 fingerprint arrays (sorted by doc,
+    then position) plus the per-DOC gram counts."""
+    from .dedup import _ranges, _utf8_buffer, _window_hashes
+
+    data, off = _utf8_buffer(texts)
+    n = len(off) - 1
+    wh, woff = _window_hashes(data, off, k)
+    counts = (woff[1:] - woff[:-1]).astype(np.int64)
+    if n == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, np.zeros(0, np.uint64), counts
+    picks = []
+    long_m = counts >= w
+    if long_m.any():
+        # windows fully inside one doc: starts i in [woff[d], woff[d+1]-w]
+        S = np.lib.stride_tricks.sliding_window_view(wh, w)
+        rpos = (w - 1) - np.argmin(S[:, ::-1], axis=1)
+        nwin = counts[long_m] - w + 1
+        i = np.repeat(woff[:-1][long_m], nwin) + _ranges(nwin)
+        picks.append(i + rpos[i])
+    short_m = ~long_m
+    if short_m.any():
+        # one whole-doc window: rightmost position of the per-doc min
+        mins = np.minimum.reduceat(wh, woff[:-1])
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+        is_min = (wh == mins[doc_of]) & short_m[doc_of]
+        cand = np.where(is_min, np.arange(wh.size, dtype=np.int64), -1)
+        best = np.maximum.reduceat(cand, woff[:-1])
+        picks.append(best[short_m])
+    sel = np.unique(np.concatenate(picks))
+    doc_idx = np.searchsorted(woff, sel, side="right") - 1
+    return doc_idx, sel - woff[doc_idx], wh[sel], counts

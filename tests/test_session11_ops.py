@@ -96,3 +96,86 @@ def test_q22_matches_oracle_both_paths(ray_session):
         got = _sorted(q22_idle_balance(SF, path=path), ["c_nationkey"])
         _ints_equal(got, want,
                     ["c_nationkey", "n_custs", "sum_bal_cents"])
+
+
+# ---------------------------------------------------------------------------
+# winnowing (MOSS) fingerprints
+# ---------------------------------------------------------------------------
+
+def _scalar_winnow(t, k=16, w=8):
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    from freeze_goldens import ref_winnow_selections
+
+    return ref_winnow_selections(t, k, w)
+
+
+def test_winnow_kernel_matches_scalar_ref():
+    """Batch strided kernel == per-window scalar loop on the sf0.001
+    corpus (positions, fingerprints and gram counts)."""
+    import pyarrow.parquet as pq
+    from proj_ray.functions.text import winnow_selections
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"])
+    texts = docs["text"].to_pylist()
+    d, pos, fp, n_grams = winnow_selections(texts, 16, 8)
+    for i, t in enumerate(texts):
+        sels, g = _scalar_winnow(t)
+        assert int(n_grams[i]) == g, i
+        got = {(int(p), int(v)) for p, v in zip(pos[d == i], fp[d == i])}
+        want = {(p, int(v)) for p, v in sels.items()}
+        assert got == want, i
+
+
+def test_winnow_substring_guarantee():
+    """The paper's detection property: a shared substring of length
+    >= k + w - 1 always yields a shared selected fingerprint."""
+    from proj_ray.functions.text import winnow_selections
+
+    core = "The quick brown fox jumps over the lazy dog!"  # 45 >= 16+8-1
+    a = "PREFIX-A ::: " + core + " ::: SUFFIX-AAAA"
+    b = "totally different lead-in " + core + " and another tail"
+    d, _, fp, _ = winnow_selections([a, b], 16, 8)
+    assert set(fp[d == 0]) & set(fp[d == 1])
+
+
+def test_winnow_short_and_empty_docs():
+    from proj_ray.functions.text import winnow_selections
+
+    d, pos, fp, n_grams = winnow_selections(["", "ab", "x" * 15], 16, 8)
+    # every doc gets exactly one degenerate selection at position 0
+    assert list(n_grams) == [1, 1, 1]
+    assert list(d) == [0, 1, 2]
+    assert list(pos) == [0, 0, 0]
+
+
+def test_winnow_dup_pairs_both_paths(ray_session):
+    from proj_ray.pipelines.queries import winnow_dup_pairs
+
+    got_b = winnow_dup_pairs(SF, path="broadcast")
+    got_j = winnow_dup_pairs(SF, path="join")
+    for col in ("doc_a", "doc_b", "n_shared"):
+        assert (got_b[col].to_numpy(np.int64)
+                == got_j[col].to_numpy(np.int64)).all(), col
+    # symmetric-pair sanity: a < b, shared count >= threshold
+    assert (got_b["doc_a"].to_numpy() < got_b["doc_b"].to_numpy()).all()
+    assert (got_b["n_shared"].to_numpy() >= 3).all()
+
+
+def test_winnow_fingerprints_query(ray_session):
+    from proj_ray.pipelines.queries import winnow_fingerprints
+
+    df = winnow_fingerprints(SF)
+    assert (df["n_selected"].to_numpy() >= 1).all()
+    assert (df["n_selected"].to_numpy()
+            <= df["n_grams"].to_numpy()).all()
+    # per-doc scalar spot check on the first three docs
+    import pyarrow.parquet as pq
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    for _, row in docs.head(3).iterrows():
+        sels, g = _scalar_winnow(row["text"])
+        mine = df[df["doc_id"] == row["doc_id"]].iloc[0]
+        assert int(mine["n_grams"]) == g
+        assert int(mine["n_selected"]) == len(sels)
