@@ -144,6 +144,12 @@ def run_bench():
         "hex_cell_agg", "lm_quality_score", "semdedup_keep",
         "bm25_topk", "top_ngrams", "curation_pipeline",
         "minhash_dedup_keep",
+        # round-4 session-11 additions: the classic query pack (scalar
+        # filter-agg, returned-item top-k, grouped HAVING, bracket OR
+        # join, EXISTS semi-join, global-scalar anti-join) + winnowing
+        "q6_forecast_revenue", "q10_returned_items", "q18_large_orders",
+        "q19_bracket_revenue", "q4_priority_exists", "q22_idle_balance",
+        "winnow_fingerprints", "winnow_dup_pairs",
     ]
     qtimes = {}
     for name in bench_queries:

@@ -495,3 +495,57 @@ def winnow_selections(texts, k: int = 16, w: int = 8):
     sel = np.unique(np.concatenate(picks))
     doc_idx = np.searchsorted(woff, sel, side="right") - 1
     return doc_idx, sel - woff[doc_idx], wh[sel], counts
+
+
+def cdc_chunk_spans(texts, k: int = 16, bbits: int = 6):
+    """Content-defined chunking (the LBFS / rsync / FastCDC family,
+    Muthitacharoen et al. SOSP 2001): cut each document after byte
+    position p whenever the k-gram hash ENDING at p has its low
+    ``bbits`` bits all zero — boundaries depend only on local content,
+    so an insertion early in a doc shifts, but does not rewrite, the
+    chunking of everything after the next boundary (the property that
+    makes chunk-level dedup robust to edits).  Expected chunk length
+    ~= 2^bbits bytes (+ the k-gram ramp); no min/max clamp, so the
+    definition stays stateless and batch-vectorizable.  Docs shorter
+    than k (or with no qualifying gram) are one whole-doc chunk; empty
+    docs one empty chunk.
+
+    Returns (data, doc_of, starts, ends, n_docs): the flat uint8
+    buffer plus per-CHUNK doc index and [start, end) byte ranges,
+    chunks in document order."""
+    from .dedup import _ranges, _utf8_buffer, _window_hashes
+
+    data, off = _utf8_buffer(texts)
+    n = len(off) - 1
+    lens = (off[1:] - off[:-1]).astype(np.int64)
+    if n == 0:
+        z = np.zeros(0, np.int64)
+        return data, z, z, z, 0
+    wh, woff = _window_hashes(data, off, k)
+    long_m = lens >= k
+    mask = np.uint64((1 << bbits) - 1)
+    doc_of_gram = np.repeat(np.arange(n, dtype=np.int64),
+                            (woff[1:] - woff[:-1]).astype(np.int64))
+    # gram i (local) covers bytes [i, i+k); a qualifying gram cuts
+    # AFTER its last byte -> local cut position i + k, valid if < len
+    local = np.arange(wh.size, dtype=np.int64) - woff[:-1][doc_of_gram]
+    cut_m = ((wh & mask) == 0) & long_m[doc_of_gram] \
+        & (local + k < lens[doc_of_gram])
+    cut_doc = doc_of_gram[cut_m]
+    cut_pos = off[:-1][cut_doc] + local[cut_m] + k  # global byte pos
+    # per-doc chunk assembly: starts = doc start + cuts; ends = cuts +
+    # doc end (cut arrays are already in (doc, position) order)
+    n_cuts = np.bincount(cut_doc, minlength=n)
+    n_chunks = n_cuts + 1
+    coff = np.concatenate([np.zeros(1, np.int64), np.cumsum(n_chunks)])
+    total = int(coff[-1])
+    starts = np.empty(total, np.int64)
+    ends = np.empty(total, np.int64)
+    starts[coff[:-1]] = off[:-1]
+    ends[coff[1:] - 1] = off[1:]
+    if cut_pos.size:
+        at = np.repeat(coff[:-1], n_cuts) + _ranges(n_cuts)
+        starts[at + 1] = cut_pos
+        ends[at] = cut_pos
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), n_chunks)
+    return data, doc_of, starts, ends, n

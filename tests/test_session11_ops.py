@@ -179,3 +179,68 @@ def test_winnow_fingerprints_query(ray_session):
         mine = df[df["doc_id"] == row["doc_id"]].iloc[0]
         assert int(mine["n_grams"]) == g
         assert int(mine["n_selected"]) == len(sels)
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking
+# ---------------------------------------------------------------------------
+
+def test_cdc_kernel_matches_scalar_ref():
+    """Batch span kernel == scalar substring-materializing reference on
+    the sf0.001 corpus (chunk boundaries and contents)."""
+    import sys
+
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, "/root/repo/tools")
+    from freeze_goldens import ref_cdc_chunks
+
+    from proj_ray.functions.text import cdc_chunk_spans
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"])
+    texts = docs["text"].to_pylist()
+    data, d, s, e, n = cdc_chunk_spans(texts)
+    for i, t in enumerate(texts):
+        want = ref_cdc_chunks(t)
+        got = [data[a:b].tobytes() for a, b in zip(s[d == i], e[d == i])]
+        assert got == [bytes(c) for c in want], i
+
+
+def test_cdc_edit_shift_robustness():
+    """The CDC property: prepending bytes changes only the chunks up
+    to the first boundary — later chunk CONTENTS are preserved."""
+    from proj_ray.functions.text import cdc_chunk_spans
+
+    # genuinely varied (non-periodic) content so boundary grams occur
+    import hashlib
+
+    base = "".join(hashlib.sha256(str(j).encode()).hexdigest()
+                   for j in range(40))
+    edited = "INSERTED PREFIX >> " + base
+    data, d, s, e, n = cdc_chunk_spans([base, edited])
+    c0 = {data[a:b].tobytes() for a, b in zip(s[d == 0], e[d == 0])}
+    c1 = {data[a:b].tobytes() for a, b in zip(s[d == 1], e[d == 1])}
+    assert len(c0) > 2
+    # every chunk of the original except (possibly) its first reappears
+    first = data[s[d == 0][0]:e[d == 0][0]].tobytes()
+    assert (c0 - {first}) <= c1
+
+
+def test_cdc_dedup_stats_invariants(ray_session):
+    from proj_ray.pipelines.queries import cdc_dedup_stats
+
+    df = cdc_dedup_stats(SF)
+    assert int(df["n_distinct"][0]) + int(df["dup_chunks"][0]) \
+        == int(df["n_chunks_total"][0])
+    assert int(df["dup_bytes"][0]) >= int(df["dup_chunks"][0]) * 0
+
+
+def test_orders_above_cust_avg_matches_oracle(ray_session):
+    from proj_ray.pipelines.queries import orders_above_cust_avg
+
+    got = _sorted(orders_above_cust_avg(SF), ["o_orderpriority"])
+    want = _sorted(_oracle("orders_above_cust_avg", ["orders"]),
+                   ["o_orderpriority"])
+    assert list(got["o_orderpriority"]) == list(want["o_orderpriority"])
+    _ints_equal(got, want, ["n_orders", "sum_price_cents"])
