@@ -622,6 +622,11 @@ def lsh_candidate_pairs(bands, num_partitions: int = 16,
     'broadcast' or 'join' (parity tests)."""
     import pandas as pd
 
+    # `bands` feeds TWO consumers (the colliding-size count and the
+    # pair emission); left lazy, Ray would execute the whole upstream
+    # banding pipeline twice.  Pin it once — band rows are three int64
+    # columns, and blocks spill to the object store at scale.
+    bands = bands.materialize()
     sizes_ds = colliding_bucket_sizes(bands).materialize()
     if path is None:
         path = ("broadcast" if sizes_ds.count() <= broadcast_threshold
@@ -645,16 +650,46 @@ def lsh_candidate_pairs(bands, num_partitions: int = 16,
                             on=("band_id", "band_hash"))
         colliding = joined.select_columns(["band_id", "band_hash", "doc_id"])
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique().astype(np.int64))
-        if len(ids) < 2:
+    # pair emission on COARSE buckets: a groupby over the raw
+    # (band_id, band_hash) keys pays Ray's per-distinct-key reduce cost
+    # (~1 ms/key — the groupby cliff, stages/agg.bucket_aggregate
+    # docstring) and colliding-bucket counts are corpus-proportional.
+    # Instead hash each colliding bucket onto 256 coarse partitions and
+    # emit EVERY partition's pairs in one vectorized segment pass.
+    def add_pbucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = pd.util.hash_pandas_object(df[["band_id", "band_hash"]],
+                                       index=False).to_numpy()
+        df["_pbkt"] = (h % np.uint64(256)).astype(np.int64)
+        return df
+
+    def per_coarse(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["band_id", "band_hash", "doc_id"],
+                          kind="mergesort")
+        g = g.drop_duplicates(["band_id", "band_hash", "doc_id"])
+        if len(g) < 2:
             return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
                                  "doc_b": pd.Series(dtype="int64")})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+        ids = g["doc_id"].to_numpy(np.int64)
+        b1 = g["band_id"].to_numpy(np.int64)
+        b2 = g["band_hash"].to_numpy(np.int64)
+        new = np.empty(len(g), bool)
+        new[0] = True
+        new[1:] = (b1[1:] != b1[:-1]) | (b2[1:] != b2[:-1])
+        seg_id = np.cumsum(new) - 1
+        seg_start = np.flatnonzero(new)
+        # element at local offset t pairs (as doc_b) with its t earlier
+        # segment-mates; ids are strictly increasing within a segment,
+        # so doc_a < doc_b holds by construction
+        nb = np.arange(len(g), dtype=np.int64) - seg_start[seg_id]
+        b_idx = np.repeat(np.arange(len(g), dtype=np.int64), nb)
+        a_idx = np.repeat(seg_start[seg_id], nb) + _ranges(nb)
+        return pd.DataFrame({"doc_a": ids[a_idx], "doc_b": ids[b_idx]})
 
-    pairs = colliding.groupby(["band_id", "band_hash"]).map_groups(
-        per_bucket, batch_format="pandas")
+    pairs = (colliding.map_batches(add_pbucket, batch_format="pandas",
+                                   batch_size=None)
+             .groupby("_pbkt").map_groups(per_coarse,
+                                          batch_format="pandas"))
     from ..stages.agg import bucket_aggregate
 
     return bucket_aggregate(pairs, ["doc_a", "doc_b"],
