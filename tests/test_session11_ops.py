@@ -244,3 +244,47 @@ def test_orders_above_cust_avg_matches_oracle(ray_session):
                    ["o_orderpriority"])
     assert list(got["o_orderpriority"]) == list(want["o_orderpriority"])
     _ints_equal(got, want, ["n_orders", "sum_price_cents"])
+
+
+# ---------------------------------------------------------------------------
+# semi-join pushdown parity (q3/q5/q10/q18 broadcast vs join paths)
+# ---------------------------------------------------------------------------
+
+def test_q3_pushdown_parity(ray_session):
+    from proj_ray.pipelines.queries import q3_shipping_priority
+
+    b = q3_shipping_priority(SF, path="broadcast")
+    j = q3_shipping_priority(SF, path="join")
+    for c in ("l_orderkey", "revenue_cents2", "orderdate_us"):
+        assert (b[c].to_numpy(np.int64) == j[c].to_numpy(np.int64)).all(), c
+    assert list(b["o_orderpriority"]) == list(j["o_orderpriority"])
+
+
+def test_q5_pushdown_parity(ray_session):
+    from proj_ray.pipelines.queries import q5_local_supplier_volume
+
+    b = q5_local_supplier_volume(SF, path="broadcast")
+    j = q5_local_supplier_volume(SF, path="join")
+    assert list(b["n_name"]) == list(j["n_name"])
+    assert (b["revenue_cents2"].to_numpy(np.int64)
+            == j["revenue_cents2"].to_numpy(np.int64)).all()
+
+
+def test_q10_pushdown_parity(ray_session):
+    from proj_ray.pipelines.queries import q10_returned_items
+
+    b = q10_returned_items(SF, path="broadcast")
+    j = q10_returned_items(SF, path="join")
+    for c in ("c_custkey", "revenue_cents2"):
+        assert (b[c].to_numpy(np.int64) == j[c].to_numpy(np.int64)).all(), c
+    assert list(b["c_name"]) == list(j["c_name"])
+
+
+def test_q18_pushdown_parity(ray_session):
+    from proj_ray.pipelines.queries import q18_large_orders
+
+    b = q18_large_orders(SF, path="broadcast")
+    j = q18_large_orders(SF, path="join")
+    for c in ("l_orderkey", "o_custkey", "orderdate_us",
+              "totalprice_cents", "qty_cents_sum"):
+        assert (b[c].to_numpy(np.int64) == j[c].to_numpy(np.int64)).all(), c
