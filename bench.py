@@ -61,7 +61,7 @@ def run_bench():
     if go_file and os.environ.get("GRAFT_SCALING_ONLY"):
         with open(go_file + ".ready", "w") as f:
             f.write("ready")
-        deadline = time.time() + 300.0
+        deadline = time.time() + float(os.environ.get("GRAFT_GO_TIMEOUT", "300"))
         while not os.path.exists(go_file):
             if time.time() > deadline:
                 raise RuntimeError("scaling go-signal never arrived")
@@ -79,8 +79,14 @@ def run_bench():
             "sf": SF_DIR, "num_cpus": NUM_CPUS, "points": int(n_points),
             "points_per_sec": int(n_points / headline), "bench_mult": BENCH_MULT,
         }
+        # print BEFORE ray.shutdown: the coordinator (run_scaling) reads
+        # the result line from the pipe and moves on to the next in-run
+        # ceiling immediately, so this session's multi-second teardown
+        # happens outside the timed window (it can only DEPRESS the next
+        # ceiling reading — the safe direction for the validity gate)
+        print(json.dumps(out), flush=True)
         ray.shutdown()
-        return out
+        sys.exit(0)
     bench_queries = [
         "q1_pricing_summary", "points_webmerc", "points_utm", "tile_agg",
         "pip_join", "knn_points", "dedup_exact", "quality_scores",
@@ -228,9 +234,17 @@ def run_scaling():
     godir = tempfile.mkdtemp(prefix="graft_scaling_go_")
 
     def spawn(ncpu):
+        # when the coordinator holds this run, the legs idle blocked on
+        # their go-file for up to GRAFT_HOLD_TIMEOUT before the timed
+        # section even begins — extend their internal go-wait to match
+        go_timeout = 300.0
+        if os.environ.get("GRAFT_HOLD_FILE"):
+            go_timeout = 120.0 + float(
+                os.environ.get("GRAFT_HOLD_TIMEOUT", "900"))
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_MULT=os.environ.get("GRAFT_BENCH_MULT", "256"),
                    GRAFT_SCALING_ONLY="1",
+                   GRAFT_GO_TIMEOUT=str(go_timeout),
                    GRAFT_GO_FILE=os.path.join(godir, f"go-{ncpu}"))
         return subprocess.Popen([sys.executable, os.path.abspath(__file__)],
                                 env=env, stdout=subprocess.PIPE,
@@ -249,15 +263,47 @@ def run_scaling():
     def release(ncpu, proc):
         with open(os.path.join(godir, f"go-{ncpu}"), "w") as f:
             f.write("go")
-        out, err = proc.communicate()
-        if proc.returncode != 0:
-            raise RuntimeError(f"scaling leg {ncpu} failed: {err[-500:]}")
-        return json.loads(out.strip().splitlines()[-1])
+        # stream-read until the result JSON line appears instead of
+        # waiting for process exit: the leg prints its timing before
+        # ray.shutdown, so the teardown seconds stay out of the window
+        deadline = time.time() + 240.0
+        while True:
+            line = proc.stdout.readline()
+            if line:
+                try:
+                    return json.loads(line)
+                except ValueError:
+                    continue
+            if proc.poll() is not None or time.time() > deadline:
+                err = proc.stderr.read() if proc.stderr else ""
+                raise RuntimeError(f"scaling leg {ncpu} failed: {err[-500:]}")
 
     p_lo = spawn(lo)
     p_hi = spawn(hi)
     wait_ready(lo, p_lo)
     wait_ready(hi, p_hi)
+
+    # HELD mode: both legs are pre-warmed and blocked; signal readiness
+    # to an external coordinator (tools/scaling_hunt.py) and wait for
+    # its release before running the first in-run ceiling.  This moves
+    # the ~10 s of leg startup OUT of the time between "coordinator saw
+    # a quiet host" and "timed section starts" — the quiet window only
+    # has to cover ceil0 + T_lo + ceil1 + T_hi + ceil2 (~11 s at the
+    # 2->8 pair), not also the pre-warm.
+    hold = os.environ.get("GRAFT_HOLD_FILE")
+    if hold:
+        with open(hold + ".ready", "w") as f:
+            f.write("ready")
+        hold_deadline = time.time() + float(
+            os.environ.get("GRAFT_HOLD_TIMEOUT", "900"))
+        while not os.path.exists(hold):
+            if time.time() > hold_deadline:
+                for p in (p_lo, p_hi):
+                    p.kill()
+                print(json.dumps({"error": "hold timeout: no release "
+                                  "signal before GRAFT_HOLD_TIMEOUT"}))
+                return
+            time.sleep(0.05)
 
     def _ceiling():
         # host ceiling: throughput gain a PERFECT parallel program gets

@@ -1,36 +1,35 @@
 #!/usr/bin/env python
 """Resident probe-gated retry loop for the quiet-host scaling run.
 
-Dual-mode: every ~10 s it samples the host parallel ceiling with the
-same no-Ray multiprocessing control bench.py uses, at BOTH leg pairs:
+Round-4 session-12 redesign: HELD pre-warmed pairs.  The previous
+hunter probed the host ceiling first and only then launched
+``bench.py --scaling`` — whose legs need ~10 s of ray.init / import /
+page-cache warm before the timed section starts, by which time the
+quiet window that triggered the attempt had usually closed (231
+attempts over ~9 h, zero quiet-throughout).  Now the hunter keeps a
+``--scaling`` run RESIDENT with both legs fully pre-warmed and blocked
+on a hold-file (GRAFT_HOLD_FILE, bench.py), probes the host every few
+seconds, and releases the held run the INSTANT a probe reads quiet —
+so the window only has to cover the three in-run ceilings plus the two
+timed legs (~11 s at the 2->8 pair) with near-zero trigger lag.
 
-- 8 -> 32 (the standing configuration from rounds 1-3): preferred —
-  fired when its probe reads >= GATE.
-- 4 -> 16 (equally valid N vs 4N per the task statement): fired when
-  the 8->32 probe is below gate but the 4->16 probe is quiet.  The
-  hypervisor contention is neighbor MEMORY BANDWIDTH; a 16-wide
-  control is starved far less than a 32-wide one, so 4->16 quiet
-  windows are much more frequent (observed 0.67-0.74 at the same
-  instant 8->32 read 0.30-0.41).
-- 2 -> 8 (also N vs 4N): the narrowest pair; fired when both wider
-  probes are below gate but the 2->8 probe is quiet.  An 8-wide
-  control barely touches the contended memory bus (observed 0.949 at
-  the same instant 8->32 read 0.579), so its quiet windows are the
-  most frequent of all three — and a small mult keeps the whole
-  attempt (3 in-run ceilings + both timed legs) inside ~15 s.
-
-A result only counts when the run itself reports
+Pairs are hunted narrowest-first (2->8, then 4->16, then 8->32): the
+hypervisor contention is neighbor memory bandwidth, so narrow controls
+see quiet far more often (observed 0.949 at 8 wide while 32 wide read
+0.579).  All three are valid N-vs-4N substitutes per the task
+statement.  A result only counts when the run itself reports
 ``pass && host_quiet_throughout`` (min in-run pre/mid/post ceiling
->= 0.85 measured at ITS OWN leg sizes, raw E in [0.8, 1.05]).
-Success files: /tmp/scaling_hunt_SUCCESS.json (8->32) and
-/tmp/scaling_hunt_SUCCESS_4_16.json (4->16).  The loop keeps hunting
-the stronger 8->32 row after a 4->16 success.  A quiet full-bench
-snapshot (/tmp/quiet_bench.json) is also hunted on 8->32 windows.
+>= 0.85 at ITS OWN leg sizes, raw E in [0.8, 1.05]).  Success files:
+/tmp/scaling_hunt_SUCCESS_2_8.json, .._4_16.json, .._SUCCESS.json
+(8->32).  After any scaling success the loop also hunts a quiet full
+functional bench snapshot (/tmp/quiet_bench.json, in-run ceiling
+>= 0.9) on 8->32-quiet probes.
 """
 import json
 import os
 import subprocess
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, "/root/repo")
@@ -43,9 +42,13 @@ WIN28 = "/tmp/scaling_hunt_SUCCESS_2_8.json"
 QBENCH = "/tmp/quiet_bench.json"
 GATE = float(os.environ.get("HUNT_GATE", "0.90"))
 MULT = os.environ.get("GRAFT_BENCH_MULT", "24")
-MULT416 = os.environ.get("GRAFT_BENCH_MULT_416", "24")
+MULT416 = os.environ.get("GRAFT_BENCH_MULT_416", "16")
 MULT28 = os.environ.get("GRAFT_BENCH_MULT_28", "10")
+HOLD_TIMEOUT = 900.0   # run_scaling's own give-up, see bench.py
+RESPAWN_AT = 840.0     # hunter respawns the held pair before that
 DEADLINE = time.time() + float(os.environ.get("HUNT_HOURS", "6.0")) * 3600
+
+attempt = 0
 
 
 def log(msg):
@@ -61,8 +64,8 @@ def probe(lo, hi):
     return ((hi / c_hi) / (lo / c_lo)) / (hi / lo)
 
 
-def _last_json(p):
-    for ln in reversed((p.stdout or "").strip().splitlines()):
+def _last_json(text):
+    for ln in reversed((text or "").strip().splitlines()):
         try:
             return json.loads(ln)
         except Exception:
@@ -70,19 +73,9 @@ def _last_json(p):
     return None
 
 
-def fire_scaling(attempt, lo, hi, mult, winfile):
-    env = dict(os.environ, GRAFT_BENCH_MULT=str(mult),
-               GRAFT_SCALE_LO=str(lo), GRAFT_SCALE_HI=str(hi))
-    p = subprocess.run(
-        [sys.executable, "/root/repo/bench.py", "--scaling"],
-        env=env, capture_output=True, text=True, cwd="/root/repo",
-    )
-    res = _last_json(p)
-    if res is None:
-        log("scaling %d->%d attempt %d: no JSON (rc=%d) stderr tail: %s"
-            % (lo, hi, attempt, p.returncode, (p.stderr or "")[-300:]))
-        return False
-    log("scaling %d->%d attempt %d: E=%s ceil pre/mid/post=%s/%s/%s quiet=%s pass=%s"
+def _record(res, lo, hi, winfile):
+    log("scaling %d->%d attempt %d: E=%s ceil pre/mid/post=%s/%s/%s "
+        "quiet=%s pass=%s"
         % (lo, hi, attempt, res.get("scaling_efficiency"),
            res.get("host_ceiling_before"), res.get("host_ceiling_mid"),
            res.get("host_ceiling_after"), res.get("host_quiet_throughout"),
@@ -98,7 +91,80 @@ def fire_scaling(attempt, lo, hi, mult, winfile):
     return False
 
 
-def fire_bench(attempt):
+def hunt_pair_held(lo, hi, mult, winfile):
+    """Hold a pre-warmed --scaling pair; release on the first quiet probe."""
+    global attempt
+    holddir = tempfile.mkdtemp(prefix="hunt_hold_%d_%d_" % (lo, hi))
+    n = 0
+    while time.time() < DEADLINE:
+        n += 1
+        holdfile = os.path.join(holddir, "hold%d" % n)
+        env = dict(os.environ, GRAFT_BENCH_MULT=str(mult),
+                   GRAFT_SCALE_LO=str(lo), GRAFT_SCALE_HI=str(hi),
+                   GRAFT_HOLD_FILE=holdfile,
+                   GRAFT_HOLD_TIMEOUT=str(HOLD_TIMEOUT))
+        p = subprocess.Popen(
+            [sys.executable, "/root/repo/bench.py", "--scaling"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True, cwd="/root/repo")
+        # wait for both legs pre-warmed (outside any quiet window)
+        warm_deadline = time.time() + 300.0
+        ready = False
+        while time.time() < warm_deadline:
+            if os.path.exists(holdfile + ".ready"):
+                ready = True
+                break
+            if p.poll() is not None:
+                break
+            time.sleep(0.2)
+        if not ready:
+            out, err = p.communicate()
+            log("held %d->%d pair %d never got ready (rc=%s) stderr: %s"
+                % (lo, hi, n, p.returncode, (err or "")[-300:]))
+            time.sleep(20)
+            continue
+        log("held %d->%d pair %d warm; probing for a quiet window"
+            % (lo, hi, n))
+        hold_deadline = time.time() + RESPAWN_AT
+        released = False
+        while time.time() < min(hold_deadline, DEADLINE):
+            try:
+                c = probe(lo, hi)
+            except Exception as e:  # pragma: no cover - defensive
+                log("probe error: %r" % (e,))
+                time.sleep(20)
+                continue
+            if GATE <= c <= 1.08:
+                attempt += 1
+                log("probe %d->%d %.3f >= %.2f -> releasing held attempt %d"
+                    % (lo, hi, c, GATE, attempt))
+                with open(holdfile, "w") as f:
+                    f.write("go")
+                released = True
+                break
+            time.sleep(3)
+        if not released:
+            p.kill()
+            p.communicate()
+            log("held %d->%d pair %d expired unreleased; respawning"
+                % (lo, hi, n))
+            continue
+        try:
+            out, err = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, err = p.communicate()
+        res = _last_json(out)
+        if res is None or "error" in res:
+            log("held %d->%d attempt %d: bad result %s stderr: %s"
+                % (lo, hi, attempt, res, (err or "")[-300:]))
+            continue
+        if _record(res, lo, hi, winfile):
+            return True
+    return False
+
+
+def fire_bench():
     """Quiet full functional bench snapshot (per-query seconds at sf0.1).
 
     Accepted when the in-run host_parallel_ceiling reads >= 0.9."""
@@ -106,12 +172,12 @@ def fire_bench(attempt):
         [sys.executable, "/root/repo/bench.py"],
         env=dict(os.environ), capture_output=True, text=True, cwd="/root/repo",
     )
-    res = _last_json(p)
+    res = _last_json(p.stdout)
     if res is None:
-        log("bench attempt %d: no JSON (rc=%d)" % (attempt, p.returncode))
+        log("bench attempt: no JSON (rc=%d)" % p.returncode)
         return False
-    log("bench attempt %d: headline=%ss ceiling=%s"
-        % (attempt, res.get("value"), res.get("host_parallel_ceiling")))
+    log("bench attempt: headline=%ss ceiling=%s"
+        % (res.get("value"), res.get("host_parallel_ceiling")))
     with open(LOG, "a") as f:
         f.write(json.dumps(res) + "\n")
     if (res.get("host_parallel_ceiling") or 0) >= 0.9:
@@ -123,72 +189,37 @@ def fire_bench(attempt):
 
 
 def main():
-    log("hunt start (tri-mode): gate=%.2f mult=%s mult416=%s mult28=%s"
-        % (GATE, MULT, MULT416, MULT28))
-    attempt = 0
-    scaling_done = os.path.exists(WIN)
-    s416_done = os.path.exists(WIN416)
-    s28_done = os.path.exists(WIN28)
+    log("hunt start (held-pair mode): gate=%.2f mult28=%s mult416=%s mult=%s"
+        % (GATE, MULT28, MULT416, MULT))
+    targets = [(2, 8, MULT28, WIN28), (4, 16, MULT416, WIN416),
+               (8, 32, MULT, WIN)]
+    for lo, hi, mult, winfile in targets:
+        if os.path.exists(winfile):
+            log("%d->%d already succeeded (%s); skipping" % (lo, hi, winfile))
+            continue
+        if time.time() >= DEADLINE:
+            break
+        hunt_pair_held(lo, hi, int(mult), winfile)
+    # with at least one scaling row landed, hunt the quiet functional
+    # bench snapshot on wide quiet probes until the deadline
+    any_win = any(os.path.exists(w) for w in (WIN28, WIN416, WIN))
     bench_done = os.path.exists(QBENCH)
-    while time.time() < DEADLINE and not (scaling_done and bench_done):
+    while time.time() < DEADLINE and any_win and not bench_done:
         try:
-            c832 = probe(8, 32)
+            c = probe(8, 32)
         except Exception as e:  # pragma: no cover - defensive
             log("probe error: %r" % (e,))
             time.sleep(30)
             continue
-        # a reading above ~1 is itself contention noise.  Fire on a
-        # SINGLE quiet probe: the run's own pre/mid/post ceilings
-        # decide validity, and the observed quiet windows are shorter
-        # than a two-probe confirmation.
-        if GATE <= c832 <= 1.08:
-            attempt += 1
-            log("probe 8->32 %.3f >= %.2f -> firing attempt %d"
-                % (c832, GATE, attempt))
-            if not scaling_done:
-                scaling_done = fire_scaling(attempt, 8, 32, MULT, WIN)
-                if scaling_done and not bench_done:
-                    bench_done = fire_bench(attempt)
-            elif not bench_done:
-                bench_done = fire_bench(attempt)
+        if GATE <= c <= 1.08:
+            log("probe 8->32 %.3f >= %.2f -> firing bench snapshot" % (c, GATE))
+            bench_done = fire_bench()
             time.sleep(10)
-            continue
-        c416 = c28 = None
-        if not s416_done:
-            try:
-                c416 = probe(4, 16)
-            except Exception as e:  # pragma: no cover - defensive
-                log("probe error: %r" % (e,))
-                time.sleep(30)
-                continue
-            if GATE <= c416 <= 1.08:
-                attempt += 1
-                log("probe 8->32 %.3f low but 4->16 %.3f >= %.2f -> "
-                    "firing 4->16 attempt %d" % (c832, c416, GATE, attempt))
-                s416_done = fire_scaling(attempt, 4, 16, MULT416, WIN416)
-                time.sleep(10)
-                continue
-        if not s28_done:
-            try:
-                c28 = probe(2, 8)
-            except Exception as e:  # pragma: no cover - defensive
-                log("probe error: %r" % (e,))
-                time.sleep(30)
-                continue
-            if GATE <= c28 <= 1.08:
-                attempt += 1
-                log("probes 8->32 %.3f / 4->16 %s low but 2->8 %.3f >= "
-                    "%.2f -> firing 2->8 attempt %d"
-                    % (c832, c416, c28, GATE, attempt))
-                s28_done = fire_scaling(attempt, 2, 8, MULT28, WIN28)
-                time.sleep(10)
-                continue
-        log("probes 8->32 %.3f / 4->16 %s / 2->8 %s below %.2f; sleep"
-            % (c832, c416, c28, GATE))
-        time.sleep(9)
-    log("deadline: scaling_done=%s s416_done=%s s28_done=%s bench_done=%s"
-        % (scaling_done, s416_done, s28_done, bench_done))
-    return 0 if (scaling_done or s416_done or s28_done) else 1
+        else:
+            time.sleep(9)
+    log("done: wins 2-8=%s 4-16=%s 8-32=%s bench=%s"
+        % tuple(os.path.exists(f) for f in (WIN28, WIN416, WIN, QBENCH)))
+    return 0
 
 
 if __name__ == "__main__":
