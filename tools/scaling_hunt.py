@@ -40,6 +40,7 @@ WIN = "/tmp/scaling_hunt_SUCCESS.json"
 WIN416 = "/tmp/scaling_hunt_SUCCESS_4_16.json"
 WIN28 = "/tmp/scaling_hunt_SUCCESS_2_8.json"
 QBENCH = "/tmp/quiet_bench.json"
+PAUSE = "/tmp/hunt_pause"
 GATE = float(os.environ.get("HUNT_GATE", "0.90"))
 MULT = os.environ.get("GRAFT_BENCH_MULT", "24")
 MULT416 = os.environ.get("GRAFT_BENCH_MULT_416", "16")
@@ -128,6 +129,13 @@ def hunt_pair_held(lo, hi, mult, winfile):
         hold_deadline = time.time() + RESPAWN_AT
         released = False
         while time.time() < min(hold_deadline, DEADLINE):
+            if os.path.exists(PAUSE):
+                # the build session runs its own Ray/pytest loads in the
+                # foreground; it touches this file first so the hunter
+                # neither burns doomed attempts nor misreads the load
+                # as a hypervisor episode
+                time.sleep(5)
+                continue
             try:
                 c = probe(lo, hi)
             except Exception as e:  # pragma: no cover - defensive
@@ -205,6 +213,9 @@ def main():
     any_win = any(os.path.exists(w) for w in (WIN28, WIN416, WIN))
     bench_done = os.path.exists(QBENCH)
     while time.time() < DEADLINE and any_win and not bench_done:
+        if os.path.exists(PAUSE):
+            time.sleep(5)
+            continue
         try:
             c = probe(8, 32)
         except Exception as e:  # pragma: no cover - defensive
