@@ -1,0 +1,97 @@
+"""BPE merge training: kernel semantics + forced-path parity + golden."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from proj_ray.functions.bpe import (
+    apply_merge_flat,
+    bpe_merges_driver,
+    bpe_train,
+    pair_count_flat,
+    _flatten_vocab,
+)
+
+
+def _scalar_bpe(word_counts, num_merges):
+    """The freeze_goldens scalar reference, inlined for unit parity."""
+    seqs = {w: tuple(w) for w in word_counts}
+    rows = []
+    for rank in range(1, num_merges + 1):
+        stats = {}
+        for w, seq in seqs.items():
+            n = word_counts[w]
+            for i in range(len(seq) - 1):
+                p = (seq[i], seq[i + 1])
+                stats[p] = stats.get(p, 0) + n
+        if not stats:
+            break
+        (a, b), cnt = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        rows.append((rank, a, b, a + b, cnt))
+        new_seqs = {}
+        for w, seq in seqs.items():
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            new_seqs[w] = tuple(out)
+        seqs = new_seqs
+    return pd.DataFrame(rows, columns=["rank", "left", "right", "merged",
+                                       "pair_count"])
+
+
+def test_pair_count_includes_overlaps():
+    sym, wid, wcount, table = _flatten_vocab(["aaa"], [5])
+    l, r, c = pair_count_flat(sym, wid, wcount)
+    assert len(l) == 1
+    assert table[l[0]] == "a" and table[r[0]] == "a"
+    assert c[0] == 10  # two overlapping (a,a) occurrences x count 5
+
+
+def test_greedy_merge_on_runs():
+    # 'aaa' -> ['aa','a']; 'aaaa' -> ['aa','aa']
+    for word, want in (("aaa", ["aa", "a"]), ("aaaa", ["aa", "aa"])):
+        sym, wid, wcount, table = _flatten_vocab([word], [1])
+        new_code = len(table)
+        table.append("aa")
+        sym2, wid2 = apply_merge_flat(sym, wid, 0, 0, new_code)
+        assert [table[s] for s in sym2] == want
+
+
+def test_driver_matches_scalar_reference():
+    words = {"low": 5, "lower": 2, "newest": 6, "widest": 3,
+             "aaa": 4, "aab": 4, "banana": 2}
+    got = bpe_merges_driver(np.array(list(words)), list(words.values()), 12)
+    want = _scalar_bpe(words, 12)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype({"rank": np.int64,
+                                           "pair_count": np.int64}),
+        want.astype({"rank": np.int64, "pair_count": np.int64}))
+
+
+def test_forced_path_parity(ray_session):
+    import ray.data as rd
+
+    texts = ["low low lower newest", "newest widest newest aaa",
+             "banana aab aaa low", "the quick brown fox", "aaa aaa b"]
+    t = pa.table({"doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+                  "text": pa.array(texts)})
+    ds = rd.from_arrow(t)
+    a = bpe_train(ds, num_merges=15, force_path="driver")
+    ds2 = rd.from_arrow(t).repartition(3)
+    b = bpe_train(ds2, num_merges=15, force_path="distributed")
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    # and both match the scalar reference
+    wc = {}
+    for txt in texts:
+        for w in txt.split():
+            wc[w] = wc.get(w, 0) + 1
+    want = _scalar_bpe(wc, 15)
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True),
+        want.astype({"rank": np.int64, "pair_count": np.int64}))
