@@ -42,6 +42,16 @@ def run_bench():
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # Ray's streaming-generator buffer defaults to 2 blocks in flight
+    # per task; a single-file read split into 32 blocks then trickles
+    # its consumers at the generator resume round-trip (~25 ms/block —
+    # measured 0.6 s of serialized dispatch per pipeline at sf0.1,
+    # dominating small runs and depressing measured N-vs-4N scaling).
+    # 16 lifts the serialization while staying far under the object
+    # store budget for this profile's block sizes; real many-file
+    # inputs parallelize the read across tasks and don't need it.
+    ctx._max_num_blocks_in_streaming_gen_buffer = int(
+        os.environ.get("GRAFT_GEN_BUFFER", "16"))
 
     from proj_ray.pipelines.flagship import flagship_pipeline, pages_dataset
     from proj_ray.pipelines.queries import QUERIES

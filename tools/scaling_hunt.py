@@ -44,7 +44,7 @@ PAUSE = "/tmp/hunt_pause"
 GATE = float(os.environ.get("HUNT_GATE", "0.90"))
 MULT = os.environ.get("GRAFT_BENCH_MULT", "24")
 MULT416 = os.environ.get("GRAFT_BENCH_MULT_416", "16")
-MULT28 = os.environ.get("GRAFT_BENCH_MULT_28", "10")
+MULT28 = os.environ.get("GRAFT_BENCH_MULT_28", "16")
 HOLD_TIMEOUT = 900.0   # run_scaling's own give-up, see bench.py
 RESPAWN_AT = 840.0     # hunter respawns the held pair before that
 DEADLINE = time.time() + float(os.environ.get("HUNT_HOURS", "6.0")) * 3600
