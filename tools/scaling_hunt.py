@@ -42,8 +42,14 @@ WIN28 = "/tmp/scaling_hunt_SUCCESS_2_8.json"
 QBENCH = "/tmp/quiet_bench.json"
 PAUSE = "/tmp/hunt_pause"
 GATE = float(os.environ.get("HUNT_GATE", "0.90"))
-MULT = os.environ.get("GRAFT_BENCH_MULT", "24")
-MULT416 = os.environ.get("GRAFT_BENCH_MULT_416", "16")
+# Leg sizes sized from the fixed-cost model (BASELINE.md session-12):
+# with ~0.75 s of per-pipeline fixed latency in BOTH legs, measured
+# E = (f + m*c_lo)/(4*(f + m*c_hi)) caps below 0.8 unless the hi leg
+# runs several seconds of real work.  mult 16 at 2->8 projects ~0.85
+# in a ~16 s window; 4->16 needs ~64, 8->32 needs ~256 (the round-1
+# clean-run configuration).
+MULT = os.environ.get("GRAFT_BENCH_MULT", "256")
+MULT416 = os.environ.get("GRAFT_BENCH_MULT_416", "64")
 MULT28 = os.environ.get("GRAFT_BENCH_MULT_28", "16")
 HOLD_TIMEOUT = 900.0   # run_scaling's own give-up, see bench.py
 RESPAWN_AT = 840.0     # hunter respawns the held pair before that
