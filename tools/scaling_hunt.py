@@ -114,6 +114,8 @@ def hunt_pair_held(lo, hi, mult, winfile):
             [sys.executable, "/root/repo/bench.py", "--scaling"],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True, cwd="/root/repo")
+        with open("/tmp/hunt_children.pid", "w") as f:
+            f.write("%d\n" % p.pid)  # for tools/start_hunt.sh cleanup
         # wait for both legs pre-warmed (outside any quiet window)
         warm_deadline = time.time() + 300.0
         ready = False
