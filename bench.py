@@ -166,6 +166,10 @@ def run_bench():
         "q6_forecast_revenue", "q10_returned_items", "q18_large_orders",
         "q19_bracket_revenue", "q4_priority_exists", "q22_idle_balance",
         "winnow_fingerprints", "winnow_dup_pairs",
+        # round-4 session-12 additions: WARC container round-trip
+        # (write shards + distributed read + byte-identity extraction),
+        # tag-strip extraction parity, distributed BPE merge training
+        "warc_roundtrip_text", "html_extract_text", "bpe_train_merges",
     ]
     qtimes = {}
     for name in bench_queries:
