@@ -159,3 +159,51 @@ def test_s2_parent_contains_leaf(pts, level):
     ids = s2.id_at_level(leaf, level)
     lo, hi = s2.cell_range(ids)
     assert ((leaf >= lo) & (leaf <= hi)).all()
+
+
+# --- session-12 kernels: BPE merge loop and WARC record layout -------------
+
+_word_st = st.text(alphabet="abcdef", min_size=1, max_size=8)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.dictionaries(_word_st, st.integers(min_value=1, max_value=9),
+                       min_size=1, max_size=12),
+       st.integers(min_value=1, max_value=10))
+def test_bpe_driver_matches_dict_reference(word_counts, k):
+    """The flat-numpy merge loop == the dict/loop published algorithm
+    on arbitrary small vocabularies (overlap counting, greedy merge,
+    lexicographic tie-breaks)."""
+    from proj_ray.functions.bpe import bpe_merges_driver
+    from tests.test_bpe import _scalar_bpe
+
+    got = bpe_merges_driver(np.array(list(word_counts)),
+                            list(word_counts.values()), k)
+    want = _scalar_bpe(word_counts, k)
+    assert got["left"].tolist() == want["left"].tolist()
+    assert got["right"].tolist() == want["right"].tolist()
+    assert got["pair_count"].tolist() == want["pair_count"].tolist()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(
+    st.text(alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+            min_size=1, max_size=40),
+    st.integers(min_value=0, max_value=4_000_000_000_000_000),
+    st.binary(max_size=200)), min_size=1, max_size=8))
+def test_warc_roundtrip_arbitrary_payloads(records):
+    """serialize -> parse is the identity on (url, ts, payload) for
+    arbitrary binary payloads, including ones embedding record-head
+    bytes and CRLF runs."""
+    from proj_ray.sources.warc import (_ts_to_warc_date,
+                                       parse_warc_bytes,
+                                       serialize_warc_records)
+
+    urls = [u for u, _, _ in records]
+    ts = np.array([t for _, t, _ in records], np.int64)
+    payloads = [p for _, _, p in records]
+    blob = serialize_warc_records(urls, _ts_to_warc_date(ts), payloads)
+    t = parse_warc_bytes(blob)
+    assert t["url"].to_pylist() == urls
+    assert t["warc_ts"].cast("int64").to_pylist() == ts.tolist()
+    assert t["html"].to_pylist() == payloads
