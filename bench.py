@@ -24,6 +24,84 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_MULT = int(os.environ.get("GRAFT_BENCH_MULT", "64"))
 
+# representative per-operator queries timed by the default bench run
+# (one execution each, shared warm session); also consumed one-at-a-time
+# by the quiet-window per-query snapshot in tools/scaling_hunt.py
+BENCH_QUERIES = [
+    "q1_pricing_summary", "points_webmerc", "points_utm", "tile_agg",
+    "pip_join", "knn_points", "dedup_exact", "quality_scores",
+    "minhash_lsh_candidates", "ann_cosine_topk", "grid_shift_fwd",
+    "grid_shift_real", "geod_inverse_ellipsoidal",
+    # round-3 additions: holistic sketch quantile, I/O-pruned IVF,
+    # iterative real-grid inverse, vector near-dup
+    "segment_acctbal_p90", "ann_ivf_partitioned",
+    "grid_shift_real_inv", "embedding_near_dups",
+    # round-4 additions: raster -> vector connected-component
+    # vectorize, vector -> raster zonal stats, t-digest quantiles
+    # over a continuous domain, S2 Hilbert cell aggregate
+    "raster_polygonize", "zonal_stats", "events_value_quantiles",
+    "s2_cell_agg",
+    # round-4 geodesic kNN + radius search: exact Karney-metric
+    # brute force, the certified shard-pruned path (the first
+    # shard query pays the one-time index build), and the
+    # exact-superset radius range join (reuses the shared index)
+    "knn_geodesic", "knn_s2_geodesic", "radius_geodesic",
+    # round-4 session-4 additions: hopping windows, Gopher
+    # repetition signals, TF-IDF top terms, big-big shuffle join
+    "events_hopping_agg", "gopher_repetition", "tfidf_top_terms",
+    "orders_by_segment",
+    # round-4 session-5 additions: R-tree-sharded PIP, the
+    # replicated-grid radius self-join, cross-doc duplicate
+    # n-grams, radius-graph CC clustering, per-order trajectories
+    "pip_join_rtree", "radius_pair_join", "dup_ngram_frac",
+    "spatial_clusters", "trajectory_length", "ann_pq_topk",
+    "ann_ivfpq_topk", "rect_overlap_join", "events_user_hll",
+    # round-4 session-6 additions: gap sessionization, the
+    # Bloom-prefiltered semi-join, Misra-Gries heavy hitters,
+    # Douglas-Peucker trajectory simplification
+    "sessionize_events", "bloom_semi_join", "misra_gries_topk",
+    "traj_simplify_dp", "latest_event_per_user", "user_top_event_type",
+    # round-4 session-7 additions: raster focal stencil, left-outer
+    # enrichment join, weighted (sequential-Poisson) sampling,
+    # OLAP pivot/rollup/per-group-top-k, raster warp, TPC-H Q3
+    "raster_focal_mean", "customer_order_stats", "weighted_sample_topk",
+    "events_type_hour_pivot", "top_orders_per_priority",
+    "lineitem_rollup", "raster_warp", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q14_promo_revenue",
+    "funnel_signup_purchase", "retention_cohorts",
+    # round-4 session-8 additions: full-outer join, set algebra,
+    # global-ordinal NTILE, CUBE, LAG growth, integer PageRank
+    "click_purchase_full_outer", "click_no_purchase_days",
+    "segment_ntile_stats", "events_type_dow_cube",
+    "priority_month_growth", "pagerank_bipartite",
+    "label_centroids", "brand_edit_pairs", "token_cooccurrence",
+    "dedup_events_window", "skew_split_join", "lineitem_moments",
+    "lineitem_unpivot_stats", "polygon_area_geodesic",
+    "window_running_total", "type_value_p95", "embedding_standardize",
+    # round-4 session-9 additions: crawl-curation ladder (per-domain
+    # stats, url canonicalization dedup, domain quota sampling,
+    # benchmark decontamination scan)
+    "domain_doc_stats", "url_dedup_canonical", "domain_cap_sample",
+    "decontaminate_substr",
+    # round-4 session-10 additions: PII redaction (3 RE2 passes),
+    # corpus-wide line dedup (one coarse-bucket shuffle),
+    # 13-gram benchmark decontamination, hex-grid cell aggregate
+    "pii_redact_stats", "line_dedup_docs", "decontaminate_ngram",
+    "hex_cell_agg", "lm_quality_score", "semdedup_keep",
+    "bm25_topk", "top_ngrams", "curation_pipeline",
+    "minhash_dedup_keep",
+    # round-4 session-11 additions: the classic query pack (scalar
+    # filter-agg, returned-item top-k, grouped HAVING, bracket OR
+    # join, EXISTS semi-join, global-scalar anti-join) + winnowing
+    "q6_forecast_revenue", "q10_returned_items", "q18_large_orders",
+    "q19_bracket_revenue", "q4_priority_exists", "q22_idle_balance",
+    "winnow_fingerprints", "winnow_dup_pairs",
+    # round-4 session-12 additions: WARC container round-trip
+    # (write shards + distributed read + byte-identity extraction),
+    # tag-strip extraction parity, distributed BPE merge training
+    "warc_roundtrip_text", "html_extract_text", "bpe_train_merges",
+]
+
 
 def run_bench():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -97,80 +175,7 @@ def run_bench():
         print(json.dumps(out), flush=True)
         ray.shutdown()
         sys.exit(0)
-    bench_queries = [
-        "q1_pricing_summary", "points_webmerc", "points_utm", "tile_agg",
-        "pip_join", "knn_points", "dedup_exact", "quality_scores",
-        "minhash_lsh_candidates", "ann_cosine_topk", "grid_shift_fwd",
-        "grid_shift_real", "geod_inverse_ellipsoidal",
-        # round-3 additions: holistic sketch quantile, I/O-pruned IVF,
-        # iterative real-grid inverse, vector near-dup
-        "segment_acctbal_p90", "ann_ivf_partitioned",
-        "grid_shift_real_inv", "embedding_near_dups",
-        # round-4 additions: raster -> vector connected-component
-        # vectorize, vector -> raster zonal stats, t-digest quantiles
-        # over a continuous domain, S2 Hilbert cell aggregate
-        "raster_polygonize", "zonal_stats", "events_value_quantiles",
-        "s2_cell_agg",
-        # round-4 geodesic kNN + radius search: exact Karney-metric
-        # brute force, the certified shard-pruned path (the first
-        # shard query pays the one-time index build), and the
-        # exact-superset radius range join (reuses the shared index)
-        "knn_geodesic", "knn_s2_geodesic", "radius_geodesic",
-        # round-4 session-4 additions: hopping windows, Gopher
-        # repetition signals, TF-IDF top terms, big-big shuffle join
-        "events_hopping_agg", "gopher_repetition", "tfidf_top_terms",
-        "orders_by_segment",
-        # round-4 session-5 additions: R-tree-sharded PIP, the
-        # replicated-grid radius self-join, cross-doc duplicate
-        # n-grams, radius-graph CC clustering, per-order trajectories
-        "pip_join_rtree", "radius_pair_join", "dup_ngram_frac",
-        "spatial_clusters", "trajectory_length", "ann_pq_topk",
-        "ann_ivfpq_topk", "rect_overlap_join", "events_user_hll",
-        # round-4 session-6 additions: gap sessionization, the
-        # Bloom-prefiltered semi-join, Misra-Gries heavy hitters,
-        # Douglas-Peucker trajectory simplification
-        "sessionize_events", "bloom_semi_join", "misra_gries_topk",
-        "traj_simplify_dp", "latest_event_per_user", "user_top_event_type",
-        # round-4 session-7 additions: raster focal stencil, left-outer
-        # enrichment join, weighted (sequential-Poisson) sampling,
-        # OLAP pivot/rollup/per-group-top-k, raster warp, TPC-H Q3
-        "raster_focal_mean", "customer_order_stats", "weighted_sample_topk",
-        "events_type_hour_pivot", "top_orders_per_priority",
-        "lineitem_rollup", "raster_warp", "q3_shipping_priority",
-        "q5_local_supplier_volume", "q14_promo_revenue",
-        "funnel_signup_purchase", "retention_cohorts",
-        # round-4 session-8 additions: full-outer join, set algebra,
-        # global-ordinal NTILE, CUBE, LAG growth, integer PageRank
-        "click_purchase_full_outer", "click_no_purchase_days",
-        "segment_ntile_stats", "events_type_dow_cube",
-        "priority_month_growth", "pagerank_bipartite",
-        "label_centroids", "brand_edit_pairs", "token_cooccurrence",
-        "dedup_events_window", "skew_split_join", "lineitem_moments",
-        "lineitem_unpivot_stats", "polygon_area_geodesic",
-        "window_running_total", "type_value_p95", "embedding_standardize",
-        # round-4 session-9 additions: crawl-curation ladder (per-domain
-        # stats, url canonicalization dedup, domain quota sampling,
-        # benchmark decontamination scan)
-        "domain_doc_stats", "url_dedup_canonical", "domain_cap_sample",
-        "decontaminate_substr",
-        # round-4 session-10 additions: PII redaction (3 RE2 passes),
-        # corpus-wide line dedup (one coarse-bucket shuffle),
-        # 13-gram benchmark decontamination, hex-grid cell aggregate
-        "pii_redact_stats", "line_dedup_docs", "decontaminate_ngram",
-        "hex_cell_agg", "lm_quality_score", "semdedup_keep",
-        "bm25_topk", "top_ngrams", "curation_pipeline",
-        "minhash_dedup_keep",
-        # round-4 session-11 additions: the classic query pack (scalar
-        # filter-agg, returned-item top-k, grouped HAVING, bracket OR
-        # join, EXISTS semi-join, global-scalar anti-join) + winnowing
-        "q6_forecast_revenue", "q10_returned_items", "q18_large_orders",
-        "q19_bracket_revenue", "q4_priority_exists", "q22_idle_balance",
-        "winnow_fingerprints", "winnow_dup_pairs",
-        # round-4 session-12 additions: WARC container round-trip
-        # (write shards + distributed read + byte-identity extraction),
-        # tag-strip extraction parity, distributed BPE merge training
-        "warc_roundtrip_text", "html_extract_text", "bpe_train_merges",
-    ]
+    bench_queries = BENCH_QUERIES
     qtimes = {}
     for name in bench_queries:
         fn = QUERIES[name]["fn"]

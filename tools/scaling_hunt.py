@@ -180,6 +180,84 @@ def hunt_pair_held(lo, hi, mult, winfile):
     return False
 
 
+def quiet_query_bench(sf="/root/testdata/sf0.1"):
+    """Assemble a quiet per-query reference table INCREMENTALLY.
+
+    A full functional bench needs ~3 minutes — no quiet window on this
+    hypervisor lasts that long — so instead each bench query is timed
+    individually inside its own quiet window: probe, run ONE query,
+    probe again, accept the row only when both probes read >= 0.85.
+    Rows accumulate in /tmp/quiet_query_bench.json across windows
+    (same warmed-session, same-order protocol as bench.py, so numbers
+    are comparable).  Returns when every query has a quiet row or the
+    deadline passes."""
+    out_path = "/tmp/quiet_query_bench.json"
+    try:
+        results = json.load(open(out_path))
+    except Exception:
+        results = {}
+
+    import ray
+
+    sys.path.insert(0, "/root/repo")
+    ray.init(address="local", num_cpus=32, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx._max_num_blocks_in_streaming_gen_buffer = int(
+        os.environ.get("GRAFT_GEN_BUFFER", "16"))
+    from bench import BENCH_QUERIES
+    from proj_ray.pipelines.flagship import pages_dataset
+    from proj_ray.pipelines.queries import QUERIES
+
+    pages_dataset(sf, mult=1).count()  # page-cache warm
+    pending = [q for q in BENCH_QUERIES if q not in results]
+    log("quiet-query bench: %d rows to fill" % len(pending))
+    misses = {}
+    while pending and time.time() < DEADLINE:
+        if os.path.exists(PAUSE):
+            time.sleep(5)
+            continue
+        try:
+            c0 = probe(8, 32)
+        except Exception as e:  # pragma: no cover - defensive
+            log("probe error: %r" % (e,))
+            time.sleep(20)
+            continue
+        if not (GATE <= c0 <= 1.08):
+            time.sleep(7)
+            continue
+        name = pending[0]
+        fn = QUERIES[name]["fn"]
+        t0 = time.perf_counter()
+        res = fn(sf)
+        if hasattr(res, "count"):
+            res.count()
+        dt = time.perf_counter() - t0
+        c1 = probe(8, 32)
+        if min(c0, c1) >= 0.85:
+            results[name] = round(dt, 3)
+            pending.pop(0)
+            with open(out_path, "w") as f:
+                json.dump(results, f, indent=1, sort_keys=True)
+            log("quiet row %s=%.3fs (probes %.2f/%.2f, %d left)"
+                % (name, dt, c0, c1, len(pending)))
+        else:
+            # window closed mid-run; retry later (a retry is warmer
+            # than a first run — disclosed in BASELINE.md)
+            misses[name] = misses.get(name, 0) + 1
+            if misses[name] >= 6:
+                pending.pop(0)
+                pending.append(name)  # rotate so one query can't wedge
+                misses[name] = 0
+            log("quiet row %s rejected (probes %.2f/%.2f)" % (name, c0, c1))
+            time.sleep(5)
+    ray.shutdown()
+    return not pending
+
+
 def fire_bench():
     """Quiet full functional bench snapshot (per-query seconds at sf0.1).
 
@@ -207,35 +285,28 @@ def fire_bench():
 def main():
     log("hunt start (held-pair mode): gate=%.2f mult28=%s mult416=%s mult=%s"
         % (GATE, MULT28, MULT416, MULT))
-    targets = [(2, 8, MULT28, WIN28), (4, 16, MULT416, WIN416),
-               (8, 32, MULT, WIN)]
-    for lo, hi, mult, winfile in targets:
+    # priority order: the 2->8 scaling row (the round-3 verdict's #1
+    # ask; the most frequent quiet windows), then the quiet per-query
+    # bench table (windows of a few seconds suffice), then the wider
+    # scaling pairs (windows of 30-60 s — rare on this hypervisor).
+    if not os.path.exists(WIN28) and time.time() < DEADLINE:
+        hunt_pair_held(2, 8, int(MULT28), WIN28)
+    # assemble the quiet PER-QUERY bench reference one window at a
+    # time (a full 3-minute bench never fits a quiet window here;
+    # single queries do)
+    if time.time() < DEADLINE:
+        try:
+            quiet_query_bench()
+        except Exception as e:  # pragma: no cover - defensive
+            log("quiet-query bench error: %r" % (e,))
+    for lo, hi, mult, winfile in [(4, 16, MULT416, WIN416),
+                                  (8, 32, MULT, WIN)]:
         if os.path.exists(winfile):
             log("%d->%d already succeeded (%s); skipping" % (lo, hi, winfile))
             continue
         if time.time() >= DEADLINE:
             break
         hunt_pair_held(lo, hi, int(mult), winfile)
-    # with at least one scaling row landed, hunt the quiet functional
-    # bench snapshot on wide quiet probes until the deadline
-    any_win = any(os.path.exists(w) for w in (WIN28, WIN416, WIN))
-    bench_done = os.path.exists(QBENCH)
-    while time.time() < DEADLINE and any_win and not bench_done:
-        if os.path.exists(PAUSE):
-            time.sleep(5)
-            continue
-        try:
-            c = probe(8, 32)
-        except Exception as e:  # pragma: no cover - defensive
-            log("probe error: %r" % (e,))
-            time.sleep(30)
-            continue
-        if GATE <= c <= 1.08:
-            log("probe 8->32 %.3f >= %.2f -> firing bench snapshot" % (c, GATE))
-            bench_done = fire_bench()
-            time.sleep(10)
-        else:
-            time.sleep(9)
     log("done: wins 2-8=%s 4-16=%s 8-32=%s bench=%s"
         % tuple(os.path.exists(f) for f in (WIN28, WIN416, WIN, QBENCH)))
     return 0
