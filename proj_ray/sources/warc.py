@@ -57,27 +57,57 @@ def _warc_date_to_us(s: str) -> int:
                .astype("int64"))
 
 
-def serialize_warc_records(urls, dates, payloads) -> bytes:
-    """Assemble one shard's bytes. Joined once at the end — O(total)."""
+def serialize_warc_records(urls, dates, payloads, http_envelope: bool = False,
+                           warcinfo: str | None = None) -> bytes:
+    """Assemble one shard's bytes. Joined once at the end — O(total).
+
+    ``http_envelope=True`` writes Common-Crawl-shaped records: payload
+    = "HTTP/1.1 200 OK" + headers + CRLFCRLF + body, with
+    Content-Type: application/http; msgtype=response (what real CC
+    .warc.gz response records look like).  ``warcinfo`` prepends one
+    warcinfo record, as CC shards carry."""
     parts = []
+    if warcinfo is not None:
+        info = warcinfo.encode()
+        parts.append(
+            b"WARC/1.0\r\n"
+            b"WARC-Type: warcinfo\r\n"
+            b"Content-Type: application/warc-fields\r\n"
+            b"Content-Length: " + str(len(info)).encode() + _CRLF + _CRLF)
+        parts.append(info)
+        parts.append(b"\r\n\r\n")
     for url, date, payload in zip(urls, dates, payloads):
+        payload = bytes(payload)
+        if http_envelope:
+            payload = (b"HTTP/1.1 200 OK\r\n"
+                       b"Content-Type: text/html\r\n"
+                       b"Content-Length: " + str(len(payload)).encode() +
+                       _CRLF + _CRLF + payload)
+            ctype = b"application/http; msgtype=response"
+        else:
+            ctype = b"application/octet-stream"
         header = (
             b"WARC/1.0\r\n"
             b"WARC-Type: response\r\n"
             b"WARC-Target-URI: " + url.encode() + _CRLF +
             b"WARC-Date: " + date.encode() + _CRLF +
-            b"Content-Type: application/octet-stream\r\n"
+            b"Content-Type: " + ctype + _CRLF +
             b"Content-Length: " + str(len(payload)).encode() + _CRLF +
             _CRLF
         )
         parts.append(header)
-        parts.append(bytes(payload))
+        parts.append(payload)
         parts.append(b"\r\n\r\n")
     return b"".join(parts)
 
 
 def parse_warc_bytes(data: bytes) -> pa.Table:
-    """Walk records via Content-Length (no payload scanning)."""
+    """Walk records via Content-Length (no payload scanning).
+
+    Non-response records (warcinfo, request, metadata, ...) are
+    skipped, as a Common-Crawl consumer does.  Response payloads
+    carrying an HTTP envelope (Content-Type: application/http) are
+    unwrapped to the body bytes."""
     urls, ts_us, payloads = [], [], []
     pos = 0
     n = len(data)
@@ -92,10 +122,19 @@ def parse_warc_bytes(data: bytes) -> pa.Table:
             headers[k.strip().lower()] = v.strip()
         clen = int(headers["content-length"])
         body_start = head_end + 4
-        payloads.append(data[body_start:body_start + clen])
+        pos = body_start + clen + 4  # trailing \r\n\r\n
+        if headers.get("warc-type") != "response":
+            continue
+        body = data[body_start:body_start + clen]
+        if headers.get("content-type", "").startswith("application/http"):
+            # strip the HTTP response envelope: body follows the first
+            # blank line (HTTP headers cannot contain bare CRLFCRLF)
+            sep = body.find(b"\r\n\r\n")
+            if sep >= 0:
+                body = body[sep + 4:]
+        payloads.append(body)
         urls.append(headers["warc-target-uri"])
         ts_us.append(_warc_date_to_us(headers["warc-date"]))
-        pos = body_start + clen + 4  # trailing \r\n\r\n
     return pa.table({
         "url": pa.array(urls, pa.string()),
         "warc_ts": pa.array(np.array(ts_us, dtype=np.int64),
@@ -104,7 +143,9 @@ def parse_warc_bytes(data: bytes) -> pa.Table:
     })
 
 
-def write_warc_stage(ds, out_dir: str, id_col: str = "pid"):
+def write_warc_stage(ds, out_dir: str, id_col: str = "pid",
+                     http_envelope: bool = False,
+                     warcinfo: str | None = None):
     """Sink stage: each task writes its batch as one .warc shard named by
     the batch's min id (ids are disjoint across blocks -> unique names,
     idempotent overwrite on re-run). Returns a manifest Dataset
@@ -117,7 +158,9 @@ def write_warc_stage(ds, out_dir: str, id_col: str = "pid"):
         dates = _ts_to_warc_date(ts)
         urls = batch["url"].to_pylist()
         payloads = batch["html"].to_pylist()
-        blob = serialize_warc_records(urls, dates, payloads)
+        blob = serialize_warc_records(urls, dates, payloads,
+                                      http_envelope=http_envelope,
+                                      warcinfo=warcinfo)
         path = os.path.join(out_dir, "part-%016d.warc" % int(ids.min()))
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:

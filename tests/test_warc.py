@@ -100,3 +100,18 @@ def test_rerun_overwrites_not_duplicates(ray_session):
     write_warc_stage(ds, out_dir).take_all()
     write_warc_stage(ds, out_dir).take_all()  # idempotent re-run
     assert read_warc(out_dir).count() == 50
+
+
+def test_http_envelope_and_warcinfo_roundtrip():
+    # Common-Crawl shape: warcinfo record first, responses carry an
+    # HTTP envelope; the reader skips warcinfo and unwraps the body
+    urls = ["https://cc.example/a", "https://cc.example/b"]
+    ts = np.array([7, 8], dtype=np.int64)
+    payloads = [b"<html>body with \r\n\r\n inside</html>", b"x"]
+    blob = serialize_warc_records(
+        urls, _ts_to_warc_date(ts), payloads, http_envelope=True,
+        warcinfo="software: proj-ray\r\nformat: WARC file version 1.0\r\n")
+    t = parse_warc_bytes(blob)
+    assert t.num_rows == 2  # warcinfo skipped
+    assert t["url"].to_pylist() == urls
+    assert t["html"].to_pylist() == payloads
