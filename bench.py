@@ -215,13 +215,27 @@ def _cpu_control(n):
     Measures what the HOST currently delivers for embarrassingly
     parallel CPU work.  On a contended hypervisor (vCPU steal) even
     perfect code cannot scale; this calibrates the ceiling so the
-    scaling_efficiency number can be normalized."""
+    scaling_efficiency number can be normalized.
+
+    Measurement hygiene (session-12): a warm-up map runs first so the
+    timed map excludes each child's numpy import and pool spawn (the
+    old version timed those too); the timed burn stays LONG (~0.5 s)
+    because it doubles as a low-pass filter over scheduler jitter —
+    median-of-short-bursts was tried and measured strictly noisier."""
     import multiprocessing as mp
 
-    t0 = time.perf_counter()
     with mp.Pool(n) as p:
+        p.map(_burn_warm, range(n))  # numpy import + allocator warm-up
+        t0 = time.perf_counter()
         p.map(_burn, range(n))
-    return time.perf_counter() - t0
+        return time.perf_counter() - t0
+
+
+def _burn_warm(_):
+    import numpy as np
+
+    a = np.random.default_rng(1).random(1_000_000)
+    return float(np.sin(a)[0])
 
 
 def _burn(_):
