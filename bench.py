@@ -279,18 +279,29 @@ def run_scaling():
                    GRAFT_SCALING_ONLY="1",
                    GRAFT_GO_TIMEOUT=str(go_timeout),
                    GRAFT_GO_FILE=os.path.join(godir, f"go-{ncpu}"))
+        # stderr goes to a FILE, not a pipe: Ray logs can exceed the
+        # 64 KiB pipe buffer, and a leg blocked in write(2) on a full
+        # stderr pipe would deadlock release()'s stdout readline loop
+        errf = open(os.path.join(godir, f"err-{ncpu}"), "w")
         return subprocess.Popen([sys.executable, os.path.abspath(__file__)],
                                 env=env, stdout=subprocess.PIPE,
-                                stderr=subprocess.PIPE, text=True)
+                                stderr=errf, text=True)
+
+    def _err_tail(ncpu):
+        try:
+            with open(os.path.join(godir, f"err-{ncpu}")) as f:
+                return f.read()[-500:]
+        except OSError:
+            return ""
 
     def wait_ready(ncpu, proc, timeout=240.0):
         ready = os.path.join(godir, f"go-{ncpu}.ready")
         deadline = time.time() + timeout
         while not os.path.exists(ready):
             if proc.poll() is not None or time.time() > deadline:
-                out, err = proc.communicate()
+                proc.kill()
                 raise RuntimeError(f"scaling leg {ncpu} died during "
-                                   f"pre-warm: {err[-500:]}")
+                                   f"pre-warm: {_err_tail(ncpu)}")
             time.sleep(0.1)
 
     def release(ncpu, proc):
@@ -298,18 +309,25 @@ def run_scaling():
             f.write("go")
         # stream-read until the result JSON line appears instead of
         # waiting for process exit: the leg prints its timing before
-        # ray.shutdown, so the teardown seconds stay out of the window
+        # ray.shutdown, so the teardown seconds stay out of the window.
+        # select() bounds each wait so the deadline fires even when the
+        # leg goes silent (readline alone would block indefinitely).
+        import select
+
         deadline = time.time() + 240.0
         while True:
-            line = proc.stdout.readline()
-            if line:
-                try:
-                    return json.loads(line)
-                except ValueError:
-                    continue
+            rl, _, _ = select.select([proc.stdout], [], [], 1.0)
+            if rl:
+                line = proc.stdout.readline()
+                if line:
+                    try:
+                        return json.loads(line)
+                    except ValueError:
+                        continue
             if proc.poll() is not None or time.time() > deadline:
-                err = proc.stderr.read() if proc.stderr else ""
-                raise RuntimeError(f"scaling leg {ncpu} failed: {err[-500:]}")
+                proc.kill()
+                raise RuntimeError(
+                    f"scaling leg {ncpu} failed: {_err_tail(ncpu)}")
 
     p_lo = spawn(lo)
     p_hi = spawn(hi)
@@ -352,11 +370,17 @@ def run_scaling():
     # the legs; the measurement is only VALID when the host stayed
     # quiet throughout (min ceiling >= 0.85) and E is physical
     # (<= 1.05).
-    ceil0 = _ceiling()
-    r_lo = release(lo, p_lo)
-    ceil1 = _ceiling()
-    r_hi = release(hi, p_hi)
-    ceil2 = _ceiling()
+    try:
+        ceil0 = _ceiling()
+        r_lo = release(lo, p_lo)
+        ceil1 = _ceiling()
+        r_hi = release(hi, p_hi)
+        ceil2 = _ceiling()
+    except BaseException:
+        for p in (p_lo, p_hi):
+            if p.poll() is None:
+                p.kill()
+        raise
     ceiling = min(ceil0, ceil1, ceil2)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)

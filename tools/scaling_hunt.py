@@ -21,9 +21,10 @@ statement.  A result only counts when the run itself reports
 ``pass && host_quiet_throughout`` (min in-run pre/mid/post ceiling
 >= 0.85 at ITS OWN leg sizes, raw E in [0.8, 1.05]).  Success files:
 /tmp/scaling_hunt_SUCCESS_2_8.json, .._4_16.json, .._SUCCESS.json
-(8->32).  After any scaling success the loop also hunts a quiet full
-functional bench snapshot (/tmp/quiet_bench.json, in-run ceiling
->= 0.9) on 8->32-quiet probes.
+(8->32).  Between the 2->8 hunt and the wider pairs the loop also
+assembles a quiet PER-QUERY bench reference one window at a time
+(/tmp/quiet_query_bench.json — a full 3-minute bench never fits a
+quiet window on this hypervisor; single queries do).
 """
 import json
 import os
@@ -39,7 +40,7 @@ LOG = "/tmp/scaling_hunt.log"
 WIN = "/tmp/scaling_hunt_SUCCESS.json"
 WIN416 = "/tmp/scaling_hunt_SUCCESS_4_16.json"
 WIN28 = "/tmp/scaling_hunt_SUCCESS_2_8.json"
-QBENCH = "/tmp/quiet_bench.json"
+QBENCH = "/tmp/quiet_query_bench.json"  # written by quiet_query_bench
 PAUSE = "/tmp/hunt_pause"
 GATE = float(os.environ.get("HUNT_GATE", "0.90"))
 # Leg sizes sized from the fixed-cost model (BASELINE.md session-12):
@@ -63,6 +64,18 @@ def log(msg):
     with open(LOG, "a") as f:
         f.write(line + "\n")
     print(line, flush=True)
+
+
+def _killpg(p):
+    """Kill the coordinator AND its pre-warmed leg subprocesses (one
+    process group, start_new_session=True at spawn)."""
+    import signal
+
+    try:
+        os.killpg(p.pid, signal.SIGKILL)
+    except (ProcessLookupError, PermissionError):
+        if p.poll() is None:
+            p.kill()
 
 
 def probe(lo, hi):
@@ -110,12 +123,18 @@ def hunt_pair_held(lo, hi, mult, winfile):
                    GRAFT_SCALE_LO=str(lo), GRAFT_SCALE_HI=str(hi),
                    GRAFT_HOLD_FILE=holdfile,
                    GRAFT_HOLD_TIMEOUT=str(HOLD_TIMEOUT))
+        # own session: the coordinator's two pre-warmed leg processes
+        # (each a warm Ray cluster) share its process group, so killing
+        # the GROUP reaps the legs too — a bare p.kill() orphaned them
+        # for up to GRAFT_GO_TIMEOUT, leaving up to 3 Ray clusters
+        # contending and poisoning the quiet-window probes
         p = subprocess.Popen(
             [sys.executable, "/root/repo/bench.py", "--scaling"],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-            text=True, cwd="/root/repo")
+            text=True, cwd="/root/repo", start_new_session=True)
         with open("/tmp/hunt_children.pid", "w") as f:
-            f.write("%d\n" % p.pid)  # for tools/start_hunt.sh cleanup
+            f.write("%d\n" % p.pid)  # pid == pgid (new session); for
+            # tools/start_hunt.sh cleanup via kill -- -PID
         # wait for both legs pre-warmed (outside any quiet window)
         warm_deadline = time.time() + 300.0
         ready = False
@@ -127,6 +146,7 @@ def hunt_pair_held(lo, hi, mult, winfile):
                 break
             time.sleep(0.2)
         if not ready:
+            _killpg(p)
             out, err = p.communicate()
             log("held %d->%d pair %d never got ready (rc=%s) stderr: %s"
                 % (lo, hi, n, p.returncode, (err or "")[-300:]))
@@ -160,15 +180,15 @@ def hunt_pair_held(lo, hi, mult, winfile):
                 break
             time.sleep(3)
         if not released:
-            p.kill()
+            _killpg(p)
             p.communicate()
             log("held %d->%d pair %d expired unreleased; respawning"
                 % (lo, hi, n))
             continue
         try:
-            out, err = p.communicate(timeout=240)
+            out, err = p.communicate(timeout=300)
         except subprocess.TimeoutExpired:
-            p.kill()
+            _killpg(p)
             out, err = p.communicate()
         res = _last_json(out)
         if res is None or "error" in res:
@@ -258,30 +278,6 @@ def quiet_query_bench(sf="/root/testdata/sf0.1"):
     return not pending
 
 
-def fire_bench():
-    """Quiet full functional bench snapshot (per-query seconds at sf0.1).
-
-    Accepted when the in-run host_parallel_ceiling reads >= 0.9."""
-    p = subprocess.run(
-        [sys.executable, "/root/repo/bench.py"],
-        env=dict(os.environ), capture_output=True, text=True, cwd="/root/repo",
-    )
-    res = _last_json(p.stdout)
-    if res is None:
-        log("bench attempt: no JSON (rc=%d)" % p.returncode)
-        return False
-    log("bench attempt: headline=%ss ceiling=%s"
-        % (res.get("value"), res.get("host_parallel_ceiling")))
-    with open(LOG, "a") as f:
-        f.write(json.dumps(res) + "\n")
-    if (res.get("host_parallel_ceiling") or 0) >= 0.9:
-        with open(QBENCH, "w") as f:
-            json.dump(res, f, indent=1)
-        log("BENCH SUCCESS — quiet snapshot headline=%ss" % res.get("value"))
-        return True
-    return False
-
-
 def main():
     log("hunt start (held-pair mode): gate=%.2f mult28=%s mult416=%s mult=%s"
         % (GATE, MULT28, MULT416, MULT))
@@ -307,8 +303,9 @@ def main():
         if time.time() >= DEADLINE:
             break
         hunt_pair_held(lo, hi, int(mult), winfile)
-    log("done: wins 2-8=%s 4-16=%s 8-32=%s bench=%s"
-        % tuple(os.path.exists(f) for f in (WIN28, WIN416, WIN, QBENCH)))
+    log("done: wins 2-8=%s 4-16=%s 8-32=%s quiet-query-rows=%s"
+        % (os.path.exists(WIN28), os.path.exists(WIN416),
+           os.path.exists(WIN), os.path.exists(QBENCH)))
     return 0
 
 
