@@ -92,8 +92,17 @@ def pair_count_flat(sym: np.ndarray, wid: np.ndarray, wcount: np.ndarray):
     right = sym[1:][valid].astype(np.int64)
     w = wcount[wid[:-1][valid]]
     key = (left << _PAIR_SHIFT) | right
-    uk, inv = np.unique(key, return_inverse=True)
-    cnt = np.bincount(inv, weights=w).astype(np.int64)
+    if key.size == 0:  # single-char words only: no adjacent pairs
+        return (np.empty(0, np.int32),) * 2 + (np.empty(0, np.int64),)
+    # sort + reduceat keeps the accumulation in int64 the whole way:
+    # bincount(weights=) sums in float64, which silently loses exactness
+    # above 2^53 — real at crawl-scale weighted counts, and exact
+    # integer ties are load-bearing for the tie-break rule
+    order = np.argsort(key, kind="stable")
+    ks = key[order]
+    starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+    uk = ks[starts]
+    cnt = np.add.reduceat(w[order], starts)
     return (uk >> _PAIR_SHIFT).astype(np.int32), \
         (uk & np.int64(0xFFFFFFFF)).astype(np.int32), cnt
 
@@ -195,13 +204,15 @@ def bpe_merges_distributed(vocab_ds, num_merges: int) -> pd.DataFrame:
     code = {ch: i for i, ch in enumerate(table)}
 
     def _list_col(rows):
+        # int64 offsets (large_list): an int32 offset column wraps
+        # silently past 2^31 total symbols in a batch, corrupting rows
         lens = np.fromiter((len(r) for r in rows), np.int64, len(rows))
-        offsets = np.zeros(len(rows) + 1, np.int32)
+        offsets = np.zeros(len(rows) + 1, np.int64)
         offsets[1:] = np.cumsum(lens)
         values = (np.concatenate(rows).astype(np.int32) if rows
                   else np.empty(0, np.int32))
-        return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
-                                        pa.array(values, pa.int32()))
+        return pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()),
+                                             pa.array(values, pa.int32()))
 
     def encode(t: pa.Table) -> pa.Table:
         rows = [np.fromiter((code[c] for c in w), np.int32, len(w))
@@ -251,10 +262,10 @@ def bpe_merges_distributed(vocab_ds, num_merges: int) -> pd.DataFrame:
             # rebuild offsets: a merge never empties a word, so row
             # count and the n column are unchanged
             lens = np.bincount(wid2, minlength=len(t)).astype(np.int64)
-            offsets = np.zeros(len(t) + 1, np.int32)
+            offsets = np.zeros(len(t) + 1, np.int64)
             offsets[1:] = np.cumsum(lens)
-            syms = pa.ListArray.from_arrays(
-                pa.array(offsets, pa.int32()), pa.array(sym2, pa.int32()))
+            syms = pa.LargeListArray.from_arrays(
+                pa.array(offsets, pa.int64()), pa.array(sym2, pa.int32()))
             return pa.table({"syms": syms, "n": pa.array(n, pa.int64())})
 
         vocab = vocab.map_batches(apply, batch_format="pyarrow",

@@ -77,6 +77,13 @@ def serialize_warc_records(urls, dates, payloads, http_envelope: bool = False,
         parts.append(info)
         parts.append(b"\r\n\r\n")
     for url, date, payload in zip(urls, dates, payloads):
+        if "\r" in url or "\n" in url:
+            # a CR/LF inside a header value would be read back as a
+            # header-block terminator / extra header: the record would
+            # silently round-trip to a DIFFERENT url (or misframe the
+            # whole shard), violating the byte-identity invariant
+            raise ValueError(f"url contains CR/LF, not WARC-header-safe: "
+                             f"{url!r:.120}")
         payload = bytes(payload)
         if http_envelope:
             payload = (b"HTTP/1.1 200 OK\r\n"
@@ -153,6 +160,11 @@ def write_warc_stage(ds, out_dir: str, id_col: str = "pid",
     os.makedirs(out_dir, exist_ok=True)
 
     def write_shard(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # upstream filters/repartitions produce empty blocks
+            # routinely; write nothing, contribute nothing
+            return pa.table({"path": pa.array([], pa.string()),
+                             "n_records": pa.array([], pa.int64())})
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         ts = batch["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         dates = _ts_to_warc_date(ts)

@@ -95,3 +95,28 @@ def test_forced_path_parity(ray_session):
     pd.testing.assert_frame_equal(
         a.reset_index(drop=True),
         want.astype({"rank": np.int64, "pair_count": np.int64}))
+
+
+def test_unicode_whitespace_is_not_a_word_boundary(ray_session):
+    """The engine's RE2 \\s+ split is ASCII-only: NBSP / NEL / LINE
+    SEPARATOR (ubiquitous in HTML-extracted crawl text) stay INSIDE a
+    word.  Pins the convention the golden freezer must share — Python's
+    str.split() would split these and diverge."""
+    import re
+
+    import ray.data as rd
+
+    texts = ["a\xa0b a\xa0b cc", "x\x85y x\x85y", "p q cc cc"]
+    t = pa.table({"doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+                  "text": pa.array(texts)})
+    got = bpe_train(rd.from_arrow(t), num_merges=6, force_path="driver")
+    wc = {}
+    for txt in texts:
+        for w in re.split(r"[\t\n\v\f\r ]+", txt):  # ASCII-only, like RE2
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+    assert "a\xa0b" in wc  # the NBSP survived the split
+    want = _scalar_bpe(wc, 6)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        want.astype({"rank": np.int64, "pair_count": np.int64}))
