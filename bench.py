@@ -147,6 +147,12 @@ def run_bench():
     # probes + the timed legs
     go_file = os.environ.get("GRAFT_GO_FILE")
     if go_file and os.environ.get("GRAFT_SCALING_ONLY"):
+        # warm the FULL pipeline once (actor pools, UDF chains, worker
+        # imports): a cold first execution measures ~0.8 s slower than
+        # steady state at mult=1, and that fixed cost lands in BOTH
+        # timed legs — the hi leg's share is 4x larger, so cold actors
+        # alone depress measured E by ~0.1 (see BASELINE.md session-13)
+        _ = len(flagship_pipeline(SF_DIR, mult=1))
         with open(go_file + ".ready", "w") as f:
             f.write("ready")
         deadline = time.time() + float(os.environ.get("GRAFT_GO_TIMEOUT", "300"))
