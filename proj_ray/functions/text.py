@@ -312,6 +312,54 @@ def _doc_ngrams(batch: pa.Table, n: int, text_col: str, id_col: str):
     return grams[valid], wpar[: m][valid], ids
 
 
+def _doc_ngram_positions(batch: pa.Table, n: int, text_col: str,
+                         id_col: str):
+    """Like _doc_ngrams but also returns each gram's 0-based WORD
+    position within its document: (grams, gram->doc parent index,
+    positions, doc ids).  Positions are what span-merging dedup
+    (ExactSubstr family) needs; gram spelling is identical to
+    _doc_ngrams / the SQL ``ws[k] || ' ' || ...``."""
+    words, wpar, ids = _doc_words(batch, text_col, id_col)
+    m = words.size - (n - 1)
+    if m <= 0:
+        return (np.empty(0, dtype=object), np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.int64), ids)
+    # word position within doc: arange minus each doc-run's start index
+    run_start = np.r_[True, wpar[1:] != wpar[:-1]]
+    start_idx = np.maximum.accumulate(
+        np.where(run_start, np.arange(wpar.size, dtype=np.int64), 0))
+    pos = np.arange(wpar.size, dtype=np.int64) - start_idx
+    valid = wpar[: m] == wpar[n - 1:]
+    grams = words[: m]
+    for k in range(1, n):
+        grams = grams + " "
+        grams = grams + words[k: m + k]
+    return grams[valid], wpar[: m][valid], pos[: m][valid], ids
+
+
+def merge_dup_spans(d: np.ndarray, p: np.ndarray, n: int) -> "pd.DataFrame":
+    """Gaps-and-islands merge of length-``n`` gram hits into maximal
+    spans: hits at positions p, p' of the SAME doc merge when
+    p' - p <= n (overlapping or contiguous coverage).  Input must be
+    sorted by (doc, pos).  Returns per-doc (doc_id, n_spans,
+    dup_tokens) where dup_tokens counts covered WORD positions —
+    exactly the SQL lag()/running-sum island query."""
+    import pandas as pd
+
+    if d.size == 0:
+        return pd.DataFrame({"doc_id": np.empty(0, np.int64),
+                             "n_spans": np.empty(0, np.int64),
+                             "dup_tokens": np.empty(0, np.int64)})
+    brk = np.r_[True, (d[1:] != d[:-1]) | (p[1:] - p[:-1] > n)]
+    starts = np.flatnonzero(brk)
+    ends = np.r_[starts[1:], d.size] - 1
+    spans = pd.DataFrame({"doc_id": d[starts].astype(np.int64),
+                          "covered": (p[ends] - p[starts] + n)
+                          .astype(np.int64)})
+    return spans.groupby("doc_id", as_index=False).agg(
+        n_spans=("covered", "size"), dup_tokens=("covered", "sum"))
+
+
 def doc_ngram_freqs(batch: pa.Table, n: int = 3, text_col="text",
                     id_col="doc_id") -> pa.Table:
     """Explode a batch into (doc_id, gram, tf) rows — one row per
