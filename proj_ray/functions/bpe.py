@@ -275,6 +275,78 @@ def bpe_merges_distributed(vocab_ds, num_merges: int) -> pd.DataFrame:
         {"rank": np.int64, "pair_count": np.int64})
 
 
+def bpe_encode_counts(ds, merges: pd.DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id"):
+    """Corpus Dataset -> per-doc (doc_id, n_words, n_bpe_tokens) under a
+    trained merge table.
+
+    Encode semantics: iteratively merge the LOWEST-RANK pair present,
+    applying it greedily left-to-right, until no ranked pair remains —
+    the published GPT-2-tokenizer encode loop (it also catches a
+    lower-rank pair that only becomes adjacent after a later-rank
+    merge, which a single in-order replay would miss).  The scalar
+    golden implements the identical loop.
+
+    Per batch: the word stream explodes once, the DISTINCT words encode
+    through a per-task cache (vocab-bounded Python, like every
+    tokenizer's word cache), and per-doc totals come from one bincount
+    — no shuffle at all (docs are rows)."""
+    ranks = {(l, r): k for k, (l, r) in
+             enumerate(zip(merges["left"], merges["right"]))}
+    # rank -> pair lookup is what encode_word scans; precompute the
+    # inverse list once so the scan is O(pairs present), not O(table)
+    pair_of = list(ranks)
+
+    def _encode(word: str, _cache={}) -> int:
+        n = _cache.get(word)
+        if n is None:
+            n = _cache[word] = _encode_ranked(word)
+        return n
+
+    def _encode_ranked(word: str) -> int:
+        seq = list(word)
+        if len(seq) < 2:
+            return len(seq)
+        while True:
+            best = None
+            for i in range(len(seq) - 1):
+                r = ranks.get((seq[i], seq[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best = r
+            if best is None:
+                return len(seq)
+            a, b = pair_of[best]
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seq = out
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        words, wpar, ids = _doc_words(t, text_col, id_col)
+        uniq, inv = np.unique(words, return_inverse=True) if words.size \
+            else (np.empty(0, object), np.empty(0, np.int64))
+        lens = np.fromiter((_encode(w) for w in uniq), np.int64, len(uniq))
+        per_word = lens[inv] if words.size else np.empty(0, np.int64)
+        n_tok = np.bincount(wpar, weights=None, minlength=t.num_rows)
+        n_bpe = np.zeros(t.num_rows, np.int64)
+        np.add.at(n_bpe, wpar, per_word)
+        return pa.table({
+            "doc_id": pa.array(
+                t[id_col].to_numpy(zero_copy_only=False).astype(np.int64),
+                pa.int64()),
+            "n_words": pa.array(n_tok.astype(np.int64), pa.int64()),
+            "n_bpe_tokens": pa.array(n_bpe, pa.int64()),
+        })
+
+    return ds.map_batches(per_batch, batch_format="pyarrow",
+                          batch_size=None, zero_copy_batch=True)
+
+
 def bpe_train(ds, num_merges: int = 40, text_col: str = "text",
               id_col: str = "doc_id", collect_threshold: int = 200_000,
               force_path: str | None = None) -> pd.DataFrame:

@@ -97,6 +97,23 @@ def test_forced_path_parity(ray_session):
         want.astype({"rank": np.int64, "pair_count": np.int64}))
 
 
+def test_encode_min_rank_recheck(ray_session):
+    """The encode loop must re-check LOWER ranks after a later-rank
+    merge makes a new pair adjacent (GPT-2 semantics): with merges
+    rank0=(a,bc) rank1=(b,c), 'abc' -> b+c first (only pair present),
+    then (a,bc) becomes adjacent and must fire -> ONE token."""
+    import ray.data as rd
+
+    merges = pd.DataFrame({"left": ["a", "b"], "right": ["bc", "c"]})
+    t = pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "text": pa.array(["abc"])})
+    from proj_ray.functions.bpe import bpe_encode_counts
+
+    out = bpe_encode_counts(rd.from_arrow(t), merges).to_pandas()
+    assert out["n_bpe_tokens"].tolist() == [1]
+    assert out["n_words"].tolist() == [1]
+
+
 def test_unicode_whitespace_is_not_a_word_boundary(ray_session):
     """The engine's RE2 \\s+ split is ASCII-only: NBSP / NEL / LINE
     SEPARATOR (ubiquitous in HTML-extracted crawl text) stay INSIDE a
