@@ -100,6 +100,10 @@ BENCH_QUERIES = [
     # (write shards + distributed read + byte-identity extraction),
     # tag-strip extraction parity, distributed BPE merge training
     "warc_roundtrip_text", "html_extract_text", "bpe_train_merges",
+    # round-4 session-13 additions: LM sequence packing (global-offset
+    # concat-and-chunk), ExactSubstr duplicated-span merge, tokenizer
+    # application with the trained merge table
+    "pack_sequences", "dup_span_stats", "bpe_encode_stats",
 ]
 
 
