@@ -70,10 +70,11 @@ def pages_dataset(sf_dir: str, batch_size: int = 65536, mult: int = 1):
                           zero_copy_batch=True)
 
 
-def flagship_pipeline(sf_dir: str, zoom: int = 12, agg_zoom: int = 4,
-                      batch_size: int = 65536, mult: int = 1):
-    """Returns the per-(cell, polygon) aggregate as a pandas frame
-    (key-cardinality-bounded; the combine is size-dispatched)."""
+def flagship_points(sf_dir: str, zoom: int = 12, batch_size: int = 65536,
+                    mult: int = 1):
+    """The flagship POINT stream (pages -> geoparse -> web-mercator ->
+    tile -> PIP join) as a Dataset — the write/aggregate consumers
+    branch from here (flagship_pipeline, jobs/flagship_job.py)."""
     pages = pages_dataset(sf_dir, batch_size=batch_size, mult=mult)
     # drop the wide html column before the point pipeline (prune early)
     pages = pages.select_columns(["pid", "url", "text"])
@@ -88,10 +89,18 @@ def flagship_pipeline(sf_dir: str, zoom: int = 12, agg_zoom: int = 4,
                                   lon_col="lon", lat_col="lat",
                                   out_x="xm", out_y="ym", batch_size=None)
     tiled = tile_stage(merc, zoom, out="cell_id")
-    joined = tiled.map_batches(
+    return tiled.map_batches(
         PIPJoinActor(poly_defs=FLAGSHIP_POLYGONS, zoom=5,
                      id_cols=("pid", "cell_id")),
         batch_format="pyarrow", batch_size=None)
+
+
+def flagship_pipeline(sf_dir: str, zoom: int = 12, agg_zoom: int = 4,
+                      batch_size: int = 65536, mult: int = 1):
+    """Returns the per-(cell, polygon) aggregate as a pandas frame
+    (key-cardinality-bounded; the combine is size-dispatched)."""
+    joined = flagship_points(sf_dir, zoom=zoom, batch_size=batch_size,
+                             mult=mult)
 
     from ..kernels.tiling import parent_cell
 
