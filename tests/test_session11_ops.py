@@ -288,3 +288,22 @@ def test_q18_pushdown_parity(ray_session):
     for c in ("l_orderkey", "o_custkey", "orderdate_us",
               "totalprice_cents", "qty_cents_sum"):
         assert (b[c].to_numpy(np.int64) == j[c].to_numpy(np.int64)).all(), c
+
+
+def test_sorted_lookup_edges():
+    """The shared broadcast-probe helper: empty lookup side must yield
+    an all-miss mask with in-range (gatherable) indices; hit-only
+    gathers on idx[hit] stay safe even against empty payload arrays."""
+    from proj_ray.pipelines.queries import _sorted_lookup
+
+    keys = np.array([], np.int64)
+    idx, hit = _sorted_lookup(keys, np.array([3, 7], np.int64))
+    assert not hit.any() and idx.tolist() == [0, 0]
+    payload = np.array([], np.int64)
+    assert payload[idx[hit]].size == 0  # hit-only gather never raises
+
+    keys = np.array([2, 5, 9], np.int64)
+    idx, hit = _sorted_lookup(keys, np.array([1, 2, 6, 9, 12], np.int64))
+    assert hit.tolist() == [False, True, False, True, False]
+    assert (keys[idx[hit]] == np.array([2, 9])).all()
+    assert idx.max() <= len(keys) - 1  # clamped even past the end

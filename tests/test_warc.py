@@ -115,3 +115,48 @@ def test_http_envelope_and_warcinfo_roundtrip():
     assert t.num_rows == 2  # warcinfo skipped
     assert t["url"].to_pylist() == urls
     assert t["html"].to_pylist() == payloads
+
+
+def test_warc_url_crlf_rejected():
+    """CR/LF in a header value would silently corrupt the record
+    framing on round-trip; the writer must refuse."""
+    import pytest
+
+    from proj_ray.sources.warc import serialize_warc_records
+
+    with pytest.raises(ValueError, match="CR/LF"):
+        serialize_warc_records(["https://evil.example/\r\nX: 0"],
+                               ["2020-01-01T00:00:00.000000Z"], [b"x"])
+
+
+def test_jsonl_roundtrip_tricky_text(ray_session):
+    """JSONL shards must round-trip newlines, quotes, backslashes and
+    non-ASCII byte-identically (escaping is the container's job)."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from proj_ray.sources.jsonl import read_jsonl, write_jsonl_stage
+
+    texts = ['line1\nline2', 'quote " and \\ backslash', 'naïve café  u',
+             'tabs\tand\r\ncrlf', '{"json": "inside"}', '']
+    t = pa.table({
+        "pid": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "warc_ts": pa.array(
+            np.arange(len(texts), dtype=np.int64) * 1_000_003,
+            pa.timestamp("us")),
+        "text": pa.array(texts),
+    })
+    out = tempfile.mkdtemp(prefix="jsonl_rt_")
+    try:
+        write_jsonl_stage(rd.from_arrow(t).repartition(3), out).count()
+        back = (read_jsonl(out).to_pandas()
+                .sort_values("pid").reset_index(drop=True))
+        assert back["text"].tolist() == texts
+        assert back["warc_ts"].astype("int64").tolist() == \
+            (np.arange(len(texts)) * 1_000_003).tolist()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
