@@ -111,12 +111,17 @@ def _record(res, lo, hi, winfile):
     return False
 
 
-def hunt_pair_held(lo, hi, mult, winfile):
-    """Hold a pre-warmed --scaling pair; release on the first quiet probe."""
+def hunt_pair_held(lo, hi, mult, winfile, stop_at=None):
+    """Hold a pre-warmed --scaling pair; release on the first quiet probe.
+
+    ``stop_at``: phase time-box (epoch seconds) — the hunt yields back
+    to main() at the earlier of it and DEADLINE so later phases (the
+    quiet per-query bench, the wider pairs) still get their shot."""
     global attempt
+    stop_at = min(stop_at or DEADLINE, DEADLINE)
     holddir = tempfile.mkdtemp(prefix="hunt_hold_%d_%d_" % (lo, hi))
     n = 0
-    while time.time() < DEADLINE:
+    while time.time() < stop_at:
         n += 1
         holdfile = os.path.join(holddir, "hold%d" % n)
         env = dict(os.environ, GRAFT_BENCH_MULT=str(mult),
@@ -156,7 +161,7 @@ def hunt_pair_held(lo, hi, mult, winfile):
             % (lo, hi, n))
         hold_deadline = time.time() + RESPAWN_AT
         released = False
-        while time.time() < min(hold_deadline, DEADLINE):
+        while time.time() < min(hold_deadline, stop_at):
             if os.path.exists(PAUSE):
                 # the build session runs its own Ray/pytest loads in the
                 # foreground; it touches this file first so the hunter
@@ -200,7 +205,7 @@ def hunt_pair_held(lo, hi, mult, winfile):
     return False
 
 
-def quiet_query_bench(sf="/root/testdata/sf0.1"):
+def quiet_query_bench(sf="/root/testdata/sf0.1", stop_at=None):
     """Assemble a quiet per-query reference table INCREMENTALLY.
 
     A full functional bench needs ~3 minutes — no quiet window on this
@@ -236,7 +241,8 @@ def quiet_query_bench(sf="/root/testdata/sf0.1"):
     pending = [q for q in BENCH_QUERIES if q not in results]
     log("quiet-query bench: %d rows to fill" % len(pending))
     misses = {}
-    while pending and time.time() < DEADLINE:
+    stop_at = min(stop_at or DEADLINE, DEADLINE)
+    while pending and time.time() < stop_at:
         if os.path.exists(PAUSE):
             time.sleep(5)
             continue
@@ -282,27 +288,35 @@ def main():
     log("hunt start (held-pair mode): gate=%.2f mult28=%s mult416=%s mult=%s"
         % (GATE, MULT28, MULT416, MULT))
     # priority order: the 2->8 scaling row (the round-3 verdict's #1
-    # ask; the most frequent quiet windows), then the quiet per-query
-    # bench table (windows of a few seconds suffice), then the wider
-    # scaling pairs (windows of 30-60 s — rare on this hypervisor).
-    if not os.path.exists(WIN28) and time.time() < DEADLINE:
-        hunt_pair_held(2, 8, int(MULT28), WIN28)
+    # ask; the most frequent quiet windows) gets a TIME-BOXED first
+    # phase, then the quiet per-query bench table (windows of a few
+    # seconds suffice) gets its boxed shot, then the loop round-robins
+    # the un-won pairs so a never-quieting host can't starve phase 2.
+    if not os.path.exists(WIN28):
+        hunt_pair_held(2, 8, int(MULT28), WIN28,
+                       stop_at=time.time() + float(
+                           os.environ.get("HUNT_28_HOURS", "2.0")) * 3600)
     # assemble the quiet PER-QUERY bench reference one window at a
     # time (a full 3-minute bench never fits a quiet window here;
     # single queries do)
     if time.time() < DEADLINE:
         try:
-            quiet_query_bench()
+            quiet_query_bench(stop_at=time.time() + float(
+                os.environ.get("HUNT_QBENCH_HOURS", "1.0")) * 3600)
         except Exception as e:  # pragma: no cover - defensive
             log("quiet-query bench error: %r" % (e,))
-    for lo, hi, mult, winfile in [(4, 16, MULT416, WIN416),
-                                  (8, 32, MULT, WIN)]:
-        if os.path.exists(winfile):
-            log("%d->%d already succeeded (%s); skipping" % (lo, hi, winfile))
-            continue
-        if time.time() >= DEADLINE:
-            break
-        hunt_pair_held(lo, hi, int(mult), winfile)
+    while time.time() < DEADLINE:
+        progressed = False
+        for lo, hi, mult, winfile in [(2, 8, MULT28, WIN28),
+                                      (4, 16, MULT416, WIN416),
+                                      (8, 32, MULT, WIN)]:
+            if os.path.exists(winfile) or time.time() >= DEADLINE:
+                continue
+            progressed = True
+            hunt_pair_held(lo, hi, int(mult), winfile,
+                           stop_at=time.time() + 1800.0)
+        if not progressed:
+            break  # every pair won
     log("done: wins 2-8=%s 4-16=%s 8-32=%s quiet-query-rows=%s"
         % (os.path.exists(WIN28), os.path.exists(WIN416),
            os.path.exists(WIN), os.path.exists(QBENCH)))
