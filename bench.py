@@ -305,12 +305,14 @@ def run_scaling():
         except OSError:
             return ""
 
-    def wait_ready(ncpu, proc, timeout=240.0):
+    def wait_ready(ncpu, proc, other=None, timeout=240.0):
         ready = os.path.join(godir, f"go-{ncpu}.ready")
         deadline = time.time() + timeout
         while not os.path.exists(ready):
             if proc.poll() is not None or time.time() > deadline:
                 proc.kill()
+                if other is not None and other.poll() is None:
+                    other.kill()  # don't leak the sibling's warm session
                 raise RuntimeError(f"scaling leg {ncpu} died during "
                                    f"pre-warm: {_err_tail(ncpu)}")
             time.sleep(0.1)
@@ -321,20 +323,30 @@ def run_scaling():
         # stream-read until the result JSON line appears instead of
         # waiting for process exit: the leg prints its timing before
         # ray.shutdown, so the teardown seconds stay out of the window.
-        # select() bounds each wait so the deadline fires even when the
-        # leg goes silent (readline alone would block indefinitely).
+        # Reads go through os.read on the raw fd with a select() bound:
+        # readline() would buffer a chunk holding BOTH a stray log line
+        # and the result line, leaving the fd unreadable for select and
+        # the result invisible until pipe EOF (i.e. after the teardown
+        # this stream-read exists to exclude).
         import select
 
+        fd = proc.stdout.fileno()
+        buf = b""
         deadline = time.time() + 240.0
         while True:
-            rl, _, _ = select.select([proc.stdout], [], [], 1.0)
+            nl = buf.find(b"\n")
+            if nl >= 0:
+                line, buf = buf[:nl], buf[nl + 1:]
+                try:
+                    return json.loads(line)
+                except ValueError:
+                    continue
+            rl, _, _ = select.select([fd], [], [], 1.0)
             if rl:
-                line = proc.stdout.readline()
-                if line:
-                    try:
-                        return json.loads(line)
-                    except ValueError:
-                        continue
+                chunk = os.read(fd, 65536)
+                if chunk:
+                    buf += chunk
+                    continue  # drain complete lines before re-polling
             if proc.poll() is not None or time.time() > deadline:
                 proc.kill()
                 raise RuntimeError(
@@ -342,8 +354,8 @@ def run_scaling():
 
     p_lo = spawn(lo)
     p_hi = spawn(hi)
-    wait_ready(lo, p_lo)
-    wait_ready(hi, p_hi)
+    wait_ready(lo, p_lo, other=p_hi)
+    wait_ready(hi, p_hi, other=p_lo)
 
     # HELD mode: both legs are pre-warmed and blocked; signal readiness
     # to an external coordinator (tools/scaling_hunt.py) and wait for

@@ -14,10 +14,13 @@ script runs against a local session.  The job:
    web-mercator -> tile -> PIP join) into PARTITIONED parquet under
    ``--out/points`` via state.write_partitioned — one atomically-
    renamed file per block, per-partition lineage + metrics in
-   ``_manifest.jsonl`` (rows, error-sentinel lanes, bytes, wall time),
-   never one giant file and never a driver collect;
-2. reduces the same stream to the per-(cell, polygon) aggregate and
-   writes it to ``--out/agg.parquet``;
+   ``_manifest.jsonl`` (rows, bytes, wall time; the point schema
+   carries ids only, so no error-sentinel lanes — transform outputs
+   that keep x/y get those), never one giant file and never a driver
+   collect;
+2. aggregates per (cell, polygon) FROM THE WRITTEN PARTITIONS (the
+   pipeline executes once; the reduce re-reads cheap columnar output,
+   not the expensive stages) and writes ``--out/agg.parquet``;
 3. prints ONE JSON line of job metrics (the driver-readable contract).
 
 A re-run over a non-empty ``--out`` refuses by default (block-boundary
@@ -58,7 +61,12 @@ def main(argv=None) -> int:
         ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
                  include_dashboard=False, logging_level="ERROR")
 
-    from proj_ray.pipelines.flagship import flagship_pipeline, flagship_points
+    import pandas as pd
+    import ray.data as rd
+
+    from proj_ray.kernels.tiling import parent_cell
+    from proj_ray.pipelines.flagship import flagship_points
+    from proj_ray.stages.agg import combine_partials
     from proj_ray.state import write_partitioned
 
     t0 = time.perf_counter()
@@ -68,10 +76,22 @@ def main(argv=None) -> int:
               "pipeline": "flagship_points"}
     metrics = write_partitioned(
         flagship_points(args.sf, zoom=args.zoom, mult=args.mult),
-        points_dir, config, partition_col="pid")
+        points_dir, config, partition_col="pid", error_cols=())
 
-    agg = flagship_pipeline(args.sf, zoom=args.zoom, agg_zoom=args.agg_zoom,
-                            mult=args.mult)
+    # aggregate from the just-written partitions: the expensive stages
+    # ran exactly once; this pass reads three int columns back
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df["parent_cell"] = parent_cell(df["cell_id"].to_numpy(),
+                                        args.zoom, args.agg_zoom)
+        return df.groupby(["parent_cell", "polygon_id"],
+                          as_index=False).agg(n_points=("pid", "size"),
+                                              min_pid=("pid", "min"))
+
+    parts = rd.read_parquet(
+        points_dir, columns=["pid", "cell_id", "polygon_id"]
+    ).map_batches(partial, batch_format="pandas", batch_size=None)
+    agg = combine_partials(parts, ["parent_cell", "polygon_id"],
+                           {"n_points": "sum", "min_pid": "min"})
     agg_path = os.path.join(args.out, "agg.parquet")
     agg.to_parquet(agg_path, index=False)
 

@@ -115,24 +115,25 @@ def test_encode_min_rank_recheck(ray_session):
 
 
 def test_unicode_whitespace_is_not_a_word_boundary(ray_session):
-    """The engine's RE2 \\s+ split is ASCII-only: NBSP / NEL / LINE
-    SEPARATOR (ubiquitous in HTML-extracted crawl text) stay INSIDE a
-    word.  Pins the convention the golden freezer must share — Python's
+    """The engine's RE2 \\s+ split is [\\t\\n\\f\\r ] exactly: NBSP /
+    NEL / LINE SEPARATOR (Unicode whitespace, common in HTML-extracted
+    crawl text) AND the ASCII vertical tab \\x0b stay INSIDE a word.  Pins the convention the golden freezer must share — Python's
     str.split() would split these and diverge."""
     import re
 
     import ray.data as rd
 
-    texts = ["a\xa0b a\xa0b cc", "x\x85y x\x85y", "p q cc cc"]
+    texts = ["a\xa0b a\xa0b cc", "x\x85y x\x85y",
+             "p\u2028q p\u2028q cc", "m\x0bn m\x0bn dd"]
     t = pa.table({"doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
                   "text": pa.array(texts)})
     got = bpe_train(rd.from_arrow(t), num_merges=6, force_path="driver")
     wc = {}
     for txt in texts:
-        for w in re.split(r"[\t\n\v\f\r ]+", txt):  # ASCII-only, like RE2
+        for w in re.split(r"[\t\n\f\r ]+", txt):  # RE2 \s class: no \v
             if w:
                 wc[w] = wc.get(w, 0) + 1
-    assert "a\xa0b" in wc  # the NBSP survived the split
+    assert "a\xa0b" in wc and "p\u2028q" in wc and "m\x0bn" in wc
     want = _scalar_bpe(wc, 6)
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True),
