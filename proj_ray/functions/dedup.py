@@ -909,3 +909,99 @@ def wordgram_hashes(texts, n_words: int):
     starts = ws[g0]
     ends = we[g0 + n_words - 1]
     return doc_of, segment_hash64(data, starts, ends)
+
+
+# --- persisted incremental-dedup index -------------------------------------
+
+def build_hash_index(ds, index_dir: str, text_col: str = "text",
+                     id_col: str = "doc_id", num_buckets: int = 256) -> None:
+    """Persisted exact-dup index for INCREMENTAL corpus operation: one
+    (text_hash, doc_id) parquet layout partitioned by hash bucket
+    (hive directories, the ivf_build_index pattern).  A later crawl
+    shard dedups against the standing corpus by reading ONLY the
+    buckets its own hashes land in — the untouched corpus share never
+    leaves storage, and the index grows by appending each accepted
+    shard's rows (same resumable-layout story as the IVF index)."""
+    import os
+
+    def mk(t: pa.Table) -> pa.Table:
+        h = text_hash64(t[text_col]).astype(np.int64)
+        bkt = (h.view(np.uint64) % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table({
+            "hash_bucket": pa.array(bkt, pa.int64()),
+            "text_hash": pa.array(h, pa.int64()),
+            id_col: pa.array(
+                t[id_col].to_numpy(zero_copy_only=False).astype(np.int64),
+                pa.int64()),
+        })
+
+    os.makedirs(index_dir, exist_ok=True)
+    (ds.map_batches(mk, batch_format="pyarrow", batch_size=None,
+                    zero_copy_batch=True)
+     .write_parquet(os.path.join(index_dir, "buckets"),
+                    partition_cols=["hash_bucket"]))
+
+
+def dedup_new_against_index(new_ds, index_dir: str, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            num_buckets: int = 256):
+    """Anti-join a NEW shard against a build_hash_index layout: hash the
+    shard, read ONLY the index buckets those hashes occupy (I/O-layer
+    pruning), stream the probed buckets through a broadcast
+    sorted-lookup that emits just the MATCHED hashes (bounded by the
+    shard's cardinality, never the corpus's), and keep the shard rows
+    whose hash never matched.  Returns their ids as a pandas frame —
+    the new shard is the SMALL side by definition (one crawl increment
+    vs the standing corpus), which is what licenses both driver
+    collects.  Equality is 64-bit content-hash equality (collision
+    odds ~n^2/2^64; the exact-dedup family's documented contract)."""
+    import os
+
+    import pandas as pd
+    import ray.data as rd
+
+    def hs(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: pa.array(
+                t[id_col].to_numpy(zero_copy_only=False).astype(np.int64),
+                pa.int64()),
+            "text_hash": pa.array(text_hash64(t[text_col]).astype(np.int64),
+                                  pa.int64()),
+        })
+
+    hdf = (new_ds.map_batches(hs, batch_format="pyarrow", batch_size=None,
+                              zero_copy_batch=True)
+           .to_pandas())  # the increment: small side by definition
+    if len(hdf) == 0:  # empty shard: to_pandas may drop the schema
+        return pd.DataFrame({id_col: np.empty(0, np.int64)})
+    h = hdf["text_hash"].to_numpy(np.int64)
+    probe = np.unique(h)
+    buckets = np.unique(probe.view(np.uint64) % np.uint64(num_buckets))
+    files = []
+    for b in buckets.tolist():
+        d = os.path.join(index_dir, "buckets", f"hash_bucket={int(b)}")
+        if not os.path.isdir(d):
+            continue
+        files.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
+                     if f.endswith(".parquet"))
+    if files:
+        def matched_only(t: pa.Table) -> pa.Table:
+            ih = t["text_hash"].to_numpy(zero_copy_only=False)
+            idx = np.minimum(np.searchsorted(probe, ih),
+                             max(len(probe) - 1, 0))
+            m = probe[idx] == ih if len(probe) else np.zeros(len(ih), bool)
+            return pa.table({"text_hash": pa.array(np.unique(ih[m]),
+                                                   pa.int64())})
+
+        matched = np.unique(np.concatenate(
+            [b["text_hash"].to_numpy(zero_copy_only=False)
+             for b in rd.read_parquet(files, columns=["text_hash"])
+             .map_batches(matched_only, batch_format="pyarrow",
+                          batch_size=None)
+             .iter_batches(batch_size=None, batch_format="pyarrow")]
+            or [np.empty(0, np.int64)]))
+    else:
+        matched = np.empty(0, np.int64)
+    keep = ~np.isin(h, matched)
+    out = pd.DataFrame({id_col: hdf[id_col].to_numpy(np.int64)[keep]})
+    return out.sort_values(id_col).reset_index(drop=True)
