@@ -104,7 +104,7 @@ BENCH_QUERIES = [
     # concat-and-chunk), ExactSubstr duplicated-span merge, tokenizer
     # application with the trained merge table
     "pack_sequences", "dup_span_stats", "bpe_encode_stats",
-    "jsonl_roundtrip_text",
+    "jsonl_roundtrip_text", "incremental_dedup_new",
 ]
 
 
