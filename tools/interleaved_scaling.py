@@ -143,12 +143,16 @@ def main():
         f"gate={GATE} accept>={ACCEPT} samples={SAMPLES}/leg")
     acc = {LO: [], HI: []}
     rej = []
+    rr = 0
     while time.time() < DEADLINE:
         need = [n for n in (LO, HI) if len(acc[n]) < SAMPLES]
         if not need:
             break
-        # alternate, favoring whichever leg has fewer samples
-        ncpu = min(need, key=lambda n: len(acc[n]))
+        # strict round-robin over the legs still needing samples — a
+        # tie on counts must NOT retry the same leg forever (hi-leg
+        # windows are the plentiful ones; sample them too)
+        ncpu = need[rr % len(need)]
+        rr += 1
         collect(ncpu, acc[ncpu], rej)
     done = all(len(acc[n]) >= SAMPLES for n in (LO, HI))
     out = {"protocol": "interleaved quiet samples (per-sample ceiling "
