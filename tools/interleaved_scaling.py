@@ -120,8 +120,17 @@ def collect(ncpu, accepted, rejected):
         with open(os.path.join(godir, f"go-{ncpu}"), "w") as f:
             f.write("go")
         res = read_result(p)
+        # let the leg's own ray.shutdown finish BEFORE the after-probe:
+        # teardown is SELF-noise that systematically depressed c1 and
+        # rejected good samples; the probe should read the HOST.  The
+        # few-second gap this opens in the bracket is disclosed — the
+        # before-probe + the pre-quiet-min estimator (ileave_stats)
+        # carry the tight-side evidence.
+        try:
+            p.wait(timeout=120)
+        except subprocess.TimeoutExpired:
+            p.kill()
         c1 = probe()
-        p.wait(timeout=120)
         sample = {"cpus": ncpu, "sec": res["value"],
                   "points": res["points"],
                   "ceil_before": round(c0, 3), "ceil_after": round(c1, 3)}
