@@ -20,8 +20,9 @@ import statistics
 import sys
 
 LOG = sys.argv[1] if len(sys.argv) > 1 else "/tmp/interleaved_scaling.log"
-PAT = re.compile(r"leg (\d+): (ACCEPTED|rejected) ([\d.]+)s "
+PAT = re.compile(r"leg (\d+)(?: mult(\d+))?: (ACCEPTED|rejected) ([\d.]+)s "
                  r"\(ceil ([\d.]+)/([\d.]+)\)")
+MULT = sys.argv[2] if len(sys.argv) > 2 else None
 
 acc = {}
 prequiet = {}
@@ -29,9 +30,11 @@ for ln in open(LOG):
     m = PAT.search(ln)
     if not m:
         continue
-    n, verdict, sec, c0, c1 = (int(m.group(1)), m.group(2),
-                               float(m.group(3)), float(m.group(4)),
-                               float(m.group(5)))
+    n, mult, verdict, sec, c0, c1 = (int(m.group(1)), m.group(2),
+                                     m.group(3), float(m.group(4)),
+                                     float(m.group(5)), float(m.group(6)))
+    if MULT is not None and mult != MULT:
+        continue
     if verdict == "ACCEPTED":
         acc.setdefault(n, []).append(sec)
     if c0 >= 0.90:

@@ -136,11 +136,11 @@ def collect(ncpu, accepted, rejected):
                   "ceil_before": round(c0, 3), "ceil_after": round(c1, 3)}
         if min(c0, c1) >= ACCEPT:
             accepted.append(sample)
-            log(f"leg {ncpu}: ACCEPTED {res['value']}s "
+            log(f"leg {ncpu} mult{MULT}: ACCEPTED {res['value']}s "
                 f"(ceil {c0:.2f}/{c1:.2f})")
         else:
             rejected.append(sample)
-            log(f"leg {ncpu}: rejected {res['value']}s "
+            log(f"leg {ncpu} mult{MULT}: rejected {res['value']}s "
                 f"(ceil {c0:.2f}/{c1:.2f})")
         return
     p.kill()
