@@ -277,7 +277,7 @@ def run_scaling():
 
     godir = tempfile.mkdtemp(prefix="graft_scaling_go_")
 
-    def spawn(ncpu):
+    def spawn(ncpu, base=0):
         # when the coordinator holds this run, the legs idle blocked on
         # their go-file for up to GRAFT_HOLD_TIMEOUT before the timed
         # section even begins — extend their internal go-wait to match
@@ -290,12 +290,25 @@ def run_scaling():
                    GRAFT_SCALING_ONLY="1",
                    GRAFT_GO_TIMEOUT=str(go_timeout),
                    GRAFT_GO_FILE=os.path.join(godir, f"go-{ncpu}"))
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        # PIN the leg (and every Ray child it forks) to EXACTLY ncpu
+        # cores: an unpinned num_cpus=n session runs its object store,
+        # I/O and Arrow threads BESIDE the n task slots, so the small
+        # leg borrows proportionally more hidden CPU than the big one —
+        # overstating its throughput and structurally depressing
+        # measured N-vs-4N efficiency (the round-3 caveat-b artifact).
+        # Pinning makes each leg a faithful fixed-size-node substitute.
+        # Disjoint core ranges where the machine is wide enough, so a
+        # co-resident idle sibling can't touch the timed leg's cores.
+        if os.environ.get("GRAFT_PIN_CPUS", "1") != "0":
+            total = os.cpu_count() or 32
+            start = base if base + ncpu <= total else 0
+            cmd = ["taskset", "-c", f"{start}-{start + ncpu - 1}"] + cmd
         # stderr goes to a FILE, not a pipe: Ray logs can exceed the
         # 64 KiB pipe buffer, and a leg blocked in write(2) on a full
         # stderr pipe would deadlock release()'s stdout readline loop
         errf = open(os.path.join(godir, f"err-{ncpu}"), "w")
-        return subprocess.Popen([sys.executable, os.path.abspath(__file__)],
-                                env=env, stdout=subprocess.PIPE,
+        return subprocess.Popen(cmd, env=env, stdout=subprocess.PIPE,
                                 stderr=errf, text=True)
 
     def _err_tail(ncpu):
@@ -352,8 +365,8 @@ def run_scaling():
                 raise RuntimeError(
                     f"scaling leg {ncpu} failed: {_err_tail(ncpu)}")
 
-    p_lo = spawn(lo)
-    p_hi = spawn(hi)
+    p_lo = spawn(lo, base=0)
+    p_hi = spawn(hi, base=lo)
     wait_ready(lo, p_lo, other=p_hi)
     wait_ready(hi, p_hi, other=p_lo)
 
