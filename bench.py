@@ -220,7 +220,7 @@ def run_bench():
     return out
 
 
-def _cpu_control(n):
+def _cpu_control(n, cpus=None):
     """No-Ray control: n independent numpy processes doing fixed work.
 
     Measures what the HOST currently delivers for embarrassingly
@@ -232,14 +232,26 @@ def _cpu_control(n):
     timed map excludes each child's numpy import and pool spawn (the
     old version timed those too); the timed burn stays LONG (~0.5 s)
     because it doubles as a low-pass filter over scheduler jitter —
-    median-of-short-bursts was tried and measured strictly noisier."""
+    median-of-short-bursts was tried and measured strictly noisier.
+
+    ``cpus``: optional core set for the control children — used by the
+    scaling coordinator to keep its probes OFF the legs' pinned cores
+    (an unpinned control wandering onto a busy pinned core reads a
+    bogus ceiling, in either direction)."""
     import multiprocessing as mp
 
-    with mp.Pool(n) as p:
+    init, initargs = (None, ())
+    if cpus is not None:
+        init, initargs = (_pin_child, (tuple(cpus),))
+    with mp.Pool(n, initializer=init, initargs=initargs) as p:
         p.map(_burn_warm, range(n))  # numpy import + allocator warm-up
         t0 = time.perf_counter()
         p.map(_burn, range(n))
         return time.perf_counter() - t0
+
+
+def _pin_child(cpus):
+    os.sched_setaffinity(0, cpus)
 
 
 def _burn_warm(_):
@@ -392,11 +404,19 @@ def run_scaling():
                 return
             time.sleep(0.05)
 
+    # controls must stay OFF the legs' pinned cores (legs occupy
+    # 0..lo+hi-1 when pinned): probe on the upper half where disjoint,
+    # else unpinned (8->32 uses every core anyway)
+    total = os.cpu_count() or 32
+    probe_cpus = None
+    if os.environ.get("GRAFT_PIN_CPUS", "1") != "0" and lo + hi + hi <= total:
+        probe_cpus = tuple(range(total - hi, total))
+
     def _ceiling():
         # host ceiling: throughput gain a PERFECT parallel program gets
         # (work scales with n, so throughput at n workers = n / wall)
-        c_lo = _cpu_control(lo)
-        c_hi = _cpu_control(hi)
+        c_lo = _cpu_control(lo, cpus=probe_cpus)
+        c_hi = _cpu_control(hi, cpus=probe_cpus)
         return ((hi / c_hi) / (lo / c_lo)) / (hi / lo)
 
     # the hypervisor's vCPU steal FLUCTUATES on minute timescales: a
@@ -420,7 +440,7 @@ def run_scaling():
     ceiling = min(ceil0, ceil1, ceil2)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
-    valid = ceiling >= 0.85 and eff <= 1.05
+    valid = 0.85 <= ceiling <= 1.08 and eff <= 1.05  # >1.08 = gauge fault, not quiet
     print(json.dumps({
         "metric": f"throughput scaling efficiency, num_cpus {lo} -> {hi} (N vs 4N substitute)",
         "cpus_lo": lo, "cpus_hi": hi,
