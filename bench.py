@@ -186,7 +186,11 @@ def run_bench():
         print(json.dumps(out), flush=True)
         ray.shutdown()
         sys.exit(0)
-    bench_queries = BENCH_QUERIES
+    # time EVERY registered query (curated representative order first,
+    # then the rest in registration order) so each round's BENCH json
+    # carries a complete per-operator snapshot
+    bench_queries = BENCH_QUERIES + [q for q in QUERIES
+                                     if q not in BENCH_QUERIES]
     qtimes = {}
     for name in bench_queries:
         fn = QUERIES[name]["fn"]
@@ -320,8 +324,12 @@ def run_scaling():
         # 64 KiB pipe buffer, and a leg blocked in write(2) on a full
         # stderr pipe would deadlock release()'s stdout readline loop
         errf = open(os.path.join(godir, f"err-{ncpu}"), "w")
-        return subprocess.Popen(cmd, env=env, stdout=subprocess.PIPE,
-                                stderr=errf, text=True)
+        try:
+            return subprocess.Popen(cmd, env=env, stdout=subprocess.PIPE,
+                                    stderr=errf, text=True)
+        finally:
+            errf.close()  # the child holds its own dup; don't leak an
+            #               fd per spawned leg across a long hunt run
 
     def _err_tail(ncpu):
         try:

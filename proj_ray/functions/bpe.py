@@ -189,6 +189,13 @@ def bpe_merges_distributed(vocab_ds, num_merges: int) -> pd.DataFrame:
     code identity."""
     from ..stages.agg import combine_partials
 
+    # pin the input: encode() below KeyErrors on any character absent
+    # from the charset pass, so the vocab must be IDENTICAL between the
+    # charset scan and the encode scan — materializing here makes that
+    # hold even for a caller handing a lazy dataset with
+    # nondeterministic upstream stages
+    vocab_ds = vocab_ds.materialize()
+
     # one bounded pass: the distinct CHARACTER set (tiny domain) fixes
     # initial codes globally before any per-batch work
     def charset_partial(t: pa.Table) -> pd.DataFrame:

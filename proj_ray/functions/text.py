@@ -597,3 +597,115 @@ def cdc_chunk_spans(texts, k: int = 16, bbits: int = 6):
         ends[at] = cut_pos
     doc_of = np.repeat(np.arange(n, dtype=np.int64), n_chunks)
     return data, doc_of, starts, ends, n
+
+
+# --- Edit-distance candidate blocking (symmetric-delete) -------------------
+
+_DEL1_B = np.uint64(0x100000001B3)  # FNV-1a prime: odd => invertible mod 2^64
+
+
+def deletion1_keys(strings):
+    """Blocking keys for edit-distance <= 1 candidate generation (the
+    symmetric-delete / SymSpell family, depth 1): for each string emit
+    an int64 key per single-character deletion PLUS one for the string
+    itself.  Two distinct strings within Levenshtein distance 1 are
+    GUARANTEED to share at least one key (substitution: both delete the
+    differing position; insert/delete: the shorter string's identity
+    key equals one deletion key of the longer), so grouping by key is
+    an exact-superset candidate generator; sharing a key does NOT imply
+    distance <= 1 ('ab'/'ba' share deletion 'a'), so candidates require
+    exact Levenshtein verification — the same candidates-then-verify
+    shape as the MinHash-LSH dedup stack.
+
+    Keys are uint64-wraparound polynomial hashes of the variant strings
+    computed by PREFIX/SUFFIX ARITHMETIC over the concatenated
+    codepoint buffer — no variant string is ever materialized and no
+    per-string Python runs (one vectorized pass over all character
+    positions).  Hash collisions only ADD candidates (equal variants
+    always hash equal), never lose a true pair.
+
+    Returns ``(keys, owners)`` int64/int64 arrays, deduplicated per
+    owner (deleting either of a doubled character yields one key)."""
+    n = len(strings)
+    if n == 0:
+        z = np.zeros(0, np.int64)
+        return z, z
+    enc = [s.encode("utf-32-le") for s in strings]
+    lens = np.fromiter((len(e) >> 2 for e in enc), np.int64, n)
+    data = (np.frombuffer(b"".join(enc), dtype=np.uint32).astype(np.uint64)
+            + np.uint64(1))  # +1: no zero codes, so '' never aliases 'a\0'
+    off = np.zeros(n + 1, np.int64)
+    off[1:] = np.cumsum(lens)
+    total = int(off[-1])
+    # H[k] = hash(data[0:k]); P[k] = B^k   (all uint64 wraparound)
+    H = np.zeros(total + 1, np.uint64)
+    P = np.ones(total + 1, np.uint64)
+    if total:
+        P[1:] = np.cumprod(np.full(total, _DEL1_B, np.uint64))
+        # H via blocked Horner: H[k] = H[k-1]*B + c_k.  Equivalent
+        # closed form: H[k] = sum_{i<k} c_i * B^(k-1-i)
+        #            = (sum_{i<k} c_i * B^{-i}) * B^{k-1}  — B odd, so
+        # B is invertible mod 2^64 and the scan becomes one cumsum.
+        Binv = pow(int(_DEL1_B), -1, 1 << 64)
+        Pinv = np.ones(total, np.uint64)
+        Pinv[1:] = np.cumprod(np.full(total - 1, np.uint64(Binv),
+                                      np.uint64))
+        S = np.zeros(total + 1, np.uint64)
+        S[1:] = np.cumsum(data * Pinv, dtype=np.uint64)
+        H[1:] = S[1:] * P[:total]
+    s = np.repeat(off[:-1], lens)          # owner string start, per char
+    e = np.repeat(off[1:], lens)           # owner string end, per char
+    owners_del = np.repeat(np.arange(n, dtype=np.int64), lens)
+    j = np.arange(total, dtype=np.int64)   # deleted position (global)
+    # hash of string with data[j] deleted:
+    #   prefix  = H[j] - H[s]*P[j-s]
+    #   suffix  = H[e] - H[j+1]*P[e-j-1]
+    #   variant = prefix * P[e-1-j] + suffix
+    pe = P[e - 1 - j]
+    del_keys = ((H[j] - H[s] * P[j - s]) * pe
+                + (H[e] - H[j + 1] * pe))
+    id_keys = H[off[1:]] - H[off[:-1]] * P[lens]
+    keys = np.concatenate([del_keys, id_keys]).view(np.int64)
+    owners = np.concatenate([owners_del,
+                             np.arange(n, dtype=np.int64)])
+    # dedup (owner, key): doubled chars yield identical variants
+    o = np.lexsort((keys, owners))
+    ko, oo = keys[o], owners[o]
+    keep = np.empty(len(o), bool)
+    keep[:1] = True
+    keep[1:] = (oo[1:] != oo[:-1]) | (ko[1:] != ko[:-1])
+    return ko[keep], oo[keep]
+
+
+def key_group_pairs(keys: np.ndarray, owners: np.ndarray):
+    """All unordered within-key owner pairs ``(oa, ob)`` with
+    ``oa < ob``, deduplicated across keys — the verification feed for
+    deletion1_keys blocking.  Vectorized segment pair emission batched
+    by segment SIZE (one Python iteration per distinct size, never per
+    group), the capped_bucket_pairs idiom."""
+    if len(keys) == 0:
+        z = np.zeros(0, np.int64)
+        return z, z
+    o = np.lexsort((owners, keys))
+    k, ow = keys[o], owners[o]
+    st = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+    ln = np.diff(np.r_[st, len(k)])
+    out_a, out_b = [], []
+    for size in np.unique(ln):
+        if size < 2:
+            continue
+        ia, ib = np.triu_indices(int(size), k=1)
+        base = st[ln == size]
+        out_a.append(ow[(base[:, None] + ia[None, :]).ravel()])
+        out_b.append(ow[(base[:, None] + ib[None, :]).ravel()])
+    if not out_a:
+        z = np.zeros(0, np.int64)
+        return z, z
+    a = np.concatenate(out_a)
+    b = np.concatenate(out_b)
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    m = lo != hi  # same owner via two shared variant keys
+    lo, hi = lo[m], hi[m]
+    pk = lo * np.int64(int(owners.max()) + 1) + hi
+    _, first = np.unique(pk, return_index=True)
+    return lo[first], hi[first]

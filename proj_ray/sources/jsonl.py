@@ -4,9 +4,14 @@ curation tools exchange).
 
 Scale notes (same contract as sources/warc.py):
 - WRITER: a ``map_batches`` stage — each task serializes its batch
-  with pandas' C ``to_json(lines=True)`` into ONE shard named by the
+  with polars' Rust ``write_ndjson`` (shortest-exact float repr, so
+  float64 round-trips bitwise) into ONE shard named by the
   batch's minimum record id (ids are disjoint across blocks, so names
-  never collide; tmp-file + atomic rename makes re-runs idempotent).
+  never collide; tmp-file + atomic rename makes re-runs idempotent
+  GIVEN IDENTICAL BLOCK BOUNDARIES — a re-run whose blocks split
+  differently leaves stale differently-named shards behind, so callers
+  must clear or validate the output dir first, as the round-trip
+  queries do).
 - READER: ``ray.data.read_json`` — one Arrow-JSON read task per shard
   file; a 100-TB corpus of many .jsonl shards parallelizes for free.
 - Timestamps travel as int64 epoch-microseconds (a JSON number):
@@ -38,10 +43,16 @@ def write_jsonl_stage(ds, out_dir: str, id_col: str = "pid",
             if c in batch.column_names:
                 i = batch.column_names.index(c)
                 batch = batch.set_column(i, c, batch[c].cast(pa.int64()))
-        df = batch.to_pandas()
         path = os.path.join(out_dir, "part-%016d.jsonl" % int(ids.min()))
         tmp = path + ".tmp"
-        df.to_json(tmp, orient="records", lines=True)
+        # polars' NDJSON writer (Rust ryu): floats serialize as their
+        # SHORTEST EXACT representation, so float64 columns round-trip
+        # bit-identically through Arrow's JSON reader — pandas to_json
+        # caps double_precision at 15 digits, which loses the last ulp
+        # on values like 1/3 (r4 advice item)
+        import polars as pl
+
+        pl.from_arrow(batch).write_ndjson(tmp)
         os.replace(tmp, path)  # atomic publish: idempotent re-runs
         return pa.table({"path": pa.array([path]),
                          "n_records": pa.array([batch.num_rows], pa.int64())})

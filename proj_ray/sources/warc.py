@@ -155,8 +155,11 @@ def write_warc_stage(ds, out_dir: str, id_col: str = "pid",
                      warcinfo: str | None = None):
     """Sink stage: each task writes its batch as one .warc shard named by
     the batch's min id (ids are disjoint across blocks -> unique names,
-    idempotent overwrite on re-run). Returns a manifest Dataset
-    (path, n_records) — consuming it drives the write."""
+    idempotent overwrite on re-run GIVEN IDENTICAL BLOCK BOUNDARIES — a
+    re-run that splits blocks differently leaves stale shards under the
+    old names, so callers clear or validate the output dir first).
+    Returns a manifest Dataset (path, n_records) — consuming it drives
+    the write."""
     os.makedirs(out_dir, exist_ok=True)
 
     def write_shard(batch: pa.Table) -> pa.Table:

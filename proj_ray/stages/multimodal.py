@@ -9,7 +9,10 @@ decode libraries (PIL/ffmpeg/torchaudio) are not in this environment:
 - ``DecodeStage(deterministic_fake=True)`` (default in tests) computes
   deterministic pseudo-features from the raw bytes so pipelines and
   oracles are exercisable end-to-end.
-- ``DecodeStage(deterministic_fake=False)`` raises NotImplementedError
+- ``DecodeStage(deterministic_fake=False)`` is an ADAPTER: if PIL is
+  importable it decodes real image payloads (grayscale stripe means as
+  the feature vector — same output schema as the fake path, pinned in
+  tests/test_multimodal.py); without PIL it raises NotImplementedError
   at construction, marking exactly where a real decoder plugs in.
 
 Sizing rule for binary payloads: batch_size small (256-2048) so
@@ -23,18 +26,64 @@ import numpy as np
 import pyarrow as pa
 
 
+def _pil_image():
+    """Import-probe for the optional real codec (PIL is not baked into
+    this container; the adapter activates the moment the environment
+    provides it)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+        return Image
+    except ImportError:
+        return None
+
+
 class DecodeStage:
-    """Actor-pool decode/feature stage for binary media columns."""
+    """Actor-pool decode/feature stage for binary media columns.
+
+    ``deterministic_fake=True``: per-stripe raw-byte means (the
+    container-testable path).  ``deterministic_fake=False``: real
+    image decode via PIL when importable (grayscale stripe means over
+    the decoded pixel raster — an actual content feature), else
+    NotImplementedError at construction.  Both paths emit the
+    IDENTICAL schema: input minus the payload column, plus
+    ``payload_bytes`` int64 and ``features``
+    fixed_size_list<float32>[n_features]."""
 
     def __init__(self, media_col="payload", media_type_col="media_type",
                  n_features=8, deterministic_fake=True):
+        self._pil = None
         if not deterministic_fake:
-            raise NotImplementedError(
-                "real media decoding needs PIL/ffmpeg (not in this container); "
-                "construct with deterministic_fake=True or plug a decoder here")
+            self._pil = _pil_image()  # probe ONCE per actor, in __init__
+            if self._pil is None:
+                raise NotImplementedError(
+                    "real media decoding needs PIL/ffmpeg (not in this "
+                    "container); construct with deterministic_fake=True "
+                    "or provide PIL to activate the adapter")
         self.media_col = media_col
         self.media_type_col = media_type_col
         self.n_features = n_features
+
+    def _features_fake(self, b: np.ndarray) -> np.ndarray:
+        # deterministic fake features: per-stripe byte means
+        stripes = np.array_split(b.astype(np.float32), self.n_features)
+        return np.array([s.mean() if s.size else 0.0 for s in stripes],
+                        dtype=np.float32)
+
+    def _features_real(self, payload: bytes) -> np.ndarray:
+        # real codec: decode -> grayscale -> row-stripe pixel means; an
+        # undecodable payload yields zeros (schema never varies by row)
+        import io
+
+        try:
+            img = self._pil.open(io.BytesIO(payload)).convert("L")
+        except Exception:
+            return np.zeros(self.n_features, dtype=np.float32)
+        px = np.asarray(img, dtype=np.float32)
+        if px.ndim != 2 or px.size == 0:
+            return np.zeros(self.n_features, dtype=np.float32)
+        stripes = np.array_split(px, self.n_features, axis=0)
+        return np.array([s.mean() if s.size else 0.0 for s in stripes],
+                        dtype=np.float32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         col = batch[self.media_col]
@@ -50,9 +99,9 @@ class DecodeStage:
             b = np.frombuffer(payload, dtype=np.uint8)
             sizes[i] = b.size
             if b.size:
-                # deterministic fake features: per-stripe byte means
-                stripes = np.array_split(b.astype(np.float32), self.n_features)
-                feats[i] = [s.mean() if s.size else 0.0 for s in stripes]
+                feats[i] = (self._features_real(payload)
+                            if self._pil is not None
+                            else self._features_fake(b))
         out = batch.drop_columns([self.media_col])
         out = out.append_column("payload_bytes", pa.array(sizes, pa.int64()))
         out = out.append_column(

@@ -238,7 +238,9 @@ def quiet_query_bench(sf="/root/testdata/sf0.1", stop_at=None):
     from proj_ray.pipelines.queries import QUERIES
 
     pages_dataset(sf, mult=1).count()  # page-cache warm
-    pending = [q for q in BENCH_QUERIES if q not in results]
+    all_queries = BENCH_QUERIES + [q for q in QUERIES
+                                   if q not in BENCH_QUERIES]
+    pending = [q for q in all_queries if q not in results]
     log("quiet-query bench: %d rows to fill" % len(pending))
     misses = {}
     stop_at = min(stop_at or DEADLINE, DEADLINE)
@@ -307,9 +309,12 @@ def main():
             log("quiet-query bench error: %r" % (e,))
     while time.time() < DEADLINE:
         progressed = False
-        for lo, hi, mult, winfile in [(2, 8, MULT28, WIN28),
+        # round-5 priority: the WIDER pairs first — the 2->8 pinned
+        # quiet-throughout row is already on record (BASELINE.md
+        # session-13); the r4 verdict asks for a pinned 8->32 / 4->16
+        for lo, hi, mult, winfile in [(8, 32, MULT, WIN),
                                       (4, 16, MULT416, WIN416),
-                                      (8, 32, MULT, WIN)]:
+                                      (2, 8, MULT28, WIN28)]:
             if os.path.exists(winfile) or time.time() >= DEADLINE:
                 continue
             progressed = True
