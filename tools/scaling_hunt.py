@@ -289,15 +289,16 @@ def quiet_query_bench(sf="/root/testdata/sf0.1", stop_at=None):
 def main():
     log("hunt start (held-pair mode): gate=%.2f mult28=%s mult416=%s mult=%s"
         % (GATE, MULT28, MULT416, MULT))
-    # priority order: the 2->8 scaling row (the round-3 verdict's #1
-    # ask; the most frequent quiet windows) gets a TIME-BOXED first
-    # phase, then the quiet per-query bench table (windows of a few
-    # seconds suffice) gets its boxed shot, then the loop round-robins
-    # the un-won pairs so a never-quieting host can't starve phase 2.
-    if not os.path.exists(WIN28):
-        hunt_pair_held(2, 8, int(MULT28), WIN28,
+    # round-5 priority order: the PINNED 8->32 row (the r4 verdict's
+    # ask #4 — the 2->8 quiet-throughout row is already on record) gets
+    # a TIME-BOXED first phase, then the quiet per-query bench table
+    # (windows of a few seconds suffice) gets its boxed shot, then the
+    # loop round-robins the un-won pairs so a never-quieting host can't
+    # starve phase 2.
+    if not os.path.exists(WIN):
+        hunt_pair_held(8, 32, int(MULT), WIN,
                        stop_at=time.time() + float(
-                           os.environ.get("HUNT_28_HOURS", "2.0")) * 3600)
+                           os.environ.get("HUNT_832_HOURS", "1.5")) * 3600)
     # assemble the quiet PER-QUERY bench reference one window at a
     # time (a full 3-minute bench never fits a quiet window here;
     # single queries do)
