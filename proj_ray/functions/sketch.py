@@ -238,6 +238,21 @@ def ds_quantile_tdigest(ds, val_col: str, qs, delta: int = 200,
 # scalar golden agree bit-for-bit.
 # ---------------------------------------------------------------------------
 
+def mg_trim(counts: np.ndarray, k: int):
+    """Misra-Gries block trim (the shared core of misra_gries_topk and
+    skew_split_join's hot-key detection): subtract the (k+1)-th largest
+    count from all and keep the strictly-positive remainder — at most k
+    counters survive, and the subtracted value bounds this block's
+    per-key undercount.  Returns ``(sub, keep_mask)``; the caller emits
+    counts[keep] - sub plus a sentinel row carrying ``sub`` so merged
+    subtractions bound the total undercount D."""
+    counts = counts.astype(np.int64, copy=False)
+    if counts.size <= k:
+        return np.int64(0), np.ones(counts.size, bool)
+    sub = np.partition(counts, counts.size - k - 1)[counts.size - k - 1]
+    return np.int64(sub), counts > sub
+
+
 HLL_P = 12
 HLL_M = 1 << HLL_P
 _U64_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)

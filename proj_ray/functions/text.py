@@ -680,32 +680,27 @@ def deletion1_keys(strings):
 def key_group_pairs(keys: np.ndarray, owners: np.ndarray):
     """All unordered within-key owner pairs ``(oa, ob)`` with
     ``oa < ob``, deduplicated across keys — the verification feed for
-    deletion1_keys blocking.  Vectorized segment pair emission batched
-    by segment SIZE (one Python iteration per distinct size, never per
-    group), the capped_bucket_pairs idiom."""
+    deletion1_keys blocking.  Pair emission is the shared
+    vector.segment_all_pairs core (one Python iteration per distinct
+    segment size).  Input rows are (owner, key)-unique per
+    deletion1_keys' own dedup, and owners sort ascending within each
+    key segment (the lexsort below), so every emitted pair already has
+    oa < ob — only the cross-key pair dedup remains."""
+    from .vector import segment_all_pairs
+
     if len(keys) == 0:
         z = np.zeros(0, np.int64)
         return z, z
     o = np.lexsort((owners, keys))
-    k, ow = keys[o], owners[o]
+    k = keys[o]
     st = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
     ln = np.diff(np.r_[st, len(k)])
-    out_a, out_b = [], []
-    for size in np.unique(ln):
-        if size < 2:
-            continue
-        ia, ib = np.triu_indices(int(size), k=1)
-        base = st[ln == size]
-        out_a.append(ow[(base[:, None] + ia[None, :]).ravel()])
-        out_b.append(ow[(base[:, None] + ib[None, :]).ravel()])
+    out_a, out_b = segment_all_pairs(owners[o], st, ln)
     if not out_a:
         z = np.zeros(0, np.int64)
         return z, z
     a = np.concatenate(out_a)
     b = np.concatenate(out_b)
-    lo, hi = np.minimum(a, b), np.maximum(a, b)
-    m = lo != hi  # same owner via two shared variant keys
-    lo, hi = lo[m], hi[m]
-    pk = lo * np.int64(int(owners.max()) + 1) + hi
+    pk = a * np.int64(int(owners.max()) + 1) + b
     _, first = np.unique(pk, return_index=True)
-    return lo[first], hi[first]
+    return a[first], b[first]

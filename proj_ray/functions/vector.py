@@ -215,6 +215,23 @@ def make_planes(dim: int, nbits: int = 12, seed: int = 42) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal((nbits, dim)).astype(np.float32)
 
 
+def segment_all_pairs(order, st, ln):
+    """All within-segment index pairs over ``order`` (segment starts
+    ``st``, lengths ``ln``), batched by segment SIZE so the Python
+    loop runs once per distinct size, never once per segment.  The
+    shared pair-emission core of capped_bucket_pairs and
+    text.key_group_pairs.  Returns (a_parts, b_parts) array lists."""
+    out_a, out_b = [], []
+    for size in np.unique(ln):
+        if size < 2:
+            continue
+        ia, ib = np.triu_indices(int(size), k=1)
+        base = st[ln == size]
+        out_a.append(order[(base[:, None] + ia[None, :]).ravel()])
+        out_b.append(order[(base[:, None] + ib[None, :]).ravel()])
+    return out_a, out_b
+
+
 def capped_bucket_pairs(ids: np.ndarray, sig: np.ndarray, get_ext,
                         n_ext_levels: int, cap: int):
     """All within-bucket pairs, with oversized buckets RECURSIVELY split
@@ -243,14 +260,9 @@ def capped_bucket_pairs(ids: np.ndarray, sig: np.ndarray, get_ext,
     out_b: list = []
 
     def emit_segments(order, st, ln):
-        # all-pairs inside every segment, batched by segment SIZE so
-        # the Python-level loop runs once per distinct size (not once
-        # per bucket — thousands of tiny buckets is the common case)
-        for size in np.unique(ln):
-            ia, ib = np.triu_indices(int(size), k=1)
-            base = st[ln == size]
-            out_a.append(order[(base[:, None] + ia[None, :]).ravel()])
-            out_b.append(order[(base[:, None] + ib[None, :]).ravel()])
+        a, b = segment_all_pairs(order, st, ln)
+        out_a.extend(a)
+        out_b.extend(b)
 
     def rec(rows, level):
         # rows: global indices, already ascending by ids (oversized

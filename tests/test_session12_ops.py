@@ -193,7 +193,8 @@ def test_hot_keys_mg_bounded_and_exact_census(ray_session):
                                  "event_id": pa.array(
                                      np.arange(len(uid)), pa.int64())}))
     hot, cold = _hot_keys_mg(ds, hot_k=1, mg_k=4096)
-    assert list(hot) == [7] and cold is True or cold == True  # noqa: E712
+    assert list(hot) == [7]
+    assert cold
     # all keys hot, exact census => no cold side
     hot, cold = _hot_keys_mg(ds, hot_k=64, mg_k=4096)
     assert len(hot) == 50 and not cold  # 50 distinct keys (7 repeats)
@@ -227,8 +228,10 @@ def test_decode_stage_adapter_schema():
 
 
 def test_jsonl_float64_roundtrip(ray_session, tmp_path):
-    """double_precision=15 round-trips float64 exactly (the advice-r4
-    jsonl precision gap)."""
+    """The jsonl sink must round-trip float64 bit-exactly — polars'
+    write_ndjson (shortest-exact repr) closes the advice-r4 gap where
+    pandas to_json's 15-digit cap lost the last ulp on values like
+    1/3."""
     import ray.data as rd
 
     from proj_ray.sources.jsonl import read_jsonl, write_jsonl_stage
