@@ -246,3 +246,20 @@ def test_jsonl_float64_roundtrip(ray_session, tmp_path):
     back = read_jsonl(out, ts_cols=()).to_pandas().sort_values("pid")
     got = back["x"].to_numpy(np.float64)
     assert np.array_equal(got, vals), (got, vals)
+
+
+# --- leakage-controlled split -----------------------------------------------
+
+
+def test_split_by_domain_matches_oracle(ray_session):
+    from proj_ray.pipelines.queries import split_by_domain
+
+    got = split_by_domain(SF).reset_index(drop=True)
+    want = _oracle("split_by_domain", ["documents"])
+    assert list(got["split"]) == list(want["split"])
+    for c in ("n_docs", "n_domains", "sum_chars"):
+        assert (got[c].to_numpy(np.int64)
+                == want[c].to_numpy(np.int64)).all(), c
+    # leakage control: a domain appears in exactly one split
+    assert int(got["n_domains"].sum()) == 50
+    assert int(got["n_docs"].sum()) == 500  # sf0.001 documents rows
