@@ -200,3 +200,84 @@ def test_hashed_classifier_scalar(ray_session, docs):
         assert int(row["raw_score"]) == raw
         assert float(row["score"]) == np.float64(raw) / np.int64(len(ws))
         assert int(row["keep"]) == (1 if raw >= 0 else 0)
+
+
+# ---------------------------------------------------------------------------
+# domain_link_pagerank: scalar dict-based weighted PageRank
+# ---------------------------------------------------------------------------
+
+def test_domain_pagerank_scalar(ray_session, docs):
+    from proj_ray.pipelines.queries import (_DPR_ITERS, _DPR_SCALE,
+                                            _LINK_DOMS, _LINK_MOD,
+                                            domain_link_pagerank)
+
+    edges = collections.Counter()
+    for did in docs["doc_id"]:
+        did = int(did)
+        for j in range(1, 2 + did % 4):
+            dst = (did * 97 + j * 131) % _LINK_MOD
+            edges[(did % _LINK_DOMS, dst % _LINK_DOMS)] += 1
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    wu = collections.Counter()
+    for (u, _), w in edges.items():
+        wu[u] += w
+    base = _DPR_SCALE * 15 // 100
+    pr = {n: _DPR_SCALE for n in nodes}
+    for _ in range(_DPR_ITERS):
+        infl = collections.Counter()
+        for (u, v), w in edges.items():
+            infl[v] += pr[u] * w // wu[u]
+        pr = {n: base + infl[n] * 85 // 100 for n in nodes}
+    got = domain_link_pagerank(SF).set_index("domain")
+    assert len(got) == len(nodes)
+    for n in nodes:
+        assert int(got.loc[n, "pr"]) == pr[n]
+
+
+# ---------------------------------------------------------------------------
+# link_reciprocity: scalar set-membership reference
+# ---------------------------------------------------------------------------
+
+def test_link_reciprocity_scalar(ray_session, docs):
+    from proj_ray.pipelines.queries import (_LINK_DOMS, _LINK_MOD,
+                                            link_reciprocity)
+
+    eset = set()
+    for did in docs["doc_id"]:
+        did = int(did)
+        for j in range(1, 2 + did % 4):
+            dst = (did * 97 + j * 131) % _LINK_MOD
+            eset.add((did % _LINK_DOMS, dst % _LINK_DOMS))
+    out_edges = collections.Counter()
+    recip = collections.Counter()
+    for u, v in eset:
+        out_edges[u] += 1
+        if (v, u) in eset:
+            recip[u] += 1
+    got = link_reciprocity(SF).set_index("src_domain")
+    for u in out_edges:
+        assert int(got.loc[u, "n_out_edges"]) == out_edges[u]
+        assert int(got.loc[u, "n_reciprocal"]) == recip[u]
+
+
+# ---------------------------------------------------------------------------
+# robust_outlier_filter: scalar quantile + threshold reference
+# ---------------------------------------------------------------------------
+
+def test_robust_outlier_scalar(ray_session):
+    from proj_ray.pipelines.queries import _OUTLIER_K, robust_outlier_filter
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "event_type", "value"]
+                       ).to_pandas()
+    want_ids = []
+    for ty, g in ev.groupby("event_type"):
+        v = g["value"].to_numpy()
+        med_milli = int(np.floor(np.quantile(v, 0.5) * 1000.0 + 0.5))
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        dev = np.abs(cents * 10 - med_milli)
+        mad_cmilli = int(np.floor(np.quantile(dev, 0.5) * 10.0 + 0.5))
+        m = dev * 10 > _OUTLIER_K * mad_cmilli
+        want_ids.extend(g["event_id"].to_numpy()[m].tolist())
+    got = robust_outlier_filter(SF)
+    assert sorted(want_ids) == got["event_id"].tolist()
