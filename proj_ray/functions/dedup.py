@@ -1005,3 +1005,60 @@ def dedup_new_against_index(new_ds, index_dir: str, text_col: str = "text",
     keep = ~np.isin(h, matched)
     out = pd.DataFrame({id_col: hdf[id_col].to_numpy(np.int64)[keep]})
     return out.sort_values(id_col).reset_index(drop=True)
+
+
+_MODP_BASE = 31
+
+
+def segment_hash_modp(data: np.ndarray, starts: np.ndarray,
+                      ends: np.ndarray, p: int) -> np.ndarray:
+    """Horner polynomial hash mod ``p`` over byte ranges [start, end):
+    h = fold(h*31 + byte) % p, the EXACT value DuckDB's
+    ``list_reduce(list_transform(regexp_extract_all(s,'.'),
+    c -> unicode(c)), (a,b) -> (a*31+b) % p)`` computes for the same
+    (ASCII) string — the cross-engine-shareable sibling of
+    segment_hash64 (whose uint64 wraparound + mix64 SQL cannot
+    express).  Bounds: p <= 2^40 keeps every term 127 * p < 2^47 and
+    any realistic segment sum < 2^55, far inside int64.  Used for
+    Bloom-filter bit positions where the hash VALUE (not just
+    equality) must match the oracle."""
+    starts = starts.astype(np.int64)
+    ends = ends.astype(np.int64)
+    n = len(starts)
+    if n == 0:
+        return np.empty(0, np.int64)
+    lens = ends - starts
+    max_len = int(lens.max()) if n else 0
+    powers = np.ones(max(max_len, 1), dtype=np.int64)
+    for i in range(1, max_len):
+        # O(max segment length) scalar loop: cumprod would overflow
+        # int64 past 31^13 BEFORE the mod could be applied
+        powers[i] = powers[i - 1] * _MODP_BASE % p
+    out = np.zeros(n, np.int64)
+    nonempty = lens > 0
+    total = int(lens.sum())
+    if total:
+        pos = np.repeat(starts, lens) + _ranges(lens)
+        exp = np.repeat(ends, lens) - 1 - pos
+        terms = data[pos].astype(np.int64) * powers[exp] % p
+        # segment sums can exceed p (but not int64); one final mod
+        seg_starts = (np.cumsum(lens) - lens)[nonempty]
+        out[nonempty] = np.add.reduceat(terms, seg_starts) % p
+    return out
+
+
+def wordgram_spans(texts, n_words: int):
+    """Word n-gram byte ranges per doc (the spans wordgram_hashes
+    hashes): returns (data, doc_of_gram, starts, ends)."""
+    data, doc_of_w, ws, we, n = word_spans(texts)
+    wcounts = np.bincount(doc_of_w, minlength=n)
+    gcounts = np.maximum(wcounts - n_words + 1, 0)
+    total = int(gcounts.sum())
+    if total == 0:
+        return data, np.empty(0, np.int64), np.empty(0, np.int64), \
+            np.empty(0, np.int64)
+    word_base = np.cumsum(wcounts) - wcounts
+    nz = gcounts > 0
+    g0 = np.repeat(word_base[nz], gcounts[nz]) + _ranges(gcounts[nz])
+    doc_of = np.repeat(np.arange(n)[nz], gcounts[nz])
+    return data, doc_of, ws[g0], we[g0 + n_words - 1]

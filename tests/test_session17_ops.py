@@ -1,0 +1,120 @@
+"""Round-5 session-17 operators: mod-p Horner hash kernel (the
+DuckDB-shareable hash), word-gram spans, Bloom-filter decontamination
+(oracle parity incl. identical false-positive behavior)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+P1 = 2147483647
+P2 = 2147483629
+
+
+def _scalar_modp(s: str, p: int) -> int:
+    h = 0
+    for ch in s.encode():
+        h = (h * 31 + ch) % p
+    return h
+
+
+# ---------------------------------------------------------------------------
+# segment_hash_modp: scalar + DuckDB list_reduce parity
+# ---------------------------------------------------------------------------
+
+def test_segment_hash_modp_scalar_parity():
+    from proj_ray.functions.dedup import segment_hash_modp
+
+    texts = ["hello world", "", "x", "a" * 500,
+             "the quick brown fox jumps over the lazy dog " * 20]
+    data = np.frombuffer("".join(texts).encode(), np.uint8)
+    lens = np.array([len(t) for t in texts], np.int64)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    for p in (P1, P2, (1 << 40) - 87):
+        got = segment_hash_modp(data, starts, ends, p)
+        want = np.array([_scalar_modp(t, p) for t in texts], np.int64)
+        assert np.array_equal(got, want), p
+
+
+def test_segment_hash_modp_long_segment_no_overflow():
+    # regression: powers were built with int64 cumprod, which wraps
+    # past 31^13 BEFORE the mod — any segment > 13 bytes hashed wrong
+    from proj_ray.functions.dedup import segment_hash_modp
+
+    s = "abcdefghijklmnop"  # 16 bytes: inside the old broken regime
+    data = np.frombuffer(s.encode(), np.uint8)
+    got = segment_hash_modp(data, np.array([0]), np.array([16]), P1)
+    assert got[0] == _scalar_modp(s, P1)
+
+
+def test_segment_hash_modp_duckdb_parity():
+    from proj_ray.functions.dedup import segment_hash_modp
+
+    texts = ["one two three", "mixed Case And, punct. 123!",
+             "a" * 100 + " tail"]
+    data = np.frombuffer("".join(texts).encode(), np.uint8)
+    lens = np.array([len(t) for t in texts], np.int64)
+    ends = np.cumsum(lens)
+    got = segment_hash_modp(data, ends - lens, ends, P1)
+    con = duckdb.connect()
+    want = [con.sql(
+        "SELECT list_reduce(list_transform(regexp_extract_all(?, '.'),"
+        " c -> CAST(unicode(c) AS BIGINT)),"
+        f" (a,b) -> (a*31+b) % {P1})", params=[t]).fetchone()[0]
+        for t in texts]
+    assert got.tolist() == want
+
+
+# ---------------------------------------------------------------------------
+# wordgram_spans: spans equal the joined word n-grams
+# ---------------------------------------------------------------------------
+
+def test_wordgram_spans_match_strings():
+    from proj_ray.functions.dedup import wordgram_spans
+
+    texts = ["a b c d e", "one two", "", "solo", "w x y z"]
+    n = 3
+    data, doc_of, starts, ends = wordgram_spans(pa.array(texts), n)
+    want = []
+    for i, t in enumerate(texts):
+        ws = t.split(" ")
+        for j in range(len(ws) - n + 1):
+            want.append((i, " ".join(ws[j:j + n])))
+    got = [(int(d), bytes(data[s:e]).decode())
+           for d, s, e in zip(doc_of, starts, ends)]
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# bloom_decontaminate: oracle parity at sf0.001 (values AND the
+# flag set, i.e. shared false-positive behavior)
+# ---------------------------------------------------------------------------
+
+def _oracle(name):
+    con = duckdb.connect()
+    for t in ["documents"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    from proj_ray.pipelines.queries import QUERIES
+    return con.sql(QUERIES[name]["sql"]).fetchdf()
+
+
+def test_bloom_decontaminate_oracle(ray_session):
+    from proj_ray.pipelines.queries import bloom_decontaminate
+
+    got = bloom_decontaminate(SF).reset_index(drop=True)
+    want = (_oracle("bloom_decontaminate")
+            .sort_values("doc_id").reset_index(drop=True))
+    assert len(got) == len(want) > 0
+    for c in ["doc_id", "n_bloom_grams", "contaminated"]:
+        assert np.array_equal(got[c].to_numpy(np.int64),
+                              want[c].to_numpy(np.int64)), c
+    # the seeded contamination (doc_id % 7 == 3, % 97 != 0) must all
+    # be caught — Bloom filters have no false negatives
+    seeded = (got.doc_id % 7 == 3) & (got.doc_id % 97 != 0)
+    assert (got.contaminated[seeded] == 1).all()
+    assert got.contaminated.sum() >= seeded.sum()
