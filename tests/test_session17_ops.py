@@ -118,3 +118,66 @@ def test_bloom_decontaminate_oracle(ray_session):
     seeded = (got.doc_id % 7 == 3) & (got.doc_id % 97 != 0)
     assert (got.contaminated[seeded] == 1).all()
     assert got.contaminated.sum() >= seeded.sum()
+
+
+# ---------------------------------------------------------------------------
+# domain_minhash_pairs: oracle parity + scalar minhash ground truth
+# ---------------------------------------------------------------------------
+
+def _domain_sigs_scalar():
+    import pyarrow.parquet as pq
+    from proj_ray.pipelines.queries import (_DMH_N, _DMH_ND, _DMH_NPERM,
+                                            _DMH_P)
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    sigs = {}
+    for _, r in docs.iterrows():
+        did = int(r.doc_id)
+        ws = r.text.split(" ")
+        doms = [did % _DMH_ND]
+        if did % 7 != 0:
+            doms.append(_DMH_ND + did % _DMH_ND)
+        for i in range(len(ws) - _DMH_N + 1):
+            h = _scalar_modp(" ".join(ws[i:i + _DMH_N]), _DMH_P)
+            for j in range(_DMH_NPERM):
+                pj = ((2 * j + 3) * h + 5 * j + 1) % _DMH_P
+                for d in doms:
+                    cur = sigs.setdefault(d, [_DMH_P] * _DMH_NPERM)
+                    if pj < cur[j]:
+                        cur[j] = pj
+    return sigs
+
+
+def test_domain_minhash_pairs_scalar_and_oracle(ray_session):
+    from proj_ray.pipelines.queries import (_DMH_ND, _DMH_NPERM, _DMH_TH,
+                                            domain_minhash_pairs)
+
+    got = domain_minhash_pairs(SF)
+    want = (_oracle("domain_minhash_pairs")
+            .sort_values(["domain_a", "domain_b"]).reset_index(drop=True))
+    assert len(got) == len(want) > 0
+    for c in ["domain_a", "domain_b", "n_match_perms"]:
+        assert np.array_equal(got[c].to_numpy(np.int64),
+                              want[c].to_numpy(np.int64)), c
+    assert np.allclose(got.est_jaccard, want.est_jaccard)
+
+    # scalar ground truth: every reported pair's match count is the
+    # true signature agreement, and every mirror pair (d, d+25) whose
+    # true agreement >= threshold is reported
+    sigs = _domain_sigs_scalar()
+    reported = {(a, b): n for a, b, n in
+                zip(got.domain_a, got.domain_b, got.n_match_perms)}
+    for (a, b), n in reported.items():
+        nm = sum(x == y for x, y in zip(sigs[a], sigs[b]))
+        assert nm == n, (a, b)
+    for d in range(_DMH_ND):
+        m = _DMH_ND + d
+        if m in sigs:
+            nm = sum(x == y for x, y in zip(sigs[d], sigs[m]))
+            if nm == _DMH_NPERM:
+                # identical signatures always share every band:
+                # banding cannot miss them
+                assert (d, m) in reported
+            if (d, m) in reported:
+                assert reported[(d, m)] == nm
