@@ -181,3 +181,80 @@ def test_domain_minhash_pairs_scalar_and_oracle(ray_session):
                 assert (d, m) in reported
             if (d, m) in reported:
                 assert reported[(d, m)] == nm
+
+
+# ---------------------------------------------------------------------------
+# or_by_key / or_aggregate: vectorized OR reduction invariants
+# ---------------------------------------------------------------------------
+
+def test_or_by_key_matches_dict_reference():
+    from proj_ray.stages.agg import or_by_key
+
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 50, 2000).astype(np.int64)
+    masks = (np.int64(1) << rng.integers(0, 20, 2000).astype(np.int64))
+    want = {}
+    for k, m in zip(keys, masks):
+        want[int(k)] = want.get(int(k), 0) | int(m)
+    k, m = or_by_key(keys, masks)
+    assert sorted(k.tolist()) == k.tolist()
+    assert {int(a): int(b) for a, b in zip(k, m)} == want
+
+
+def test_or_by_key_split_merge_invariance():
+    from proj_ray.stages.agg import or_by_key
+
+    rng = np.random.default_rng(4)
+    keys = rng.integers(0, 30, 500).astype(np.int64)
+    masks = (np.int64(1) << rng.integers(0, 10, 500).astype(np.int64))
+    k1, m1 = or_by_key(keys, masks)
+    # partial OR over arbitrary splits, then re-reduce
+    cut = 137
+    ka, ma = or_by_key(keys[:cut], masks[:cut])
+    kb, mb = or_by_key(keys[cut:], masks[cut:])
+    k2, m2 = or_by_key(np.concatenate([ka, kb]), np.concatenate([ma, mb]))
+    assert np.array_equal(k1, k2) and np.array_equal(m1, m2)
+
+
+# ---------------------------------------------------------------------------
+# source_jaccard_matrix: oracle parity + scalar set-arithmetic truth
+# ---------------------------------------------------------------------------
+
+def test_source_jaccard_matrix_scalar_and_oracle(ray_session):
+    import pyarrow.parquet as pq
+    from proj_ray.pipelines.queries import (_SJM_FW, _SJM_N, _SJM_POOL,
+                                            source_jaccard_matrix)
+
+    got = source_jaccard_matrix(SF)
+    want = (_oracle("source_jaccard_matrix")
+            .sort_values(["source_a", "source_b"]).reset_index(drop=True))
+    assert len(got) == len(want) > 0
+    for c in ["source_a", "source_b"]:
+        assert got[c].tolist() == want[c].tolist(), c
+    for c in ["n_common_grams", "n_union_grams"]:
+        assert np.array_equal(got[c].to_numpy(np.int64),
+                              want[c].to_numpy(np.int64)), c
+    assert np.allclose(got.jaccard, want.jaccard)
+
+    # scalar ground truth: python set arithmetic over gram strings
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text", "source"]).to_pandas()
+    pool = {int(r.doc_id): " ".join(r.text.split(" ")[:_SJM_FW])
+            for _, r in docs[docs.doc_id < _SJM_POOL].iterrows()}
+    gsets = {}
+    for _, r in docs.iterrows():
+        did = int(r.doc_id)
+        t = r.text + ((" " + pool[did * did % _SJM_POOL])
+                      if did % 3 == 0 else "")
+        ws = t.split(" ")
+        s = gsets.setdefault(r.source, set())
+        for i in range(len(ws) - _SJM_N + 1):
+            s.add(" ".join(ws[i:i + _SJM_N]))
+    by_pair = {(a, b): (nc, nu) for a, b, nc, nu in
+               zip(got.source_a, got.source_b,
+                   got.n_common_grams, got.n_union_grams)}
+    for (a, b), (nc, nu) in by_pair.items():
+        assert nc == len(gsets[a] & gsets[b]), (a, b)
+        assert nu == len(gsets[a] | gsets[b]), (a, b)
+    # the synthesized pool overlap must make at least one pair overlap
+    assert got.n_common_grams.max() > 0
