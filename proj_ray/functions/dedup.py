@@ -1062,3 +1062,180 @@ def wordgram_spans(texts, n_words: int):
     g0 = np.repeat(word_base[nz], gcounts[nz]) + _ranges(gcounts[nz])
     doc_of = np.repeat(np.arange(n)[nz], gcounts[nz])
     return data, doc_of, ws[g0], we[g0 + n_words - 1]
+
+
+# --- persisted incremental NEAR-dup (MinHash) index -------------------------
+
+def _band_keys(bh: np.ndarray) -> np.ndarray:
+    """Pack (band, band_hash) into one int64 key: XOR each band column
+    with a per-band mix64 seed (injective per band; cross-band key
+    collisions are 2^-64, the hash-equality convention).  bh is
+    (n_docs, bands) uint64 from lsh_band_hashes_batch."""
+    seeds = mix64(np.arange(1001, 1001 + bh.shape[1], dtype=np.uint64))
+    return (bh ^ seeds[None, :]).view(np.int64)
+
+
+def build_minhash_index(ds, index_dir: str, text_col: str = "text",
+                        id_col: str = "doc_id", num_perm: int = 64,
+                        bands: int = 16, k: int = 5,
+                        num_buckets: int = 64) -> None:
+    """Persisted NEAR-dup index (the MinHash sibling of
+    build_hash_index, same incremental-corpus story): two parquet
+    layouts under index_dir —
+
+    - ``bands/``: one (band_key, doc_id) row per doc per band,
+      hive-partitioned by band_key bucket.  A later crawl shard probes
+      ONLY the buckets its own band keys occupy.
+    - ``sigs/``: one (doc_id, sig fixed_size_list<int64>[num_perm]) row
+      per doc, partitioned by doc_id bucket, read ONLY for the
+      candidate ids the band probe surfaced (the verify stage).
+
+    Both layouts append per accepted shard, like the exact index."""
+    import os
+
+    def mk_bands(t: pa.Table) -> pa.Table:
+        sig = minhash_signatures(t[text_col], num_perm=num_perm, k=k)
+        keys = _band_keys(lsh_band_hashes_batch(sig, bands=bands))
+        did = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = keys.ravel()
+        bkt = (flat.view(np.uint64) % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table({
+            "band_bucket": pa.array(bkt, pa.int64()),
+            "band_key": pa.array(flat, pa.int64()),
+            id_col: pa.array(np.repeat(did, bands), pa.int64()),
+        })
+
+    def mk_sigs(t: pa.Table) -> pa.Table:
+        sig = minhash_signatures(t[text_col], num_perm=num_perm, k=k)
+        did = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bkt = (did.view(np.uint64) % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table({
+            "id_bucket": pa.array(bkt, pa.int64()),
+            id_col: pa.array(did, pa.int64()),
+            "sig": pa.FixedSizeListArray.from_arrays(
+                pa.array(sig.ravel().view(np.int64), pa.int64()), num_perm),
+        })
+
+    os.makedirs(index_dir, exist_ok=True)
+    (ds.map_batches(mk_bands, batch_format="pyarrow", batch_size=None,
+                    zero_copy_batch=True)
+     .write_parquet(os.path.join(index_dir, "bands"),
+                    partition_cols=["band_bucket"]))
+    (ds.map_batches(mk_sigs, batch_format="pyarrow", batch_size=None,
+                    zero_copy_batch=True)
+     .write_parquet(os.path.join(index_dir, "sigs"),
+                    partition_cols=["id_bucket"]))
+
+
+def _pruned_index_files(index_dir: str, sub: str, part_col: str,
+                        buckets: np.ndarray) -> list:
+    import os
+    files = []
+    for b in buckets.tolist():
+        d = os.path.join(index_dir, sub, f"{part_col}={int(b)}")
+        if not os.path.isdir(d):
+            continue
+        files.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
+                     if f.endswith(".parquet"))
+    return files
+
+
+def neardup_new_against_index(new_ds, index_dir: str,
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              num_perm: int = 64, bands: int = 16,
+                              k: int = 5, num_buckets: int = 64,
+                              threshold: float = 0.5) -> pd.DataFrame:
+    """Probe a NEW shard against a build_minhash_index layout: shard
+    signatures + band keys are computed driver-side (the increment is
+    the small side by definition), the index's ``bands/`` layout is
+    read ONLY in the buckets the shard's keys occupy, matched rows
+    surface candidate (new, corpus) pairs, and ONLY the candidates'
+    signatures are fetched from ``sigs/`` (second pruned read) for the
+    verify: signature agreement >= threshold (the standard MinHash
+    Jaccard estimator).  Returns one row per shard doc: doc_id,
+    n_candidates (distinct corpus docs sharing >= 1 band),
+    n_matched (agreement >= threshold), is_dup."""
+    import pandas as pd
+    import ray.data as rd
+
+    sh = new_ds.to_pandas()
+    if len(sh) == 0:
+        return pd.DataFrame({id_col: np.empty(0, np.int64),
+                             "n_candidates": np.empty(0, np.int64),
+                             "n_matched": np.empty(0, np.int64),
+                             "is_dup": np.empty(0, np.int64)})
+    new_ids = sh[id_col].to_numpy(np.int64)
+    sig_new = minhash_signatures(pa.array(sh[text_col].tolist()),
+                                 num_perm=num_perm, k=k)
+    keys_new = _band_keys(lsh_band_hashes_batch(sig_new, bands=bands))
+    probe = np.unique(keys_new.ravel())
+    kbuckets = np.unique(probe.view(np.uint64) % np.uint64(num_buckets))
+    files = _pruned_index_files(index_dir, "bands", "band_bucket", kbuckets)
+
+    hits = []
+    if files:
+        def matched_only(t: pa.Table) -> pa.Table:
+            bk = t["band_key"].to_numpy(zero_copy_only=False)
+            idx = np.minimum(np.searchsorted(probe, bk),
+                             max(len(probe) - 1, 0))
+            m = probe[idx] == bk
+            return pa.table({"band_key": pa.array(bk[m], pa.int64()),
+                             id_col: pa.array(
+                                 t[id_col].to_numpy(zero_copy_only=False)
+                                 .astype(np.int64)[m], pa.int64())})
+
+        for b in (rd.read_parquet(files, columns=["band_key", id_col])
+                  .map_batches(matched_only, batch_format="pyarrow",
+                               batch_size=None)
+                  .iter_batches(batch_size=None, batch_format="pyarrow")):
+            hits.append((b["band_key"].to_numpy(zero_copy_only=False),
+                         b[id_col].to_numpy(zero_copy_only=False)))
+
+    # candidate (new_row, corpus_id) pairs via key -> shard-rows map
+    from collections import defaultdict
+    rows_of_key = defaultdict(list)
+    for r in range(keys_new.shape[0]):
+        for kk in keys_new[r]:
+            rows_of_key[int(kk)].append(r)
+    pairs = set()
+    for bk, cids in hits:
+        for kk, cid in zip(bk.tolist(), cids.tolist()):
+            for r in rows_of_key[kk]:
+                pairs.add((r, cid))
+
+    n_cand = np.zeros(len(sh), np.int64)
+    n_match = np.zeros(len(sh), np.int64)
+    if pairs:
+        cand_ids = np.unique(np.array([c for _, c in pairs], np.int64))
+        sbuckets = np.unique(cand_ids.view(np.uint64)
+                             % np.uint64(num_buckets))
+        sfiles = _pruned_index_files(index_dir, "sigs", "id_bucket",
+                                     sbuckets)
+
+        def cand_only(t: pa.Table) -> pa.Table:
+            did = t[id_col].to_numpy(zero_copy_only=False)
+            m = np.isin(did, cand_ids)
+            return t.filter(pa.array(m))
+
+        sig_of = {}
+        for b in (rd.read_parquet(sfiles, columns=[id_col, "sig"])
+                  .map_batches(cand_only, batch_format="pyarrow",
+                               batch_size=None)
+                  .iter_batches(batch_size=None, batch_format="pyarrow")):
+            did = b[id_col].to_numpy(zero_copy_only=False)
+            flat = b["sig"].combine_chunks().flatten().to_numpy(
+                zero_copy_only=False).reshape(len(did), num_perm)
+            for i, d in enumerate(did.tolist()):
+                sig_of[d] = flat[i]
+        need = int(np.ceil(threshold * num_perm))
+        for r, cid in pairs:
+            n_cand[r] += 1
+            agree = int((sig_new[r].view(np.int64) == sig_of[cid]).sum())
+            if agree >= need:
+                n_match[r] += 1
+
+    out = pd.DataFrame({id_col: new_ids, "n_candidates": n_cand,
+                        "n_matched": n_match,
+                        "is_dup": (n_match > 0).astype(np.int64)})
+    return out.sort_values(id_col).reset_index(drop=True)

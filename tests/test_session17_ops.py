@@ -258,3 +258,80 @@ def test_source_jaccard_matrix_scalar_and_oracle(ray_session):
         assert nu == len(gsets[a] | gsets[b]), (a, b)
     # the synthesized pool overlap must make at least one pair overlap
     assert got.n_common_grams.max() > 0
+
+
+# ---------------------------------------------------------------------------
+# incremental_neardup_new: persisted MinHash index probe vs the scalar
+# reference (independent per-doc sigs + dict buckets), at sf0.001
+# ---------------------------------------------------------------------------
+
+def _neardup_scalar_expect(sf):
+    import math
+
+    import pyarrow.parquet as pq
+    from tools.freeze_goldens import ref_band_hashes, ref_minhash_sig
+
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    by_id = dict(zip(docs.doc_id.astype(int), docs.text))
+    corpus = {d: t for d, t in by_id.items() if d % 5 != 0}
+    shard = {}
+    for d, t in by_id.items():
+        if d % 5 != 0:
+            continue
+        if d % 15 == 0 and (d + 1) in by_id:
+            dt = by_id[d + 1]
+            shard[d] = "zz" + str(d) + (dt[dt.index(" "):]
+                                        if " " in dt else "")
+        else:
+            shard[d] = t
+    buckets, sig_c = {}, {}
+    for d, t in corpus.items():
+        sig = ref_minhash_sig(t)
+        sig_c[d] = sig
+        for b, h in enumerate(ref_band_hashes(sig)):
+            buckets.setdefault((b, int(h)), []).append(d)
+    need = int(math.ceil(0.5 * 64))
+    rows = []
+    for d in sorted(shard):
+        sig = ref_minhash_sig(shard[d])
+        cands = set()
+        for b, h in enumerate(ref_band_hashes(sig)):
+            cands.update(buckets.get((b, int(h)), []))
+        nm = sum(1 for c in cands if int((sig == sig_c[c]).sum()) >= need)
+        rows.append((d, len(cands), nm, 1 if nm > 0 else 0))
+    return rows
+
+
+def test_incremental_neardup_scalar_parity(ray_session, tmp_path):
+    import os
+
+    from proj_ray.pipelines.queries import incremental_neardup_new
+
+    idx = str(tmp_path / "ndidx")
+    got = incremental_neardup_new(SF, index_dir=idx)
+    want = _neardup_scalar_expect(SF)
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+    assert got.is_dup.sum() > 0          # seeded near-dups were caught
+    # the persisted layout is the two pruned-probe partitionings
+    assert any(d.startswith("band_bucket=")
+               for d in os.listdir(os.path.join(idx, "bands")))
+    assert any(d.startswith("id_bucket=")
+               for d in os.listdir(os.path.join(idx, "sigs")))
+
+
+def test_neardup_empty_shard(ray_session, tmp_path):
+    import ray.data as rd
+    from proj_ray.functions.dedup import (build_minhash_index,
+                                          neardup_new_against_index)
+    from proj_ray.pipelines.queries import read_table
+
+    idx = str(tmp_path / "ndidx2")
+    build_minhash_index(
+        read_table(SF, "documents", columns=["doc_id", "text"]), idx)
+    empty = rd.from_pandas(pd.DataFrame({"doc_id": np.empty(0, np.int64),
+                                         "text": np.empty(0, str)}))
+    out = neardup_new_against_index(empty, idx)
+    assert len(out) == 0
+    assert list(out.columns) == ["doc_id", "n_candidates", "n_matched",
+                                 "is_dup"]
