@@ -335,3 +335,23 @@ def test_neardup_empty_shard(ray_session, tmp_path):
     assert len(out) == 0
     assert list(out.columns) == ["doc_id", "n_candidates", "n_matched",
                                  "is_dup"]
+
+
+# ---------------------------------------------------------------------------
+# rendezvous_shard: oracle parity + the HRW stability invariant
+# ---------------------------------------------------------------------------
+
+def test_rendezvous_shard_oracle_and_stability(ray_session):
+    from proj_ray.pipelines.queries import _HRW_S, rendezvous_shard
+
+    got = rendezvous_shard(SF).reset_index(drop=True)
+    want = _oracle("rendezvous_shard").reset_index(drop=True)
+    for c in ["doc_id", "shard", "shard_no0"]:
+        assert np.array_equal(got[c].to_numpy(np.int64),
+                              want[c].to_numpy(np.int64)), c
+    # HRW stability: removing shard 0 reassigns ONLY shard-0 docs
+    moved = got.shard != got.shard_no0
+    assert (got.shard[moved] == 0).all()
+    assert (got.shard[moved].count() == (got.shard == 0).sum())
+    # every shard sees traffic (sanity of the score distribution)
+    assert set(got.shard.unique()) == set(range(_HRW_S))
