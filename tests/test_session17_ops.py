@@ -355,3 +355,79 @@ def test_rendezvous_shard_oracle_and_stability(ray_session):
     assert (got.shard[moved].count() == (got.shard == 0).sum())
     # every shard sees traffic (sanity of the score distribution)
     assert set(got.shard.unique()) == set(range(_HRW_S))
+
+
+# ---------------------------------------------------------------------------
+# convex_hull_ccw kernel + cluster_convex_hull invariants at sf0.001
+# ---------------------------------------------------------------------------
+
+def test_convex_hull_kernel_properties():
+    from proj_ray.kernels.hull import _cross, convex_hull_ccw
+
+    rng = np.random.default_rng(11)
+    for trial in range(40):
+        n = int(rng.integers(3, 60))
+        pts = (np.round(rng.uniform(-5, 5, (n, 2)), 2) if trial % 2
+               else rng.normal(size=(n, 2)))
+        h = convex_hull_ccw(pts[:, 0], pts[:, 1])
+        if len(h) < 3:
+            continue
+        # CCW with strict turns at every corner
+        m = len(h)
+        for i in range(m):
+            o, a, b = h[i], h[(i + 1) % m], h[(i + 2) % m]
+            assert _cross(o[0], o[1], a[0], a[1], b[0], b[1]) > 0
+        # every input point inside or on the hull (left of every edge)
+        for px, py in pts:
+            assert all(_cross(h[i][0], h[i][1],
+                              h[(i + 1) % m][0], h[(i + 1) % m][1],
+                              px, py) >= -1e-9 for i in range(m))
+        # starts at the lexicographically smallest vertex
+        assert tuple(h[0]) == min(map(tuple, h))
+
+
+def test_convex_hull_degenerate_inputs():
+    from proj_ray.kernels.hull import convex_hull_ccw
+
+    # all collinear: the 2-vertex extent segment
+    x = np.array([0.0, 1.0, 2.0, 3.0])
+    h = convex_hull_ccw(x, 2 * x)
+    assert h.tolist() == [[0.0, 0.0], [3.0, 6.0]]
+    # fewer than 3 distinct points: passthrough sorted
+    h = convex_hull_ccw(np.array([1.0, 1.0]), np.array([2.0, 2.0]))
+    assert h.tolist() == [[1.0, 2.0]]
+
+
+def test_cluster_convex_hull_empty_sf_keeps_schema(ray_session):
+    # sf0.001 has no cluster with >= 3 distinct coords: typed empty out
+    from proj_ray.pipelines.queries import cluster_convex_hull
+
+    hull = cluster_convex_hull(SF)
+    assert len(hull) == 0
+    assert list(hull.columns) == ["cluster", "ord", "lon", "lat"]
+
+
+def test_cluster_convex_hull_contains_members(ray_session):
+    from proj_ray.kernels.hull import _cross
+    from proj_ray.pipelines.queries import (cluster_convex_hull,
+                                            lonlat_numpy, spatial_clusters)
+
+    sf01 = "/root/testdata/sf0.01"
+    hull = cluster_convex_hull(sf01)
+    assert len(hull) > 0
+    lbl = spatial_clusters(sf01)
+    if not isinstance(lbl, pd.DataFrame):
+        lbl = lbl.to_pandas()
+    lbl = lbl.drop_duplicates("pid")
+    lon, lat = lonlat_numpy(lbl["pid"].to_numpy(np.int64))
+    lbl = lbl.assign(lon=lon, lat=lat)
+    for cl, h in list(hull.groupby("cluster"))[:50]:
+        hx = h.sort_values("ord")[["lon", "lat"]].to_numpy()
+        m = len(hx)
+        if m < 3:
+            continue
+        mem = lbl[lbl.cluster == cl]
+        for px, py in mem[["lon", "lat"]].to_numpy():
+            assert all(_cross(hx[i][0], hx[i][1],
+                              hx[(i + 1) % m][0], hx[(i + 1) % m][1],
+                              px, py) >= -1e-9 for i in range(m)), cl
