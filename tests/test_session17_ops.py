@@ -431,3 +431,35 @@ def test_cluster_convex_hull_contains_members(ray_session):
             assert all(_cross(hx[i][0], hx[i][1],
                               hx[(i + 1) % m][0], hx[(i + 1) % m][1],
                               px, py) >= -1e-9 for i in range(m)), cl
+
+
+# ---------------------------------------------------------------------------
+# cluster_diameter: hull reduction == brute force; empty-SF schema
+# ---------------------------------------------------------------------------
+
+def test_diameter_hull_reduction_equals_bruteforce():
+    from proj_ray.kernels.hull import convex_hull_ccw
+
+    rng = np.random.default_rng(21)
+    for trial in range(60):
+        n = int(rng.integers(3, 80))
+        P = (np.round(rng.uniform(-3, 3, (n, 2)), 2) if trial % 2
+             else rng.normal(size=(n, 2)))
+        P = np.unique(P, axis=0)
+        if len(P) < 3:
+            continue
+        dx = P[:, None, 0] - P[None, :, 0]
+        dy = P[:, None, 1] - P[None, :, 1]
+        brute = (dx * dx + dy * dy).max()
+        h = convex_hull_ccw(P[:, 0], P[:, 1])
+        hx = h[:, None, 0] - h[None, :, 0]
+        hy = h[:, None, 1] - h[None, :, 1]
+        assert (hx * hx + hy * hy).max() == brute
+
+
+def test_cluster_diameter_empty_sf_keeps_schema(ray_session):
+    from proj_ray.pipelines.queries import cluster_diameter
+
+    out = cluster_diameter(SF)
+    assert len(out) == 0
+    assert list(out.columns) == ["cluster", "n_distinct", "d2_deg"]
