@@ -1192,22 +1192,32 @@ def neardup_new_against_index(new_ds, index_dir: str,
             hits.append((b["band_key"].to_numpy(zero_copy_only=False),
                          b[id_col].to_numpy(zero_copy_only=False)))
 
-    # candidate (new_row, corpus_id) pairs via key -> shard-rows map
-    from collections import defaultdict
-    rows_of_key = defaultdict(list)
-    for r in range(keys_new.shape[0]):
-        for kk in keys_new[r]:
-            rows_of_key[int(kk)].append(r)
-    pairs = set()
-    for bk, cids in hits:
-        for kk, cid in zip(bk.tolist(), cids.tolist()):
-            for r in rows_of_key[kk]:
-                pairs.add((r, cid))
+    # candidate (new_row, corpus_id) pairs — fully vectorized: sort
+    # the shard's flat (key, row) pairs once, then searchsorted range
+    # expansion per matched index row (the offsets-arithmetic idiom;
+    # a per-matched-row Python loop is the scale bug when a hot band
+    # collides broadly)
+    flat_keys = keys_new.ravel()
+    flat_rows = np.repeat(np.arange(keys_new.shape[0], dtype=np.int64),
+                          keys_new.shape[1])
+    korder = np.argsort(flat_keys, kind="stable")
+    skeys, srows = flat_keys[korder], flat_rows[korder]
 
     n_cand = np.zeros(len(sh), np.int64)
     n_match = np.zeros(len(sh), np.int64)
-    if pairs:
-        cand_ids = np.unique(np.array([c for _, c in pairs], np.int64))
+    if hits:
+        bk_all = np.concatenate([h[0] for h in hits])
+        cid_all = np.concatenate([h[1] for h in hits]).astype(np.int64)
+        lo = np.searchsorted(skeys, bk_all, side="left")
+        hi = np.searchsorted(skeys, bk_all, side="right")
+        cnt = hi - lo
+        pr = srows[np.repeat(lo, cnt) + _ranges(cnt)]
+        pc_ = np.repeat(cid_all, cnt)
+        pairs = np.unique(np.stack([pr, pc_], axis=1), axis=0)
+    else:
+        pairs = np.empty((0, 2), np.int64)
+    if len(pairs):
+        cand_ids = np.unique(pairs[:, 1])
         sbuckets = np.unique(cand_ids.view(np.uint64)
                              % np.uint64(num_buckets))
         sfiles = _pruned_index_files(index_dir, "sigs", "id_bucket",
@@ -1218,22 +1228,26 @@ def neardup_new_against_index(new_ds, index_dir: str,
             m = np.isin(did, cand_ids)
             return t.filter(pa.array(m))
 
-        sig_of = {}
+        got_ids, got_sigs = [], []
         for b in (rd.read_parquet(sfiles, columns=[id_col, "sig"])
                   .map_batches(cand_only, batch_format="pyarrow",
                                batch_size=None)
                   .iter_batches(batch_size=None, batch_format="pyarrow")):
             did = b[id_col].to_numpy(zero_copy_only=False)
-            flat = b["sig"].combine_chunks().flatten().to_numpy(
-                zero_copy_only=False).reshape(len(did), num_perm)
-            for i, d in enumerate(did.tolist()):
-                sig_of[d] = flat[i]
+            got_ids.append(did.astype(np.int64))
+            got_sigs.append(b["sig"].combine_chunks().flatten().to_numpy(
+                zero_copy_only=False).reshape(len(did), num_perm))
+        cid_sorted = np.concatenate(got_ids)
+        C = np.concatenate(got_sigs, axis=0)
+        order = np.argsort(cid_sorted, kind="stable")
+        cid_sorted, C = cid_sorted[order], C[order]
+        cidx = np.searchsorted(cid_sorted, pairs[:, 1])
         need = int(np.ceil(threshold * num_perm))
-        for r, cid in pairs:
-            n_cand[r] += 1
-            agree = int((sig_new[r].view(np.int64) == sig_of[cid]).sum())
-            if agree >= need:
-                n_match[r] += 1
+        agree = (sig_new.view(np.int64)[pairs[:, 0]]
+                 == C[cidx]).sum(axis=1)
+        n_cand = np.bincount(pairs[:, 0], minlength=len(sh))
+        n_match = np.bincount(pairs[:, 0][agree >= need],
+                              minlength=len(sh))
 
     out = pd.DataFrame({id_col: new_ids, "n_candidates": n_cand,
                         "n_matched": n_match,
