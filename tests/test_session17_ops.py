@@ -463,3 +463,23 @@ def test_cluster_diameter_empty_sf_keeps_schema(ray_session):
     out = cluster_diameter(SF)
     assert len(out) == 0
     assert list(out.columns) == ["cluster", "n_distinct", "d2_deg"]
+
+
+# ---------------------------------------------------------------------------
+# triangle_count_per_node: forced-path parity (broadcast vs join)
+# ---------------------------------------------------------------------------
+
+def test_triangle_paths_agree(ray_session):
+    from proj_ray.pipelines.queries import triangle_count_per_node
+
+    # sf0.001's radius graph is triangle-free: both paths typed-empty
+    b = triangle_count_per_node(SF, path="broadcast")
+    j = triangle_count_per_node(SF, path="join")
+    assert b.equals(j) and len(b) == 0
+    # sf0.01 has real triangles: exact parity
+    sf01 = "/root/testdata/sf0.01"
+    b = triangle_count_per_node(sf01, path="broadcast")
+    j = triangle_count_per_node(sf01, path="join")
+    assert len(b) > 0 and b.equals(j)
+    with pytest.raises(ValueError):
+        triangle_count_per_node(SF, path="nope")
