@@ -483,3 +483,58 @@ def test_triangle_paths_agree(ray_session):
     assert len(b) > 0 and b.equals(j)
     with pytest.raises(ValueError):
         triangle_count_per_node(SF, path="nope")
+
+
+# ---------------------------------------------------------------------------
+# geohash_cell_agg: oracle parity + reference geohash encoding check
+# ---------------------------------------------------------------------------
+
+def _ref_geohash(lon, lat, nchars):
+    # textbook bisection geohash (independent of the bit-interleave
+    # implementation): alternate lon/lat halvings, 5 bits per char
+    alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lo_x, hi_x, lo_y, hi_y = -180.0, 180.0, -90.0, 90.0
+    bits, even, out, ch = 0, True, "", 0
+    nbits = 0
+    while len(out) < nchars:
+        if even:
+            mid = (lo_x + hi_x) / 2
+            bit = lon >= mid
+            lo_x, hi_x = (mid, hi_x) if bit else (lo_x, mid)
+        else:
+            mid = (lo_y + hi_y) / 2
+            bit = lat >= mid
+            lo_y, hi_y = (mid, hi_y) if bit else (lo_y, mid)
+        ch = (ch << 1) | int(bit)
+        nbits += 1
+        even = not even
+        if nbits == 5:
+            out += alpha[ch]
+            ch, nbits = 0, 0
+    return out
+
+
+def test_geohash_cell_agg_oracle_and_reference(ray_session):
+    from proj_ray.pipelines.queries import geohash_cell_agg, lonlat_numpy
+    import pyarrow.parquet as pq
+
+    got = geohash_cell_agg(SF).reset_index(drop=True)
+    want = _orc_tables(["lineitem"], "geohash_cell_agg")
+    assert got["gh4"].tolist() == want["gh4"].tolist()
+    for c in ["n_points", "min_pid"]:
+        assert np.array_equal(got[c].to_numpy(np.int64),
+                              want[c].to_numpy(np.int64)), c
+    # the 20-bit prefix equals the textbook bisection geohash's first
+    # 4 chars for every aggregated cell's min_pid representative
+    lon, lat = lonlat_numpy(got["min_pid"].to_numpy(np.int64))
+    for g, x, y in zip(got["gh4"], lon, lat):
+        assert g == _ref_geohash(float(x), float(y), 4)
+
+
+def _orc_tables(tables, name):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    from proj_ray.pipelines.queries import QUERIES
+    return con.sql(QUERIES[name]["sql"]).fetchdf()
