@@ -538,3 +538,27 @@ def _orc_tables(tables, name):
                     f"read_parquet('{SF}/{t}.parquet')")
     from proj_ray.pipelines.queries import QUERIES
     return con.sql(QUERIES[name]["sql"]).fetchdf()
+
+
+# ---------------------------------------------------------------------------
+# tile_pyramid_counts: pyramid consistency invariants
+# ---------------------------------------------------------------------------
+
+def test_tile_pyramid_consistency(ray_session):
+    import pyarrow.parquet as pq
+    from proj_ray.pipelines.queries import (_PYR_ZMAX, _PYR_ZMIN,
+                                            tile_pyramid_counts)
+
+    out = tile_pyramid_counts(SF)
+    li = pq.read_table(f"{SF}/lineitem.parquet", columns=["l_orderkey"])
+    total = li.num_rows
+    for z in range(_PYR_ZMIN, _PYR_ZMAX + 1):
+        lvl = out[out.z == z]
+        assert int(lvl.n_points.sum()) == total, z
+    # every parent equals the sum of its <= 4 children
+    for z in range(_PYR_ZMIN, _PYR_ZMAX):
+        par = out[out.z == z].set_index(["tx", "ty"]).n_points
+        ch = out[out.z == z + 1].copy()
+        roll = (ch.assign(tx=ch.tx // 2, ty=ch.ty // 2)
+                .groupby(["tx", "ty"]).n_points.sum())
+        assert par.sort_index().equals(roll.sort_index()), z
