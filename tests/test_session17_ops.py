@@ -562,3 +562,22 @@ def test_tile_pyramid_consistency(ray_session):
         roll = (ch.assign(tx=ch.tx // 2, ty=ch.ty // 2)
                 .groupby(["tx", "ty"]).n_points.sum())
         assert par.sort_index().equals(roll.sort_index()), z
+
+
+def test_minhash_index_append_equals_whole(ray_session, tmp_path):
+    # the docstring's incremental claim: building the index in two
+    # shard appends answers probes identically to one whole build
+    import ray.data as rd
+    from proj_ray.functions.dedup import (build_minhash_index,
+                                          neardup_new_against_index)
+    from proj_ray.pipelines.queries import read_table
+
+    docs = read_table(SF, "documents",
+                      columns=["doc_id", "text"]).to_pandas()
+    whole, appended = str(tmp_path / "w"), str(tmp_path / "a")
+    build_minhash_index(rd.from_pandas(docs), whole)
+    build_minhash_index(rd.from_pandas(docs.iloc[:250]), appended)
+    build_minhash_index(rd.from_pandas(docs.iloc[250:]), appended)
+    probe = rd.from_pandas(docs.iloc[100:120])
+    assert neardup_new_against_index(probe, whole).equals(
+        neardup_new_against_index(probe, appended))
