@@ -581,3 +581,41 @@ def test_minhash_index_append_equals_whole(ray_session, tmp_path):
     probe = rd.from_pandas(docs.iloc[100:120])
     assert neardup_new_against_index(probe, whole).equals(
         neardup_new_against_index(probe, appended))
+
+
+# ---------------------------------------------------------------------------
+# kmeans_lloyd: scalar replica at sf0.001 + quantized-sum invariance
+# ---------------------------------------------------------------------------
+
+def test_kmeans_lloyd_scalar_parity(ray_session):
+    import pyarrow.parquet as pq
+    from proj_ray.pipelines.queries import _CENT_Q, kmeans_lloyd
+
+    k, iters = 8, 4
+    got = kmeans_lloyd(SF, k=k, iters=iters).reset_index(drop=True)
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    vid = emb["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = np.array(emb["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(vid)
+    mat = mat[order]
+    qm = np.floor(mat * _CENT_Q + 0.5).astype(np.int64)
+    cent = qm[:k].astype(np.float64) / _CENT_Q
+    dim = mat.shape[1]
+    for _ in range(iters):
+        qsum = np.zeros((k, dim), np.int64)
+        cnt = np.zeros(k, np.int64)
+        for i in range(len(mat)):
+            d = ((mat[i] - cent) ** 2).sum(axis=1)
+            j = int(np.argmin(d))
+            qsum[j] += qm[i]
+            cnt[j] += 1
+        for j in range(k):
+            if cnt[j] > 0:
+                cent[j] = qsum[j].astype(np.float64) / cnt[j] / _CENT_Q
+    want_n = np.repeat(cnt, dim)
+    assert np.array_equal(got["n"].to_numpy(np.int64), want_n)
+    assert np.array_equal(got["qsum"].to_numpy(np.int64), qsum.ravel())
+    # the loop actually moved the model: sizes are a real partition
+    assert cnt.sum() == len(mat) and (cnt > 0).sum() >= 2
