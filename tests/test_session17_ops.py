@@ -619,3 +619,37 @@ def test_kmeans_lloyd_scalar_parity(ray_session):
     assert np.array_equal(got["qsum"].to_numpy(np.int64), qsum.ravel())
     # the loop actually moved the model: sizes are a real partition
     assert cnt.sum() == len(mat) and (cnt > 0).sum() >= 2
+
+
+# ---------------------------------------------------------------------------
+# logreg_gd_train: scalar replica at sf0.001 (bit-identical weights)
+# ---------------------------------------------------------------------------
+
+def test_logreg_gd_scalar_parity(ray_session):
+    import pyarrow.parquet as pq
+    from proj_ray.pipelines.queries import _LR_Q, logreg_gd_train
+
+    got = logreg_gd_train(SF).reset_index(drop=True)
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text", "n_chars"])
+    nch = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nw = np.array([s.count(" ") + 1 for s in t["text"].to_pylist()],
+                  np.int64)
+    n = len(nch)
+    thr = int(np.sort(nch)[(n - 1) // 2])
+    y = (nch > thr).astype(np.float64)
+    X = np.stack([np.ones(n), nw / 128.0, (nch - thr) / 1024.0], axis=1)
+    w = np.zeros(3)
+    for _ in range(20):
+        z = X[:, 0] * w[0] + X[:, 1] * w[1] + X[:, 2] * w[2]
+        p = 1.0 / (1.0 + np.exp(-z))
+        qg = np.floor(((p - y)[:, None] * X) * _LR_Q + 0.5).astype(np.int64)
+        w = w - 2.0 * qg.sum(axis=0).astype(np.float64) / n / _LR_Q
+    z = X[:, 0] * w[0] + X[:, 1] * w[1] + X[:, 2] * w[2]
+    correct = int(((1.0 / (1.0 + np.exp(-z)) >= 0.5) == (y == 1)).sum())
+    assert got["w_micro"].tolist() == np.floor(
+        w * (1 << 30) + 0.5).astype(np.int64).tolist()
+    assert (got["n_correct"] == correct).all()
+    assert (got["n_total"] == n).all()
+    # the probe actually learned the separable label
+    assert correct > 0.8 * n
