@@ -653,3 +653,45 @@ def test_logreg_gd_scalar_parity(ray_session):
     assert (got["n_total"] == n).all()
     # the probe actually learned the separable label
     assert correct > 0.8 * n
+
+
+# ---------------------------------------------------------------------------
+# user_longest_streak + returnflag_price_gini: oracle + scalar checks
+# ---------------------------------------------------------------------------
+
+def test_user_longest_streak_scalar(ray_session):
+    import pyarrow.parquet as pq
+    from proj_ray.pipelines.queries import user_longest_streak
+
+    got = user_longest_streak(SF).set_index("user_id")
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    ev["day"] = (ev.ts.astype("int64") // 86_400_000_000).astype(int)
+    for uid, g in list(ev.groupby("user_id"))[:100]:
+        days = sorted(set(g["day"]))
+        best = cur = 1
+        for a, b in zip(days, days[1:]):
+            cur = cur + 1 if b == a + 1 else 1
+            best = max(best, cur)
+        assert int(got.loc[uid, "longest_streak"]) == best, uid
+        assert int(got.loc[uid, "n_active_days"]) == len(days), uid
+
+
+def test_gini_scalar(ray_session):
+    import pyarrow.parquet as pq
+    from proj_ray.pipelines.queries import returnflag_price_gini
+
+    got = returnflag_price_gini(SF).set_index("l_returnflag")
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_returnflag", "l_extendedprice"]
+                       ).to_pandas()
+    li["v"] = np.floor(li.l_extendedprice * 100.0 + 0.5).astype(np.int64)
+    for rf, g in li.groupby("l_returnflag"):
+        x = np.sort(g["v"].to_numpy(np.int64))
+        n = len(x)
+        r = int((np.arange(1, n + 1, dtype=np.int64) * x).sum())
+        t = int(x.sum())
+        assert int(got.loc[rf, "gini_num"]) == 2 * r - (n + 1) * t, rf
+        assert int(got.loc[rf, "gini_den"]) == n * t, rf
+        # sanity: Gini of a positive distribution lies in [0, 1)
+        assert 0.0 <= got.loc[rf, "gini"] < 1.0
