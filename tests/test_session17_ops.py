@@ -695,3 +695,41 @@ def test_gini_scalar(ray_session):
         assert int(got.loc[rf, "gini_den"]) == n * t, rf
         # sanity: Gini of a positive distribution lies in [0, 1)
         assert 0.0 <= got.loc[rf, "gini"] < 1.0
+
+
+# ---------------------------------------------------------------------------
+# hard_negatives_topk: label exclusion + scalar replica at sf0.001
+# ---------------------------------------------------------------------------
+
+def test_hard_negatives_excludes_own_label(ray_session):
+    import pyarrow.parquet as pq
+    from proj_ray.pipelines.queries import hard_negatives_topk
+
+    got = hard_negatives_topk(SF).to_pandas()
+    emb = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["vec_id", "label"]).to_pandas()
+    lab_of = dict(zip(emb.vec_id.astype(int), emb.label.astype(int)))
+    qlab = {j: lab_of[j] for j in range(3)}
+    assert len(got) == 30
+    for _, r in got.iterrows():
+        assert lab_of[int(r.vec_id)] != qlab[int(r.qid)]
+        assert int(r.vec_id) != int(r.qid)
+    # scalar replica: full matrix argsort with the same comparator
+    M = np.array(pq.read_table(f"{SF}/embeddings.parquet")
+                 .to_pandas().sort_values("vec_id").embedding.tolist(),
+                 dtype=np.float32)
+    vid = np.arange(len(M))
+    lab = np.array([lab_of[i] for i in vid])
+    Q = M[:3]
+    Qn = (Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True),
+                         1e-30)).astype(np.float32)
+    norms = np.where(np.linalg.norm(M, axis=1) == 0, 1.0,
+                     np.linalg.norm(M, axis=1))
+    sims = (M @ Qn.T) / norms[:, None]
+    for j in range(3):
+        ok = (lab != lab[j]) & (vid != j)
+        s, ids = sims[:, j][ok], vid[ok]
+        sel = np.lexsort((ids, -s))[:10]
+        want = ids[sel].tolist()
+        assert got[got.qid == j].sort_values("rank").vec_id.tolist() \
+            == want, j
