@@ -733,3 +733,24 @@ def test_hard_negatives_excludes_own_label(ray_session):
         want = ids[sel].tolist()
         assert got[got.qid == j].sort_values("rank").vec_id.tolist() \
             == want, j
+
+
+# ---------------------------------------------------------------------------
+# cms_user_counts: CMS invariants (no undercount; merge = whole)
+# ---------------------------------------------------------------------------
+
+def test_cms_no_undercount_and_oracle(ray_session):
+    from proj_ray.pipelines.queries import cms_user_counts
+
+    got = cms_user_counts(SF).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    from proj_ray.pipelines.queries import QUERIES
+    want = con.sql(QUERIES["cms_user_counts"]["sql"]).fetchdf()
+    for c in ["user_id", "true_count", "cms_est", "overcount"]:
+        assert np.array_equal(got[c].to_numpy(np.int64),
+                              want[c].to_numpy(np.int64)), c
+    # the CMS guarantee: estimates never undercount
+    assert (got.overcount >= 0).all()
+    assert (got.cms_est >= got.true_count).all()
