@@ -754,3 +754,33 @@ def test_cms_no_undercount_and_oracle(ray_session):
     # the CMS guarantee: estimates never undercount
     assert (got.overcount >= 0).all()
     assert (got.cms_est >= got.true_count).all()
+
+
+# ---------------------------------------------------------------------------
+# setsim_join_exact: losslessness vs brute force at sf0.001
+# ---------------------------------------------------------------------------
+
+def test_setsim_join_lossless(ray_session):
+    import pyarrow.parquet as pq
+    from proj_ray.pipelines.queries import _SSJ_T, setsim_join_exact
+
+    got = setsim_join_exact(SF).reset_index(drop=True)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    bsets = {}
+    for _, r in docs.iterrows():
+        ws = r.text.split(" ")
+        bsets[int(r.doc_id)] = {f"{a} {b}" for a, b in zip(ws, ws[1:])}
+    ids = sorted(bsets)
+    want = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            A, B = bsets[a], bsets[b]
+            inter = len(A & B)
+            if inter and inter / (len(A) + len(B) - inter) >= _SSJ_T:
+                want.append((a, b, inter, len(A), len(B)))
+    got_t = [tuple(r) for r in
+             got[["doc_a", "doc_b", "n_inter", "n_a", "n_b"]]
+             .itertuples(index=False)]
+    assert got_t == want           # lossless: exact same pair set
+    assert len(want) > 0           # the corpus has seeded near-dups
