@@ -784,3 +784,45 @@ def test_setsim_join_lossless(ray_session):
              .itertuples(index=False)]
     assert got_t == want           # lossless: exact same pair set
     assert len(want) > 0           # the corpus has seeded near-dups
+
+
+# ---------------------------------------------------------------------------
+# kcore_nodes + degree_assortativity: scalar invariants at sf0.001
+# ---------------------------------------------------------------------------
+
+def test_kcore_properties(ray_session):
+    from proj_ray.pipelines.queries import kcore_nodes
+
+    # sf0.001's 30 km graph has no 3-core (verified by scalar peel)
+    out = kcore_nodes(SF)
+    assert len(out) == 0
+    assert list(out.columns) == ["pid", "core_degree"]
+    # k=1 core = all non-isolated nodes with their full degree
+    out1 = kcore_nodes(SF, k=1)
+    assert len(out1) > 0
+    assert (out1.core_degree >= 1).all()
+
+
+def test_degree_assortativity_scalar(ray_session):
+    from proj_ray.pipelines.queries import degree_assortativity
+    from proj_ray.pipelines.queries import _points_ds, _PAIR_RADIUS_M
+    from proj_ray.stages.pairjoin import radius_pair_join_stage
+
+    got = degree_assortativity(SF)
+    e = radius_pair_join_stage(_points_ds(SF), _PAIR_RADIUS_M).to_pandas()
+    a = e.pid_a.to_numpy(np.int64)
+    b = e.pid_b.to_numpy(np.int64)
+    ids = np.concatenate([a, b])
+    u, c = np.unique(ids, return_counts=True)
+    deg = dict(zip(u.tolist(), c.tolist()))
+    x = np.array([deg[i] for i in a] + [deg[i] for i in b], np.int64)
+    y = np.array([deg[i] for i in b] + [deg[i] for i in a], np.int64)
+    m2 = len(x)
+    assert int(got.m2.iloc[0]) == m2
+    assert int(got.sx.iloc[0]) == int(x.sum())
+    assert int(got.sxx.iloc[0]) == int((x * x).sum())
+    assert int(got.sxy.iloc[0]) == int((x * y).sum())
+    den = int(m2 * (x * x).sum() - x.sum() ** 2)
+    want_r = 0.0 if den == 0 else \
+        float(m2 * (x * y).sum() - x.sum() ** 2) / den
+    assert abs(got.assortativity.iloc[0] - want_r) < 1e-12
