@@ -27,7 +27,8 @@ Semantics: INNER equi-join on non-null keys (callers guarantee non-null
 join keys, as every engine query does; pandas' NaN==NaN merge quirk is
 therefore unreachable).
 
-Consumer caveat (pinned by tests/test_hashjoin.py): project the OUTPUT
+Consumer caveat (pinned by tests/test_session18_ops.py::
+test_bucket_hash_join_multi_key_and_chained): project the OUTPUT
 with a ``map_batches`` frame slice, NOT ``select_columns`` — Ray
 2.49.2's Project pushdown re-plans through this operator's
 union+sort lineage when the result feeds another shuffle and misplaces
@@ -42,12 +43,19 @@ import pandas as pd
 import pyarrow as pa
 
 
-def _key_bucket(df: pd.DataFrame, on: list[str], num_buckets: int):
+def _key_bucket(df: pd.DataFrame, on: list[str], num_buckets: int,
+                key_dtypes: list):
     """Deterministic bucket id from the key VALUES: both sides must
     hash identically, so the key frame is renamed to positional names
-    before hashing (pd.util.hash_pandas_object keys on column name)."""
+    AND cast to the LEFT side's key dtypes before hashing —
+    pd.util.hash_pandas_object keys on both column name and dtype
+    (int64 1 and float64 1.0 hash differently), so without the cast a
+    dtype-drifted side would silently bucket equal keys apart."""
     kf = df[list(on)].copy()
     kf.columns = [f"_k{i}" for i in range(len(on))]
+    for c, dt in zip(kf.columns, key_dtypes):
+        if dt is not None and kf[c].dtype != dt:
+            kf[c] = kf[c].astype(dt)
     h = pd.util.hash_pandas_object(kf, index=False).to_numpy()
     return (h % np.uint64(num_buckets)).astype(np.int64)
 
@@ -105,9 +113,17 @@ def bucket_hash_join(left, right, left_on, right_on=None,
               + [pa.field(c, rtypes[c]) for c in rpayload])
     union_schema = pa.schema(fields)
 
+    # both sides hash their keys AS the left side's pandas dtypes, so a
+    # dtype-drifted side (int64 vs float64) still buckets equal values
+    # together; the union cast below makes the merge see them equal too
+    key_dtypes = [ltypes[c].to_pandas_dtype()
+                  if (pa.types.is_integer(ltypes[c])
+                      or pa.types.is_floating(ltypes[c])) else None
+                  for c in left_on]
+
     def tag(seq: int, on: list[str]):
         def fn(df: pd.DataFrame) -> pa.Table:
-            bkt = _key_bucket(df, on, num_buckets)
+            bkt = _key_bucket(df, on, num_buckets, key_dtypes)
             n = len(df)
             arrays = [pa.array(np.full(n, seq, np.int8), pa.int8()),
                       pa.array(bkt, pa.int64())]
@@ -153,6 +169,12 @@ def bucket_hash_join(left, right, left_on, right_on=None,
                                        batch_size=None)))
 
     out_cols = lcols + rpayload
+    # pin the output schema explicitly: from_pandas re-INFERENCE would
+    # type an all-null bucket's string column as `null` and hand
+    # downstream consumers mixed block schemas — the same failure class
+    # this operator exists to fix
+    out_schema = pa.schema([pa.field(c, ltypes[c]) for c in lcols]
+                           + [pa.field(c, rtypes[c]) for c in rpayload])
 
     def merge(t: pa.Table) -> pa.Table:
         seq = t["_seq"].to_numpy(zero_copy_only=False)
@@ -167,7 +189,8 @@ def bucket_hash_join(left, right, left_on, right_on=None,
         out = ldf.merge(rdf, left_on=left_on,
                         right_on=[f"_rk{i}" for i in range(len(left_on))],
                         how="inner")
-        return pa.Table.from_pandas(out[out_cols], preserve_index=False)
+        return pa.Table.from_pandas(out[out_cols], schema=out_schema,
+                                    preserve_index=False)
 
     return (tagged.groupby("_bkt")
             .map_groups(merge, batch_format="pyarrow"))

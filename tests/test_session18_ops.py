@@ -128,6 +128,43 @@ def test_bucket_hash_join_multi_key_and_chained(ray_session):
     _frames_equal(got2, want2)
 
 
+def test_bucket_hash_join_dtype_drift_and_null_payload(ray_session):
+    """Two latent-defect pins: (1) a float64-drifted key column must
+    still bucket with the int64 side (hash_pandas_object is
+    dtype-sensitive, so keys hash as the LEFT side's dtype); (2) a
+    bucket whose string payload is matched all-null must not re-infer
+    a `null`-typed column (output schema is pinned explicitly)."""
+    import pyarrow as pa
+    import ray.data
+
+    from proj_ray.stages.hashjoin import bucket_hash_join
+
+    L = pd.DataFrame({"k": np.array([1, 2, 3, 4] * 25, np.int64),
+                      "a": np.arange(100, dtype=np.int64)})
+    # right key drifted to float64 (e.g. through a null-bearing pandas
+    # round-trip upstream) — values still integral
+    R = pd.DataFrame({"rk": np.array([1.0, 3.0], np.float64),
+                      "b": np.array([10, 30], np.int64)})
+    got = bucket_hash_join(ray.data.from_pandas(L).repartition(4),
+                           ray.data.from_pandas(R).repartition(2),
+                           ["k"], ["rk"]).to_pandas()
+    want = L.merge(R, left_on="k", right_on="rk",
+                   how="inner").drop(columns=["rk"])
+    assert len(got) == len(want) == 50
+
+    # all-null string payload in the matched rows
+    R2 = pd.DataFrame({"rk": np.array([1, 2], np.int64),
+                       "s": pd.Series([None, None], dtype=object)})
+    j = bucket_hash_join(ray.data.from_pandas(L).repartition(4),
+                         ray.data.from_pandas(R2).repartition(2),
+                         ["k"], ["rk"]).materialize()
+    types = {str(b.schema.field("s").type)
+             for b in j.iter_batches(batch_size=None,
+                                     batch_format="pyarrow")}
+    assert types <= {"string", "large_string"}, types
+    assert j.count() == 50
+
+
 # ---------------------------------------------------------------- q-pack
 
 def test_q7_matches_oracle_both_paths(ray_session):
