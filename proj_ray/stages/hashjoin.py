@@ -61,21 +61,34 @@ def _key_bucket(df: pd.DataFrame, on: list[str], num_buckets: int,
 
 
 def bucket_hash_join(left, right, left_on, right_on=None,
-                     num_buckets: int = 64):
-    """Distributed inner equi-join: Dataset x Dataset -> Dataset.
+                     num_buckets: int = 64, how: str = "inner"):
+    """Distributed equi-join: Dataset x Dataset -> Dataset.
 
     ``left_on`` / ``right_on`` are column-name lists (``right_on``
-    defaults to ``left_on``).  Output columns: all left columns, then
-    all right columns except its join keys (matching
-    ``Dataset.join``'s inner output minus the duplicated key).  Rows
-    with null keys never match (inner-join semantics; engine callers
-    pass non-null keys).
+    defaults to ``left_on``).  ``how``:
+
+    - ``inner`` (default) / ``left_outer``: output is all left columns
+      then all right columns except its join keys (matching
+      ``Dataset.join``'s output minus the duplicated key); left_outer
+      emits unmatched left rows with null right payload (numeric
+      payload columns therefore come back Arrow-nullable — consumers
+      converting to pandas see NaN-floated ints, the standard pandas
+      representation).
+    - ``left_semi`` / ``left_anti``: output is the left columns only —
+      left rows with at least one / no right match.  These replace the
+      broadcast ``np.isin`` idiom when the key side outgrows a
+      broadcast, with none of Ray ``Dataset.join``'s sparse-side
+      crashes.
+
+    Rows with null keys never match (callers pass non-null keys).
     """
     left_on = [left_on] if isinstance(left_on, str) else list(left_on)
     right_on = (left_on if right_on is None
                 else ([right_on] if isinstance(right_on, str)
                       else list(right_on)))
     assert len(left_on) == len(right_on)
+    if how not in ("inner", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(f"bucket_hash_join: unknown how {how!r}")
 
     def arrow_schema(ds) -> pa.Schema:
         """Normalize Dataset.schema() to a pyarrow schema: Arrow-block
@@ -168,27 +181,49 @@ def bucket_hash_join(left, right, left_on, right_on=None,
                                        batch_format="pandas",
                                        batch_size=None)))
 
-    out_cols = lcols + rpayload
+    keep_payload = how in ("inner", "left_outer")
+    out_cols = lcols + rpayload if keep_payload else lcols
     # pin the output schema explicitly: from_pandas re-INFERENCE would
     # type an all-null bucket's string column as `null` and hand
     # downstream consumers mixed block schemas — the same failure class
     # this operator exists to fix
-    out_schema = pa.schema([pa.field(c, ltypes[c]) for c in lcols]
-                           + [pa.field(c, rtypes[c]) for c in rpayload])
+    out_schema = pa.schema(
+        [pa.field(c, ltypes[c]) for c in lcols]
+        + ([pa.field(c, rtypes[c]) for c in rpayload]
+           if keep_payload else []))
+    rks = [f"_rk{i}" for i in range(len(left_on))]
 
     def merge(t: pa.Table) -> pa.Table:
         seq = t["_seq"].to_numpy(zero_copy_only=False)
         lt = t.filter(pa.array(seq == 0)).select(lcols)
         rt = t.filter(pa.array(seq == 1)).select(
             [c for c in left_on] + rpayload)
-        if lt.num_rows == 0 or rt.num_rows == 0:
+        if lt.num_rows == 0:
             return t.select(out_cols).slice(0, 0)
+        if rt.num_rows == 0:
+            if how == "left_anti":
+                return lt  # no matches possible: every left row survives
+            if how == "left_outer":
+                ldf = lt.to_pandas()
+                for c in rpayload:
+                    ldf[c] = None
+                return pa.Table.from_pandas(
+                    ldf[out_cols], schema=out_schema,
+                    preserve_index=False)
+            return t.select(out_cols).slice(0, 0)  # inner / left_semi
         ldf = lt.to_pandas()
         rdf = rt.to_pandas()
-        rdf.columns = [f"_rk{i}" for i in range(len(left_on))] + rpayload
-        out = ldf.merge(rdf, left_on=left_on,
-                        right_on=[f"_rk{i}" for i in range(len(left_on))],
-                        how="inner")
+        rdf.columns = rks + rpayload
+        if how in ("left_semi", "left_anti"):
+            probe = ldf[left_on].merge(
+                rdf[rks].drop_duplicates(), left_on=left_on,
+                right_on=rks, how="left", indicator=True)
+            hit = (probe["_merge"].to_numpy() == "both")
+            out = ldf[hit] if how == "left_semi" else ldf[~hit]
+        else:
+            out = ldf.merge(rdf, left_on=left_on, right_on=rks,
+                            how=("left" if how == "left_outer"
+                                 else "inner"))
         return pa.Table.from_pandas(out[out_cols], schema=out_schema,
                                     preserve_index=False)
 

@@ -165,6 +165,58 @@ def test_bucket_hash_join_dtype_drift_and_null_payload(ray_session):
     assert j.count() == 50
 
 
+def test_bucket_hash_join_how_variants(ray_session):
+    """left_outer / left_semi / left_anti against pandas ground truth,
+    dense and sparse (1-row) right sides."""
+    import ray.data
+
+    from proj_ray.stages.hashjoin import bucket_hash_join
+
+    rng = np.random.RandomState(7)
+    L = pd.DataFrame({"k": rng.randint(0, 40, 1000).astype(np.int64),
+                      "a": rng.randn(1000)})
+    R = pd.DataFrame({"rk": rng.randint(20, 60, 80).astype(np.int64),
+                      "b": rng.randint(-5, 5, 80).astype(np.int64)})
+    lds = ray.data.from_pandas(L).repartition(5)
+    rds = ray.data.from_pandas(R).repartition(4)
+
+    def norm(df, cols):
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    got = bucket_hash_join(lds, rds, ["k"], ["rk"],
+                           how="left_outer").to_pandas()
+    want = L.merge(R, left_on="k", right_on="rk",
+                   how="left").drop(columns=["rk"])
+    g, w = norm(got, ["k", "a", "b"]), norm(want, ["k", "a", "b"])
+    assert len(g) == len(w)
+    for c in ("k", "a", "b"):
+        assert np.array_equal(g[c].to_numpy(), w[c].to_numpy(),
+                              equal_nan=(g[c].dtype == float)), c
+
+    got = bucket_hash_join(lds, rds, ["k"], ["rk"],
+                           how="left_semi").to_pandas()
+    assert norm(got, ["k", "a"]).equals(
+        norm(L[L["k"].isin(R["rk"])], ["k", "a"]))
+
+    got = bucket_hash_join(lds, rds, ["k"], ["rk"],
+                           how="left_anti").to_pandas()
+    assert norm(got, ["k", "a"]).equals(
+        norm(L[~L["k"].isin(R["rk"])], ["k", "a"]))
+
+    # sparse right side (most hash partitions see no right rows)
+    R1 = pd.DataFrame({"rk": np.array([5], np.int64),
+                       "b": np.array([1], np.int64)})
+    rds1 = ray.data.from_pandas(R1).repartition(4)
+    n5 = int((L["k"] == 5).sum())
+    for how, wantlen in [("inner", n5), ("left_outer", len(L)),
+                         ("left_semi", n5), ("left_anti", len(L) - n5)]:
+        assert bucket_hash_join(lds, rds1, ["k"], ["rk"],
+                                how=how).count() == wantlen, how
+
+    with pytest.raises(ValueError):
+        bucket_hash_join(lds, rds, ["k"], ["rk"], how="right_outer")
+
+
 # ---------------------------------------------------------------- q-pack
 
 def test_q7_matches_oracle_both_paths(ray_session):
