@@ -270,6 +270,16 @@ def test_q15_matches_oracle(ray_session):
     assert len(got) >= 1  # at least one winner
 
 
+def test_suppliers_no_recent_sales_both_paths(ray_session):
+    from proj_ray.pipelines.queries import suppliers_no_recent_sales
+
+    want = _oracle("suppliers_no_recent_sales", ["supplier", "lineitem"])
+    for path in ("broadcast", "join"):
+        got = suppliers_no_recent_sales(SF, path=path)
+        _frames_equal(got, want)
+    assert len(want) >= 1  # the cutoff leaves idle suppliers at sf0.001
+
+
 def test_q17_matches_oracle_both_paths(ray_session):
     from proj_ray.pipelines.queries import q17_small_quantity_revenue
 
