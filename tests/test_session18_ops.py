@@ -280,6 +280,19 @@ def test_suppliers_no_recent_sales_both_paths(ray_session):
     assert len(want) >= 1  # the cutoff leaves idle suppliers at sf0.001
 
 
+def test_supplier_recent_revenue_all_both_paths(ray_session):
+    from proj_ray.pipelines.queries import supplier_recent_revenue_all
+
+    want = _oracle("supplier_recent_revenue_all",
+                   ["supplier", "lineitem"])
+    for path in ("broadcast", "join"):
+        got = supplier_recent_revenue_all(SF, path=path)
+        _frames_equal(got, want)
+        assert got["revenue_cents2"].dtype == np.int64
+    # the outer branch carries weight: some suppliers really are idle
+    assert (want["revenue_cents2"] == 0).sum() >= 1
+
+
 def test_q17_matches_oracle_both_paths(ray_session):
     from proj_ray.pipelines.queries import q17_small_quantity_revenue
 
