@@ -293,6 +293,16 @@ def test_supplier_recent_revenue_all_both_paths(ray_session):
     assert (want["revenue_cents2"] == 0).sum() >= 1
 
 
+def test_parts_with_large_orders_both_paths(ray_session):
+    from proj_ray.pipelines.queries import parts_with_large_orders
+
+    want = _oracle("parts_with_large_orders", ["part", "lineitem"])
+    for path in ("broadcast", "join"):
+        _frames_equal(parts_with_large_orders(SF, path=path), want)
+    # neither trivial nor all-covering: a real subset of the part dim
+    assert 0 < len(want) < 200
+
+
 def test_q17_matches_oracle_both_paths(ray_session):
     from proj_ray.pipelines.queries import q17_small_quantity_revenue
 
