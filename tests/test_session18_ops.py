@@ -303,6 +303,29 @@ def test_parts_with_large_orders_both_paths(ray_session):
     assert 0 < len(want) < 200
 
 
+def test_acctbal_percent_rank_bitwise(ray_session):
+    """pr = count_less/(n-1) must be BIT-identical to PERCENT_RANK:
+    same integer division operands, same double op."""
+    from proj_ray.pipelines.queries import acctbal_percent_rank
+
+    got = acctbal_percent_rank(SF)
+    want = _oracle("acctbal_percent_rank", ["customer"])
+    _frames_equal(got, want)
+    assert got["pr"].dtype == np.float64
+    # ties share a pr; min is 0, max is (n-k)/(n-1) <= 1
+    assert got["pr"].min() == 0.0 and got["pr"].max() <= 1.0
+
+
+def test_returnflag_corr_bitwise(ray_session):
+    from proj_ray.pipelines.queries import returnflag_qty_discount_corr
+
+    got = returnflag_qty_discount_corr(SF)
+    want = _oracle("returnflag_qty_discount_corr", ["lineitem"])
+    _frames_equal(got, want)
+    # correlations are genuine values in (-1, 1), not degenerate
+    assert (np.abs(got["corr_qd"].to_numpy()) < 1.0).all()
+
+
 def test_q17_matches_oracle_both_paths(ray_session):
     from proj_ray.pipelines.queries import q17_small_quantity_revenue
 
