@@ -326,6 +326,16 @@ def test_returnflag_corr_bitwise(ray_session):
     assert (np.abs(got["corr_qd"].to_numpy()) < 1.0).all()
 
 
+def test_nation_customer_csv_byte_exact(ray_session):
+    from proj_ray.pipelines.queries import nation_customer_csv
+
+    got = nation_customer_csv(SF)
+    want = _oracle("nation_customer_csv", ["customer"])
+    _frames_equal(got, want)
+    # the CSV really is in custkey order and covers every customer
+    assert int(got["n_custs"].sum()) == 150
+
+
 def test_q17_matches_oracle_both_paths(ray_session):
     from proj_ray.pipelines.queries import q17_small_quantity_revenue
 
