@@ -1,0 +1,221 @@
+"""Round-5 session-19 operators, each pinned against an INDEPENDENT
+scalar/single-process implementation (not the engine path, not the
+DuckDB oracle): grouped OLS regression, per-user Shannon entropy,
+2-D skyline, distributed embedding covariance + PCA projection,
+column profiling, Markov transition counts."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------- regression
+
+def test_regr_matches_scalar_ols(ray_session):
+    from proj_ray.pipelines.queries import linestatus_price_qty_regr
+
+    got = linestatus_price_qty_regr(SF)
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_linestatus", "l_quantity", "l_extendedprice"]
+    ).to_pandas()
+    for _, row in got.iterrows():
+        sub = li[li["l_linestatus"] == row["l_linestatus"]]
+        x = sub["l_quantity"].to_numpy(np.float64)
+        y = np.floor(sub["l_extendedprice"].to_numpy() * 100.0
+                     + 0.5)  # cents
+        slope, intercept = np.polyfit(x, y, 1)
+        assert abs(row["slope"] - slope) < 1e-6 * abs(slope)
+        assert abs(row["intercept"] - intercept) < 1e-6 * abs(intercept)
+        assert row["n"] == len(sub)
+
+
+# ---------------------------------------------------------------- entropy
+
+def test_entropy_matches_scalar(ray_session):
+    from proj_ray.pipelines.queries import user_event_entropy
+
+    got = user_event_entropy(SF).set_index("user_id")
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_type"]).to_pandas()
+    for uid, sub in ev.groupby("user_id"):
+        cnt = sub.groupby("event_type").size().sort_index()
+        p = cnt.to_numpy(np.float64) / float(cnt.sum())
+        acc = 0.0
+        for t in p * np.log(p):  # same left fold, type-ascending
+            acc += t
+        want = np.floor(-acc * 1.0e6 + 0.5) / 1.0e6
+        assert got.loc[uid, "entropy"] == want, uid
+        assert got.loc[uid, "n_events"] == len(sub)
+    assert len(got) == ev["user_id"].nunique()
+    # single-type users must canonicalize to +0.0, not -0.0
+    one = got[got["entropy"] == 0.0]
+    if len(one):
+        assert not np.signbit(one["entropy"].to_numpy()).any()
+
+
+# ---------------------------------------------------------------- skyline
+
+def test_skyline_matches_bruteforce(ray_session):
+    from proj_ray.pipelines.queries import order_skyline
+
+    got = order_skyline(SF)
+    o = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    p = np.floor(o["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    d = o["o_orderdate"].astype("int64").to_numpy()
+    keep = []
+    for i in range(len(o)):
+        dom = ((p >= p[i]) & (d >= d[i])
+               & ((p > p[i]) | (d > d[i])))
+        if not dom.any():
+            keep.append(int(o["o_orderkey"].iloc[i]))
+    assert sorted(got["o_orderkey"].tolist()) == sorted(keep)
+
+
+def test_sky_pairs_bruteforce_random():
+    from proj_ray.pipelines.queries import _sky_member, _sky_pairs
+
+    rng = np.random.RandomState(7)
+    for trial in range(20):
+        n = rng.randint(1, 60)
+        p = rng.randint(0, 8, n).astype(np.int64)
+        d = rng.randint(0, 8, n).astype(np.int64)  # many exact ties
+        fp, fd = _sky_pairs(p, d)
+        m = _sky_member(p, d, fp, fd)
+        for i in range(n):
+            dom = ((p >= p[i]) & (d >= d[i])
+                   & ((p > p[i]) | (d > d[i])))
+            assert m[i] == (not dom.any()), (trial, i)
+
+
+def test_skyline_associative_under_splits():
+    """Local-frontier-then-merge must equal the single-pass frontier
+    for ANY block split (the distributed path's correctness lemma)."""
+    from proj_ray.pipelines.queries import _sky_member, _sky_pairs
+
+    rng = np.random.RandomState(11)
+    p = rng.randint(0, 1000, 500).astype(np.int64)
+    d = rng.randint(0, 1000, 500).astype(np.int64)
+    fp, fd = _sky_pairs(p, d)
+    want = set(zip(fp.tolist(), fd.tolist()))
+    for nsplit in (2, 3, 7):
+        parts = np.array_split(np.arange(500), nsplit)
+        cp, cd = [], []
+        for idx in parts:
+            lp, ld = _sky_pairs(p[idx], d[idx])
+            mloc = _sky_member(p[idx], d[idx], lp, ld)
+            cp.append(p[idx][mloc])
+            cd.append(d[idx][mloc])
+        gp, gd = _sky_pairs(np.concatenate(cp), np.concatenate(cd))
+        assert set(zip(gp.tolist(), gd.tolist())) == want, nsplit
+
+
+# ------------------------------------------------------------- covariance
+
+def test_embedding_covariance_matches_numpy_exact(ray_session):
+    from proj_ray.pipelines.queries import embedding_covariance
+
+    got = embedding_covariance(SF)
+    M = np.stack(pq.read_table(f"{SF}/embeddings.parquet")
+                 .to_pandas()["embedding"].to_numpy())
+    Q = np.floor(M.astype(np.float64) * 10000.0 + 0.5).astype(np.int64)
+    n = np.float64(Q.shape[0])
+    G = Q.T @ Q
+    s = Q.sum(axis=0)
+    iu, ju = np.triu_indices(Q.shape[1])
+    want_sij = G[iu, ju]
+    want_cov = ((n * want_sij.astype(np.float64)
+                 - s[iu].astype(np.float64) * s[ju].astype(np.float64))
+                / (n * n)) / 1.0e8
+    g = got.sort_values(["i", "j"]).reset_index(drop=True)
+    assert np.array_equal(g["i"].to_numpy(), iu + 1)
+    assert np.array_equal(g["j"].to_numpy(), ju + 1)
+    assert np.array_equal(g["sij"].to_numpy(), want_sij)
+    assert np.array_equal(g["cov"].to_numpy(), want_cov)  # bitwise
+
+
+def test_pca_project_matches_single_process(ray_session):
+    from proj_ray.pipelines.queries import (embedding_pca_project,
+                                            pca_components)
+
+    got = embedding_pca_project(SF).to_pandas().sort_values(
+        "vec_id").reset_index(drop=True)
+    df = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    M = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    Q = np.floor(M * 10000.0 + 0.5)
+    mu = Q.mean(axis=0)
+    cov = (Q - mu).T @ (Q - mu) / Q.shape[0]
+    V = pca_components(cov, 2)
+    want = ((Q - mu) @ V) / 1.0e4
+    order = np.argsort(df["vec_id"].to_numpy())
+    want = want[order]
+    gotf = got[["pc1_micro", "pc2_micro"]].to_numpy() / 1.0e6
+    # the engine's ordered fold vs BLAS matmul -> 1e-6-grid tolerance;
+    # the sign convention must agree exactly (no abs() here)
+    assert np.allclose(gotf, want, rtol=0, atol=2e-6)
+    # projection variance must equal the top eigenvalues
+    w = np.linalg.eigvalsh(cov)[::-1][:2] / 1.0e8
+    assert np.allclose(gotf.var(axis=0), w, rtol=1e-4)
+    # determinism across runs (block-split invariance): re-run bitwise
+    again = embedding_pca_project(SF).to_pandas().sort_values(
+        "vec_id").reset_index(drop=True)
+    assert np.array_equal(
+        got[["pc1_micro", "pc2_micro"]].to_numpy(),
+        again[["pc1_micro", "pc2_micro"]].to_numpy())
+
+
+def test_pca_components_sign_deterministic():
+    from proj_ray.pipelines.queries import pca_components
+
+    rng = np.random.RandomState(3)
+    A = rng.randn(10, 10)
+    cov = A @ A.T
+    V1 = pca_components(cov, 3)
+    V2 = pca_components(cov.copy(), 3)
+    assert np.array_equal(V1, V2)
+    assert (V1[np.argmax(np.abs(V1), axis=0),
+               np.arange(3)] > 0).all()
+
+
+# ---------------------------------------------------------------- profile
+
+def test_orders_profile_matches_pandas(ray_session):
+    from proj_ray.pipelines.queries import _PROFILE_COLS, orders_profile
+
+    got = orders_profile(SF).set_index("column_name")
+    o = pq.read_table(f"{SF}/orders.parquet",
+                      columns=list(_PROFILE_COLS)).to_pandas()
+    for c in _PROFILE_COLS:
+        assert got.loc[c, "n"] == len(o)
+        assert got.loc[c, "n_null"] == int(o[c].isna().sum())
+        assert got.loc[c, "n_distinct"] == o[c].nunique(), c
+        if c in ("o_orderkey", "o_custkey"):
+            enc = o[c].to_numpy(np.int64)
+        elif c == "o_totalprice":
+            enc = np.floor(o[c].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        elif c == "o_orderdate":
+            enc = o[c].astype("int64").to_numpy()
+        else:
+            enc = o[c].str.len().to_numpy().astype(np.int64)
+        assert got.loc[c, "min_enc"] == enc.min(), c
+        assert got.loc[c, "max_enc"] == enc.max(), c
+
+
+# ------------------------------------------------------------ transitions
+
+def test_transitions_match_scalar(ray_session):
+    from proj_ray.pipelines.queries import event_transition_counts
+
+    got = event_transition_counts(SF)
+    ev = pq.read_table(
+        f"{SF}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"]).to_pandas()
+    want: dict = {}
+    for _, sub in ev.groupby("user_id"):
+        t = sub.sort_values(["ts", "event_id"])["event_type"].tolist()
+        for a, b in zip(t, t[1:]):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    gd = {(r.prev_type, r.next_type): r.n for r in got.itertuples()}
+    assert gd == want
