@@ -219,3 +219,41 @@ def test_transitions_match_scalar(ray_session):
             want[(a, b)] = want.get((a, b), 0) + 1
     gd = {(r.prev_type, r.next_type): r.n for r in got.itertuples()}
     assert gd == want
+
+
+# ---------------------------------------------------------------- spearman
+
+def test_spearman_matches_pandas_rank(ray_session):
+    from proj_ray.pipelines.queries import spearman_qty_discount
+
+    got = spearman_qty_discount(SF)
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_quantity", "l_discount"]).to_pandas()
+    x = li["l_quantity"].astype(np.int64)
+    y = np.floor(li["l_discount"] * 100.0 + 0.5).astype(np.int64)
+    rx = pd.Series(x).rank(method="average")
+    ry = pd.Series(y).rank(method="average")
+    want = np.corrcoef(rx, ry)[0, 1]
+    assert got["n"].iloc[0] == len(li)
+    assert abs(got["spearman_rho"].iloc[0] - want) < 1e-12
+
+
+# --------------------------------------------------------- weighted median
+
+def test_weighted_median_matches_bruteforce(ray_session):
+    from proj_ray.pipelines.queries import returnflag_weighted_median
+
+    got = returnflag_weighted_median(SF).set_index("l_returnflag")
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"]
+    ).to_pandas()
+    li["v"] = np.floor(li["l_extendedprice"] * 100.0 + 0.5).astype(np.int64)
+    li["w"] = li["l_quantity"].astype(np.int64)
+    for f, grp in li.groupby("l_returnflag"):
+        grp = grp.sort_values("v")
+        tw = int(grp["w"].sum())
+        cums = grp["w"].cumsum().to_numpy()
+        want = int(grp["v"].to_numpy()[np.flatnonzero(2 * cums >= tw)[0]])
+        assert got.loc[f, "wmedian_cents"] == want, f
+        assert got.loc[f, "total_weight"] == tw, f
