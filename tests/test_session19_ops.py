@@ -257,3 +257,69 @@ def test_weighted_median_matches_bruteforce(ray_session):
         want = int(grp["v"].to_numpy()[np.flatnonzero(2 * cums >= tw)[0]])
         assert got.loc[f, "wmedian_cents"] == want, f
         assert got.loc[f, "total_weight"] == tw, f
+
+
+# --------------------------------------------------------------- drift ops
+
+def test_chi2_matches_scalar(ray_session):
+    from proj_ray.pipelines.queries import event_dow_chi2
+
+    got = event_dow_chi2(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type"]).to_pandas()
+    d = (ev["ts"].astype("int64").to_numpy() // 86_400_000_000) % 7
+    ct = pd.crosstab(ev["event_type"], d).to_numpy().astype(np.float64)
+    n = ct.sum()
+    # alternative formulation: chi2 = n * (sum o^2/(rs*cs) - 1)
+    rs, cs = ct.sum(axis=1), ct.sum(axis=0)
+    want = n * ((ct ** 2 / np.outer(rs, cs)).sum() - 1.0)
+    assert abs(got["chi2"].iloc[0] - want) < 1e-5
+    assert got["dof"].iloc[0] == (ct.shape[0] - 1) * (ct.shape[1] - 1)
+    assert got["n"].iloc[0] == int(n)
+
+
+def test_jsd_matches_scalar_and_bounds(ray_session):
+    from proj_ray.pipelines.queries import weekpart_type_jsd
+
+    got = weekpart_type_jsd(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type"]).to_pandas()
+    d = (ev["ts"].astype("int64").to_numpy() // 86_400_000_000) % 7
+    a = ev.loc[d < 5, "event_type"].value_counts()
+    b = ev.loc[d >= 5, "event_type"].value_counts()
+    types = sorted(set(a.index) | set(b.index))
+    p = np.array([a.get(t, 0) for t in types], np.float64) / a.sum()
+    q = np.array([b.get(t, 0) for t in types], np.float64) / b.sum()
+    m = 0.5 * (p + q)
+    want = 0.0
+    for i in range(len(types)):
+        if p[i] > 0:
+            want += 0.5 * p[i] * np.log(p[i] / m[i])
+        if q[i] > 0:
+            want += 0.5 * q[i] * np.log(q[i] / m[i])
+    assert abs(got["jsd"].iloc[0] - want) < 1e-5
+    assert 0.0 <= got["jsd"].iloc[0] <= np.log(2.0)
+    assert got["na"].iloc[0] == int(a.sum())
+    assert got["nb"].iloc[0] == int(b.sum())
+
+
+def test_ks_matches_scalar(ray_session):
+    from proj_ray.pipelines.queries import click_view_ks
+
+    got = click_view_ks(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    x = np.sort(np.floor(
+        ev.loc[ev["event_type"] == "click", "value"].to_numpy() * 100.0
+        + 0.5).astype(np.int64))
+    y = np.sort(np.floor(
+        ev.loc[ev["event_type"] == "view", "value"].to_numpy() * 100.0
+        + 0.5).astype(np.int64))
+    grid = np.unique(np.concatenate([x, y]))
+    f1 = np.searchsorted(x, grid, side="right")
+    f2 = np.searchsorted(y, grid, side="right")
+    num = int(np.abs(f1 * len(y) - f2 * len(x)).max())
+    assert got["ks_num"].iloc[0] == num
+    assert got["n1"].iloc[0] == len(x)
+    assert got["n2"].iloc[0] == len(y)
+    assert got["ks_d"].iloc[0] == num / (len(x) * len(y))
