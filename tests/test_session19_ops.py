@@ -323,3 +323,45 @@ def test_ks_matches_scalar(ray_session):
     assert got["n1"].iloc[0] == len(x)
     assert got["n2"].iloc[0] == len(y)
     assert got["ks_d"].iloc[0] == num / (len(x) * len(y))
+
+
+# ------------------------------------------------------------ kaplan-meier
+
+def test_survival_matches_scalar_km(ray_session):
+    from proj_ray.pipelines.queries import signup_purchase_survival
+
+    got = signup_purchase_survival(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts", "event_type"]).to_pandas()
+    tu = ev["ts"].astype("int64")
+    end = int(tu.max())
+    su, pu = {}, {}
+    for uid, t, k in zip(ev["user_id"], tu, ev["event_type"]):
+        if k == "signup":
+            su[uid] = min(su.get(uid, t), t)
+        elif k == "purchase":
+            pu[uid] = min(pu.get(uid, t), t)
+    durs = []
+    for uid, s in su.items():
+        p = pu.get(uid)
+        if p is not None and p < s:
+            continue  # excluded rule
+        if p is None:
+            durs.append(((end - s) // 86_400_000_000, 0))
+        else:
+            durs.append(((p - s) // 86_400_000_000, 1))
+    days = sorted({t for t, _ in durs})
+    n_at = {t: sum(1 for u, _ in durs if u >= t) for t in days}
+    d_at = {t: sum(1 for u, e in durs if u == t and e == 1) for t in days}
+    S, rows = 1.0, []
+    for t in days:
+        S *= 1.0 - d_at[t] / n_at[t]
+        if d_at[t] > 0:
+            rows.append((t, d_at[t], n_at[t], S))
+    assert len(got) == len(rows)
+    for (t, d, n, S), (_, r) in zip(rows, got.iterrows()):
+        assert r["day"] == t and r["d"] == d and r["n_risk"] == n
+        assert abs(r["survival"] - S) < 2e-6
+    # survival is non-increasing and in (0, 1]
+    sv = got["survival"].to_numpy()
+    assert (np.diff(sv) <= 0).all() and sv[0] <= 1.0 and (sv >= 0).all()
